@@ -1,0 +1,166 @@
+"""A1 — distributed candidate-rule generation.
+
+The flagship aggregation of the engine: for every edge and every
+(subject-label, object-label) pair, emit an out-rooted and an in-rooted star
+rule and aggregate per rule (reference GemsLab/KGist ``graph.py:127-148``,
+golden candidate sets in its ``test_searcher.py:9-55``).
+
+Physical shape (designed for the 100 TB case):
+
+* triples ⋈ labels(subj) ⋈ labels(obj) — the labels side is orders of
+  magnitude smaller than the edge list (NELL: 71k label rows vs 232k edges;
+  web KGs are similar), so both joins are **broadcast hash joins**; no
+  shuffle of the big table at all.  Above the broadcast threshold Catalyst
+  falls back to sort-merge with AQE skew splitting — still correct.
+* the union of the two direction projections doubles rows *before* the
+  groupBy, but partial (map-side) aggregation collapses them per partition,
+  so the shuffle carries only per-(rule, …) partials.
+* ``first_seen`` (min of a packed struct) reproduces the single-threaded
+  scan's candidate insertion order so the greedy tie-breaking is identical
+  on a 1-core or 1000-executor run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the flat candidate key columns
+KEY = ["root_label", "pred", "dir", "child_label"]
+
+
+def candidate_edges(triples: DataFrame, labels_flat: DataFrame,
+                    broadcast_labels: bool = True) -> DataFrame:
+    """Per-contribution rows for every candidate rule.
+
+    :triples: ``(subj, pred, obj, eid)``
+    :labels_flat: ``(node, label, pos)`` exploded label assignments
+    :return: ``(root_label, pred, dir, child_label, eid, root_node,
+        child_node, ord)`` where ``ord`` is the packed first-seen sort key
+        ``(eid, subj-label pos, obj-label pos, dir_rank)``.
+    """
+    lab = labels_flat.select("node", "label", "pos")
+    if broadcast_labels:
+        lab = F.broadcast(lab)
+    lab_s = lab.select(
+        F.col("node").alias("subj"), F.col("label").alias("sl"), F.col("pos").alias("sl_pos")
+    )
+    lab_o = lab.select(
+        F.col("node").alias("obj"), F.col("label").alias("ol"), F.col("pos").alias("ol_pos")
+    )
+    joined = triples.join(lab_s, "subj").join(lab_o, "obj")
+
+    def ordered(dir_rank):
+        return F.struct(
+            F.col("eid"), F.col("sl_pos"), F.col("ol_pos"), F.lit(dir_rank).alias("dir_rank")
+        ).alias("ord")
+
+    out = joined.select(
+        F.col("sl").alias("root_label"),
+        "pred",
+        F.lit("out").alias("dir"),
+        F.col("ol").alias("child_label"),
+        "eid",
+        F.col("subj").alias("root_node"),
+        F.col("obj").alias("child_node"),
+        ordered(0),
+    )
+    inn = joined.select(
+        F.col("ol").alias("root_label"),
+        "pred",
+        F.lit("in").alias("dir"),
+        F.col("sl").alias("child_label"),
+        "eid",
+        F.col("obj").alias("root_node"),
+        F.col("subj").alias("child_node"),
+        ordered(1),
+    )
+    return out.unionByName(inn)
+
+
+def candidate_stats(cand_edges: DataFrame) -> DataFrame:
+    """Per-rule aggregates: edge/assertion/label-coverage counts + first-seen
+    order.  One shuffle on the rule key; everything downstream (MDL ranking,
+    top-k) reads these counts only."""
+    return cand_edges.groupBy(*KEY).agg(
+        F.countDistinct("eid").alias("n_edges"),
+        F.countDistinct("root_node").alias("n_cas"),
+        F.countDistinct("child_node").alias("n_labels_cov"),
+        F.min("ord").alias("first_seen"),
+    )
+
+
+def ca_sizes(cand_edges: DataFrame) -> DataFrame:
+    """Per-(rule, head) assertion sizes (reference ``ca_to_size``,
+    ``graph.py:140,148``): number of distinct edges under the rule rooted at
+    each head, plus the head's first-seen edge for deterministic ordering."""
+    return cand_edges.groupBy(*KEY, "root_node").agg(
+        F.countDistinct("eid").alias("ca_size"),
+        F.min("eid").alias("first_eid"),
+    )
+
+
+def ca_size_histogram(cand_edges: DataFrame) -> DataFrame:
+    """{(rule, ca_size): head count} — the compact driver-side input for
+    L(alpha(g)) at scale (no per-head rows leave the cluster)."""
+    return (
+        ca_sizes(cand_edges)
+        .groupBy(*KEY, "ca_size")
+        .agg(F.count("*").alias("n_heads"))
+    )
+
+
+def rank_candidates(cand_stats: DataFrame, stats, limit: int | None = None) -> DataFrame:
+    """W1 — order candidates by singleton-model reduction-in-error
+    (reference ``searcher.py:22-41``), descending, with the reference's exact
+    tie-breakers (#assertions, then root label, then first-seen order).
+
+    The error delta only depends on (n_edges, n_labels_cov) through binomial
+    terms, so it is computed as a vectorized driver-free column expression:
+    log2 C(n,k) differences expand to sums of log-gamma terms; Spark lacks
+    lgamma, so we push the *counts* down and compute the exact bits with a
+    pandas UDF-free trick: the ranking only needs a monotone key, and
+    reduction-in-error is monotone in a closed form of (n_edges,
+    n_labels_cov) only through those binomials — but exactness matters for
+    parity, so the per-candidate bits are computed driver-side in
+    :mod:`kgist_spark.plans.summarizer` for the selection path.  This
+    DataFrame version computes the same value with a pandas UDF for purely
+    distributed top-k use.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from kgist_spark.functions import mdl
+
+    n = stats.n
+    m = stats.m
+    num_el = stats.num_edge_labels
+    num_nl = stats.num_node_labels
+    total_l = stats.total_num_labels
+    null_err = mdl.length_error(0, 0, stats)
+
+    @pandas_udf(T.DoubleType())
+    def red_in_err(n_edges: pd.Series, n_labels: pd.Series) -> pd.Series:
+        from math import lgamma, log
+
+        ln2 = log(2.0)
+
+        def binom(nn, kk):
+            return (lgamma(nn + 1) - lgamma(kk + 1) - lgamma(nn + 1 - kk)) / ln2
+
+        out = []
+        for ne, nl in zip(n_edges, n_labels):
+            err = binom(n * n * num_el - ne, m - ne) + binom(num_nl * n - nl, total_l - nl)
+            out.append(null_err - err)
+        return pd.Series(out)
+
+    ranked = cand_stats.withColumn(
+        "reduction_in_error", red_in_err(F.col("n_edges"), F.col("n_labels_cov"))
+    ).orderBy(
+        F.desc("reduction_in_error"),
+        F.desc("n_cas"),
+        F.desc("root_label"),
+        F.asc("first_seen"),
+    )
+    return ranked.limit(limit) if limit else ranked

@@ -1,0 +1,159 @@
+"""End-to-end Spark-backed KGist summarization.
+
+Split of labor (SURVEY.md §3.1/§7):
+
+* **cluster** — candidate generation (the O(|E|·labels²) part), per-rule
+  aggregation, ranking inputs: all DataFrame jobs
+  (:mod:`kgist_spark.operators.candidates`).
+* **driver** — the greedy selection loop, which is inherently sequential
+  (every accept changes the covered set) and consumes only per-rule
+  aggregates.  The driver index below is built from the *collected*
+  distributed aggregates; collection replays the single-threaded scan order,
+  so the selected model is bit-identical to the oracle regardless of the
+  cluster's partitioning.
+
+At full web scale the exact per-rule edge-id sets stay on the cluster and the
+greedy runs in delta mode (:mod:`kgist_spark.plans.greedy_delta`) — same
+decisions, O(1) jobs per accepted rule, driver holds only counters.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgist_spark.functions.mdl import GraphStats
+from kgist_spark.operators import candidates as C
+from kgist_spark.oracle.engine import GreedySearcher, ModelEvaluator, SummaryModel
+from kgist_spark.oracle.kg import CandRecord, LocalKG
+
+
+def graph_stats(triples: DataFrame, labels_flat: DataFrame) -> GraphStats:
+    """Scalar graph aggregates, computed distributedly (one pass each side)."""
+    m = triples.count()
+    node_label_counts = {
+        r["label"]: r["cnt"]
+        for r in labels_flat.where(F.col("label").isNotNull())
+        .groupBy("label").agg(F.count("*").alias("cnt")).collect()
+    }
+    edge_label_counts = {
+        r["pred"]: r["cnt"]
+        for r in triples.groupBy("pred").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = (
+        triples.select(F.col("subj").alias("node"))
+        .unionByName(triples.select(F.col("obj").alias("node")))
+        .unionByName(labels_flat.select("node"))
+        .distinct()
+        .count()
+    )
+    return GraphStats(
+        n=n,
+        m=m,
+        num_node_labels=len(node_label_counts),
+        num_edge_labels=len(edge_label_counts),
+        total_num_labels=sum(node_label_counts.values()),
+        node_label_counts=node_label_counts,
+        edge_label_counts=edge_label_counts,
+    )
+
+
+def build_driver_index(
+    triples: DataFrame,
+    labels: DataFrame,
+    labels_flat: DataFrame,
+    idify: bool = False,
+) -> LocalKG:
+    """Materialize the distributed candidate aggregates into a driver-side
+    index satisfying the ``CandidateIndex`` protocol.
+
+    The collected contribution rows are replayed in ``(eid, subj-label pos,
+    obj-label pos, direction)`` order — exactly the order a single-threaded
+    scan would touch them — so dict insertion orders (and therefore greedy
+    tie-breaks and float summation orders) are reproduced independently of
+    cluster partitioning.
+
+    Driver memory: O(#candidate contributions) — fine through NELL scale
+    (~1M rows); beyond that use delta mode, which never collects edge sets.
+    """
+    kg = LocalKG(idify=idify)
+
+    # small dimension: ordered label rows
+    label_rows = labels.orderBy("line_no").collect()
+    for r in label_rows:
+        kg._add_label_row(r["node"], tuple(r["labels"]))
+
+    cand = C.candidate_edges(triples, labels_flat)
+    pdf = (
+        cand.select(
+            "root_label", "pred", "dir", "child_label", "eid", "root_node", "child_node",
+            F.col("ord.sl_pos").alias("sl_pos"),
+            F.col("ord.ol_pos").alias("ol_pos"),
+            F.col("ord.dir_rank").alias("dir_rank"),
+        )
+        .toPandas()
+        .sort_values(["eid", "sl_pos", "ol_pos", "dir_rank"], kind="stable")
+    )
+
+    # edge dimension (drives id_to_edge, edge counts, and idify dictionaries)
+    triple_rows = sorted(triples.collect(), key=lambda r: r["eid"])
+    for r in triple_rows:
+        sub, pred, obj = r["subj"], r["pred"], r["obj"]
+        if kg.idify:
+            sub = kg._encode_node(sub)
+            obj = kg._encode_node(obj)
+            if pred not in kg.pred_to_id:
+                pid = len(kg.pred_to_id)
+                kg.pred_to_id[pred] = pid
+                kg.id_to_pred[pid] = pred
+            pred = kg.pred_to_id[pred]
+        kg.edge_label_counts[pred] = kg.edge_label_counts.get(pred, 0) + 1
+        kg._node_set.add(sub)
+        kg._node_set.add(obj)
+        kg.id_to_edge[kg.m] = (sub, pred, obj)
+        kg.m += 1
+
+    # replay candidate contributions in scan order
+    node_id = kg.node_to_id
+    pred_id = kg.pred_to_id
+    label_id = kg.label_to_id
+    candidates = kg.candidates
+    for row in pdf.itertuples(index=False):
+        rl, pred, direction, cl = row.root_label, row.pred, row.dir, row.child_label
+        eid, root_node, child_node = int(row.eid), row.root_node, row.child_node
+        if kg.idify:
+            rl, cl = label_id[rl], label_id[cl]
+            pred = pred_id[pred]
+            root_node, child_node = node_id[root_node], node_id[child_node]
+        rule = ((rl,), ((pred, direction, ((cl,), ())),))
+        rec = candidates.get(rule)
+        if rec is None:
+            rec = candidates[rule] = CandRecord()
+        rec.label_coverage.add((cl, child_node))
+        rec.edges.add(eid)
+        rec.ca_to_size[root_node] = rec.ca_to_size.get(root_node, 0) + 1
+
+    kg._finalize()
+    return kg
+
+
+class SparkSummarizer:
+    """High-level API: load KG tables → distributed candidate gen →
+    driver greedy → fitted :class:`SummaryModel`."""
+
+    def __init__(self, triples: DataFrame, labels: DataFrame, idify: bool = True):
+        from kgist_spark.sources.edgelist import explode_labels
+
+        self.triples = triples
+        self.labels = labels
+        self.labels_flat = explode_labels(labels)
+        self.index = build_driver_index(triples, labels, self.labels_flat, idify=idify)
+        self.searcher = GreedySearcher(self.index)
+
+    def fit(self, passes: int = 2, label_qualify: bool = True) -> SummaryModel:
+        return self.searcher.build_model(passes=passes, label_qualify=label_qualify)
+
+    def evaluator(self) -> ModelEvaluator:
+        return ModelEvaluator(self.index)
