@@ -1,0 +1,117 @@
+"""MinHash-LSH blocking (X3) — generic near-duplicate candidate generation.
+
+Used by stage-2 entity canonicalization (character shingles over surface
+forms) and by document-level near-dedup (word shingles over document text).
+
+Everything is JVM-side column expressions: shingling via
+``transform(sequence(...), substring)``, the minhash signature as ``num_perm``
+independent ``min(hash(shingle, seed))`` aggregates (Murmur3 via ``F.hash``
+with a per-permutation salt column), banding via ``hash`` over signature
+slices.  No Python in the hot path, deterministic across runs/partitionings.
+
+Scale shape: one shuffle to aggregate signatures per key, one shuffle to
+group band buckets; candidate pairs explode only within buckets (quadratic
+only in bucket size, bounded by ``max_bucket`` to cap blowup from degenerate
+buckets — the documented coverage loss is logged by callers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct character k-grams per id (JVM-side)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct lowercase word k-gram shingles per id."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i, {k})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = 32) -> DataFrame:
+    """``(id, sig array<int>)`` — num_perm min-hash aggregates in one pass."""
+    aggs = [
+        F.min(F.hash(F.col("shingle"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)
+    ]
+    wide = shingles.groupBy("id").agg(*aggs)
+    return wide.select("id", F.array(*[f"h{p}" for p in range(num_perm)]).alias("sig"))
+
+
+def lsh_buckets(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """``(id, band, bucket)`` — one row per band; bucket = hash of the band's
+    signature slice."""
+    assert bands * rows_per_band <= 256
+    parts = []
+    for b in range(bands):
+        lo = b * rows_per_band
+        band_slice = F.slice(F.col("sig"), lo + 1, rows_per_band)
+        parts.append(
+            signatures.select(
+                "id", F.lit(b).alias("band"), F.hash(band_slice.cast("array<int>")).alias("bucket")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def candidate_pairs(buckets: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Distinct unordered id pairs sharing any band bucket.  Buckets larger
+    than ``max_bucket`` are dropped (degenerate hot buckets — callers should
+    log the loss); pairs explode via in-bucket self-join."""
+    sized = buckets.groupBy("band", "bucket").agg(
+        F.collect_set("id").alias("ids"), F.count("*").alias("n")
+    )
+    ok = sized.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = ok.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)), y ->"
+                " struct(least(x, y) as a, greatest(x, y) as b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return pairs.distinct()
+
+
+def jaccard_verified_pairs(pairs: DataFrame, shingles: DataFrame,
+                           threshold: float) -> DataFrame:
+    """Exact-Jaccard filter over candidate pairs: |∩|/|∪| >= threshold.
+    Shuffles only candidate-pair shingles (semi-joined), not the full corpus."""
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(shingles.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(shingles.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

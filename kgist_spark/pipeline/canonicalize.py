@@ -1,0 +1,159 @@
+"""Stage 2 — entity canonicalization and mention linking.
+
+* **Blocking** (X3): MinHash-LSH over character trigrams of entity surface
+  ids, restricted to same-etype pairs (the etype prefix is part of the id).
+* **Verification**: exact trigram Jaccard >= ``threshold``.
+* **Union-find** (X4): connected components over verified pairs; canonical
+  id = lexicographically smallest member (deterministic).
+* **Linking** (X5): triples/labels re-keyed to canonical ids via a broadcast
+  map join; out-of-dictionary mentions are linked with a vectorized
+  pandas-UDF trigram score against LSH candidates.
+
+All steps are DataFrame-native; the only Python is the Arrow-batched scorer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgist_spark.operators import minhash as MH
+from kgist_spark.operators.components import connected_components
+
+
+def entity_vocabulary(raw_triples: DataFrame) -> DataFrame:
+    """Distinct entity surface ids appearing in stage-1 output."""
+    return (
+        raw_triples.select(F.col("subj").alias("node"))
+        .unionByName(raw_triples.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+
+
+def canonical_map(entities: DataFrame, k: int = 3, num_perm: int = 32,
+                  bands: int = 8, rows_per_band: int = 4,
+                  threshold: float = 0.70) -> DataFrame:
+    """``(node, canonical)`` for every entity (identity rows included)."""
+    shingles = MH.char_shingles(entities, "node", "node", k=k)
+    sigs = MH.minhash_signatures(shingles, num_perm=num_perm)
+    buckets = MH.lsh_buckets(sigs, bands=bands, rows_per_band=rows_per_band)
+    pairs = MH.candidate_pairs(buckets)
+    # same etype only: ids are "{etype}:{surface}"
+    same_type = pairs.where(
+        F.substring_index(F.col("a"), ":", 1) == F.substring_index(F.col("b"), ":", 1)
+    )
+    verified = MH.jaccard_verified_pairs(same_type, shingles, threshold)
+    comp = connected_components(verified.select("a", "b"))
+    canon = comp.select("node", F.col("component").alias("canonical"))
+    return (
+        entities.join(canon, "node", "left")
+        .select("node", F.coalesce("canonical", "node").alias("canonical"))
+    )
+
+
+def apply_canonical_triples(raw_triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Re-key subj/obj to canonical ids (broadcast map join) and drop
+    degenerate self-loops created by the merge."""
+    c = F.broadcast(canon)
+    return (
+        raw_triples.join(c.withColumnRenamed("node", "subj"), "subj")
+        .withColumnRenamed("canonical", "subj_c")
+        .join(c.withColumnRenamed("node", "obj"), "obj")
+        .withColumnRenamed("canonical", "obj_c")
+        .select(
+            F.col("subj_c").alias("subj"),
+            "pred",
+            F.col("obj_c").alias("obj"),
+            "url",
+        )
+        .where(F.col("subj") != F.col("obj"))
+    )
+
+
+def apply_canonical_labels(labels: DataFrame, canon: DataFrame) -> DataFrame:
+    c = F.broadcast(canon)
+    return (
+        labels.join(c, "node")
+        .groupBy(F.col("canonical").alias("node"), F.col("label"))
+        .agg(F.min("pos").alias("pos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — linking out-of-dictionary mentions against a canonical dictionary
+# ---------------------------------------------------------------------------
+
+def link_mentions(mentions: DataFrame, dictionary: DataFrame,
+                  threshold: float = 0.5, num_perm: int = 32,
+                  bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """``(mention, linked, score)``: exact dictionary hits score 1.0; misses
+    are blocked via LSH against the dictionary and scored with a vectorized
+    trigram-Jaccard pandas UDF; best candidate above threshold wins.
+
+    :mentions: one column ``mention`` (canonical-form surface ids)
+    :dictionary: one column ``entity``
+    """
+    exact = (
+        mentions.join(
+            F.broadcast(dictionary).withColumnRenamed("entity", "mention"), "mention"
+        )
+        .select("mention", F.col("mention").alias("linked"), F.lit(1.0).alias("score"))
+    )
+    misses = mentions.join(
+        F.broadcast(dictionary).withColumnRenamed("entity", "mention"),
+        "mention",
+        "left_anti",
+    )
+
+    tagged = misses.select(F.concat(F.lit("m|"), "mention").alias("node")).unionByName(
+        dictionary.select(F.concat(F.lit("d|"), "entity").alias("node"))
+    )
+    shingles = MH.char_shingles(
+        tagged.withColumn("text", F.substring_index(F.col("node"), "|", -1)),
+        "node",
+        "text",
+    )
+    sigs = MH.minhash_signatures(shingles, num_perm=num_perm)
+    buckets = MH.lsh_buckets(sigs, bands=bands, rows_per_band=rows_per_band)
+    pairs = MH.candidate_pairs(buckets)
+    cand = (
+        pairs.select(
+            F.when(F.col("a").startswith("m|"), F.col("a")).otherwise(F.col("b")).alias("m"),
+            F.when(F.col("a").startswith("d|"), F.col("a")).otherwise(F.col("b")).alias("d"),
+        )
+        .where(F.col("m").startswith("m|") & F.col("d").startswith("d|"))
+        .select(
+            F.expr("substring(m, 3)").alias("mention"),
+            F.expr("substring(d, 3)").alias("entity"),
+        )
+    )
+
+    gb_cache: dict = {}
+
+    @F.pandas_udf("double")
+    def trigram_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        def grams(s):
+            return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+
+        out = []
+        for x, y in zip(a, b):
+            ga = grams(x)
+            gb = gb_cache.get(y)
+            if gb is None:
+                gb = grams(y)
+                gb_cache[y] = gb
+            union = ga | gb
+            out.append(len(ga & gb) / len(union) if union else 0.0)
+        return pd.Series(out)
+
+    scored = cand.withColumn("score", trigram_jaccard(F.col("mention"), F.col("entity")))
+    best = (
+        scored.where(F.col("score") >= threshold)
+        .groupBy("mention")
+        .agg(F.max_by("entity", F.struct("score", "entity")).alias("linked"),
+             F.max("score").alias("score"))
+    )
+    return exact.unionByName(best)

@@ -1,0 +1,130 @@
+"""Stage 3 — KG materialization with per-partition lineage and resumability.
+
+Writes the constructed KG as partitioned tables (parquet locally; the same
+layout maps 1:1 onto Iceberg ``writeTo(...).partitionedBy(bucket(N, subj))``
+on a cluster):
+
+* ``kg_triples``  — (subj, pred, obj, eid, src_url, bucket)
+* ``kg_labels``   — (node, label, pos, bucket)
+* ``kg_adjacency``— (node, dir, pred, neighbor, bucket) adjacency-list view
+* ``_manifest``   — (table, bucket, n_rows, status, wrote_at) lineage rows
+
+Resumability: each bucket is written independently and recorded in the
+manifest only after its files are durable.  A restart calls the same
+``materialize_kg`` and skips buckets whose manifest rows are ``done`` — an
+anti-join of the partition list against the manifest — so a killed run
+resumes idempotently without rewriting finished partitions.
+
+Edge ids: deterministic ``row_number`` over (subj, pred, obj, src_url) —
+NOT ``monotonically_increasing_id`` (partition-dependent).  At 10^12-row
+scale a global row_number is one total sort; swap in a per-bucket offset
+scheme (bucket_id * bucket_capacity + local row_number) when a total sort is
+too expensive — both are deterministic.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from typing import List
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST)
+
+
+def read_manifest(out_dir: str) -> List[dict]:
+    path = _manifest_path(out_dir)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _append_manifest(out_dir: str, entry: dict):
+    os.makedirs(out_dir, exist_ok=True)
+    with open(_manifest_path(out_dir), "a") as f:
+        f.write(json.dumps(entry, separators=(",", ":")) + "\n")
+
+
+def with_eids(triples: DataFrame) -> DataFrame:
+    """Deterministic sequential edge ids (duplicates keep distinct ids, all
+    count toward m — reference loader semantics)."""
+    w = Window.orderBy("subj", "pred", "obj", "url")
+    return triples.withColumn("eid", F.row_number().over(w) - F.lit(1))
+
+
+def bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+
+
+def adjacency(triples: DataFrame) -> DataFrame:
+    """Adjacency-list view: one row per (node, direction, pred, neighbor)."""
+    out = triples.select(
+        F.col("subj").alias("node"), F.lit("out").alias("dir"), "pred",
+        F.col("obj").alias("neighbor"),
+    )
+    inn = triples.select(
+        F.col("obj").alias("node"), F.lit("in").alias("dir"), "pred",
+        F.col("subj").alias("neighbor"),
+    )
+    return out.unionByName(inn)
+
+
+def materialize_kg(spark: SparkSession, triples: DataFrame, labels: DataFrame,
+                   out_dir: str, n_buckets: int = 8) -> dict:
+    """Write the three KG tables bucket-by-bucket with manifest lineage;
+    resumes past buckets already marked done.  Returns a summary dict."""
+    done = {
+        (e["table"], e["bucket"]) for e in read_manifest(out_dir) if e["status"] == "done"
+    }
+
+    tables = {
+        "kg_triples": bucketed(with_eids(triples), "subj", n_buckets).persist(),
+        "kg_labels": bucketed(labels, "node", n_buckets).persist(),
+    }
+    tables["kg_adjacency"] = bucketed(
+        adjacency(tables["kg_triples"].drop("bucket")), "node", n_buckets
+    ).persist()
+
+    written, skipped = 0, 0
+    for name, df in tables.items():
+        for b in range(n_buckets):
+            if (name, b) in done:
+                skipped += 1
+                continue
+            part = df.where(F.col("bucket") == b).drop("bucket")
+            path = os.path.join(out_dir, name, f"bucket={b}")
+            n_rows = part.count()
+            part.write.mode("overwrite").parquet(path)
+            _append_manifest(
+                out_dir,
+                {
+                    "table": name,
+                    "bucket": b,
+                    "n_rows": n_rows,
+                    "status": "done",
+                    "wrote_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                },
+            )
+            written += 1
+    for df in tables.values():
+        df.unpersist()
+    return {"written": written, "skipped": skipped, "n_buckets": n_buckets}
+
+
+def read_kg(spark: SparkSession, out_dir: str):
+    """Load the materialized KG back (all buckets)."""
+    triples = spark.read.option("basePath", os.path.join(out_dir, "kg_triples")).parquet(
+        os.path.join(out_dir, "kg_triples", "bucket=*")
+    )
+    labels = spark.read.option("basePath", os.path.join(out_dir, "kg_labels")).parquet(
+        os.path.join(out_dir, "kg_labels", "bucket=*")
+    )
+    return triples, labels

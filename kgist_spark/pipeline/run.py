@@ -1,0 +1,75 @@
+"""The end-to-end KG-construction pipeline (north-star lifecycle):
+
+web pages → X1/X2 extraction → X3/X4/X5 canonicalization → S7 materialized
+KG tables → KGist MDL summarization → anomaly ranking.
+
+Every arrow is a DataFrame job; driver coordination appears only in the
+union-find fixpoint and the greedy selection loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgist_spark.pipeline.canonicalize import (
+    apply_canonical_labels,
+    apply_canonical_triples,
+    canonical_map,
+    entity_vocabulary,
+)
+from kgist_spark.pipeline.extract import extract_labels, extract_triples
+from kgist_spark.pipeline.materialize import materialize_kg, with_eids
+
+
+def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = None,
+                 n_buckets: int = 8, canonicalize: bool = True):
+    """Stages 1-3.  Returns ``(triples, labels)``:
+
+    * triples — (subj, pred, obj, url[, eid])
+    * labels  — (node, label, pos) distinct
+    """
+    raw_triples = extract_triples(pages).select("url", "subj", "pred", "obj")
+    raw_labels = (
+        extract_labels(pages)
+        .groupBy("node", "label")
+        .agg(F.min("pos").alias("pos"))
+    )
+    if canonicalize:
+        canon = canonical_map(entity_vocabulary(raw_triples))
+        triples = apply_canonical_triples(raw_triples, canon)
+        labels = apply_canonical_labels(raw_labels, canon)
+    else:
+        triples, labels = raw_triples, raw_labels
+
+    if out_dir:
+        materialize_kg(spark, triples, labels, out_dir, n_buckets=n_buckets)
+    return triples, labels
+
+
+def kg_to_summarizer_inputs(triples: DataFrame, labels: DataFrame):
+    """Reshape constructed-KG tables into the summarizer's input contract:
+    triples (subj, pred, obj, eid) + labels (node, labels array, line_no),
+    with deterministic ids/orderings."""
+    t = with_eids(triples).select("subj", "pred", "obj", "eid")
+    lab = (
+        labels.groupBy("node")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "label"))).alias("pl"))
+        .withColumn("labels", F.expr("transform(pl, x -> x.label)"))
+        .drop("pl")
+    )
+    w = Window.orderBy("node")
+    lab = lab.withColumn("line_no", F.row_number().over(w) - F.lit(1))
+    return t, lab
+
+
+def summarize_constructed_kg(triples: DataFrame, labels: DataFrame,
+                             passes: int = 2, label_qualify: bool = True,
+                             idify: bool = True):
+    """Run KGist MDL summarization over a constructed KG."""
+    from kgist_spark.plans.summarizer import SparkSummarizer
+
+    t, lab = kg_to_summarizer_inputs(triples, labels)
+    summ = SparkSummarizer(t, lab, idify=idify)
+    model = summ.fit(passes=passes, label_qualify=label_qualify)
+    return summ, model

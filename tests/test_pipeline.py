@@ -1,0 +1,215 @@
+"""End-to-end KG-construction pipeline tests: extraction P/R against the
+independent corpus generator, the byte-identity invariant, canonicalization,
+materialization + resume, and summarization over the constructed KG."""
+
+import json
+
+import pytest
+
+from kgist_spark.pipeline import spec
+from kgist_spark.sources import webpages as W
+
+pytestmark = pytest.mark.spark
+
+N_DOCS = 300
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def world():
+    return W.World(SEED)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, world):
+    df = W.generate_pages(spark, N_DOCS, seed=SEED, world=world).cache()
+    df.count()
+    return df
+
+
+# ---------------------------------------------------------------------------
+# spec oracle unit behavior
+# ---------------------------------------------------------------------------
+
+def test_spec_oracle_example():
+    text = (
+        "Alice Smith is the CEO of Acme Corp.  the quarterly report was filed on time. "
+        "Acme Corp is located in Paris.\r\nAlice Smith was born in Berlin."
+    )
+    page = spec.extract_page(text)
+    assert page["triples"] == [
+        ("person:alice_smith", "ceo_of", "org:acme_corp"),
+        ("org:acme_corp", "located_in", "place:paris"),
+        ("person:alice_smith", "born_in", "place:berlin"),
+    ]
+    assert page["labels"]["org:acme_corp"] == ("org", "org_corp")
+    assert page["labels"]["person:alice_smith"] == ("person",)
+    # normalization is idempotent and pure
+    assert spec.normalize_text(page["text"]) == page["text"]
+
+
+def test_spec_decoys_yield_nothing():
+    for noise in W.NOISE_SENTENCES:
+        assert spec.extract_page(noise)["triples"] == []
+
+
+# ---------------------------------------------------------------------------
+# generator determinism
+# ---------------------------------------------------------------------------
+
+def test_generator_partitioning_independent(spark, world):
+    a = W.generate_pages(spark, 50, seed=SEED, world=world, num_partitions=1).collect()
+    b = W.generate_pages(spark, 50, seed=SEED, world=world, num_partitions=7).collect()
+    key = lambda r: r["url"]
+    assert sorted([r.asDict() for r in a], key=lambda d: d["url"]) == sorted(
+        [r.asDict() for r in b], key=lambda d: d["url"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 1: extraction
+# ---------------------------------------------------------------------------
+
+def test_byte_identical_extracted_text(spark, pages, world):
+    from kgist_spark.pipeline.extract import extracted_text
+
+    got = {r["url"]: r["text"] for r in extracted_text(pages).collect()}
+    for r in pages.where("lang = 'en'").collect():
+        assert got[r["url"]] == spec.normalize_text(r["text"]), r["url"]
+    assert len(got) == pages.where("lang = 'en'").count()
+
+
+def test_extraction_precision_recall(spark, pages, world):
+    from kgist_spark.pipeline.extract import extract_triples
+
+    got = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in extract_triples(pages).collect()
+    }
+    truth = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in W.ground_truth(spark, N_DOCS, seed=SEED, world=world).collect()
+    }
+    tp = len(got & truth)
+    precision = tp / len(got)
+    recall = tp / len(truth)
+    assert precision >= 0.95, (precision, len(got), len(truth))
+    assert recall >= 0.95, (recall, len(got), len(truth))
+
+
+def test_spark_extraction_matches_oracle(spark, pages):
+    from kgist_spark.pipeline.extract import extract_triples
+
+    got = sorted(
+        (r["url"], r["subj"], r["pred"], r["obj"], r["span_start"], r["span_end"])
+        for r in extract_triples(pages).collect()
+    )
+    want = []
+    for r in pages.where("lang = 'en'").collect():
+        page = spec.extract_page(r["text"])
+        for s, st, pred, o, ot, a, b in page["relations"]:
+            want.append((r["url"], spec.entity_id(s, st), pred, spec.entity_id(o, ot), a, b))
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: canonicalization
+# ---------------------------------------------------------------------------
+
+def test_canonical_map_merges_near_duplicates(spark):
+    from kgist_spark.pipeline.canonicalize import canonical_map
+
+    ents = spark.createDataFrame(
+        [("org:acme_corp",), ("org:acme_corps",), ("org:zenith_labs",),
+         ("person:alice_smith",), ("person:alice_smith",), ("place:paris",)],
+        ["node"],
+    ).distinct()
+    got = {r["node"]: r["canonical"] for r in canonical_map(ents, threshold=0.6).collect()}
+    assert got["org:acme_corp"] == got["org:acme_corps"] == "org:acme_corp"
+    assert got["org:zenith_labs"] == "org:zenith_labs"
+    assert got["place:paris"] == "place:paris"
+
+
+def test_connected_components_basic(spark):
+    from kgist_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y"), ("z", "z")], ["a", "b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == "x"
+
+
+def test_link_mentions(spark):
+    from kgist_spark.pipeline.canonicalize import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("org:acme_corp",), ("org:acme_corpz",), ("org:totally_unknown_thing",)],
+        ["mention"],
+    )
+    dictionary = spark.createDataFrame(
+        [("org:acme_corp",), ("org:zenith_labs",)], ["entity"]
+    )
+    got = {r["mention"]: (r["linked"], r["score"]) for r in link_mentions(mentions, dictionary).collect()}
+    assert got["org:acme_corp"] == ("org:acme_corp", 1.0)
+    assert got["org:acme_corpz"][0] == "org:acme_corp"
+    assert 0.5 <= got["org:acme_corpz"][1] < 1.0
+    assert "org:totally_unknown_thing" not in got
+
+
+# ---------------------------------------------------------------------------
+# stage 3: materialization + resume
+# ---------------------------------------------------------------------------
+
+def test_materialize_and_resume(spark, pages, tmp_path):
+    from kgist_spark.pipeline.materialize import materialize_kg, read_kg, read_manifest
+    from kgist_spark.pipeline.run import construct_kg
+
+    triples, labels = construct_kg(spark, pages, canonicalize=False)
+    out = str(tmp_path / "kg")
+    res1 = materialize_kg(spark, triples, labels, out, n_buckets=4)
+    assert res1["written"] == 12 and res1["skipped"] == 0
+    manifest = read_manifest(out)
+    assert len(manifest) == 12
+    assert all(e["status"] == "done" for e in manifest)
+
+    # resume: nothing left to write, nothing rewritten
+    res2 = materialize_kg(spark, triples, labels, out, n_buckets=4)
+    assert res2["written"] == 0 and res2["skipped"] == 12
+
+    # partial-failure resume: drop two manifest rows -> exactly those rewritten
+    entries = read_manifest(out)
+    with open(f"{out}/_manifest.json", "w") as f:
+        for e in entries[:-2]:
+            f.write(json.dumps(e) + "\n")
+    res3 = materialize_kg(spark, triples, labels, out, n_buckets=4)
+    assert res3["written"] == 2 and res3["skipped"] == 10
+
+    t2, l2 = read_kg(spark, out)
+    assert t2.count() == triples.count()
+    assert set(t2.columns) >= {"subj", "pred", "obj", "eid", "url"}
+    # eids deterministic + dense
+    eids = sorted(r["eid"] for r in t2.select("eid").collect())
+    assert eids == list(range(len(eids)))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: constructed KG → MDL summarization
+# ---------------------------------------------------------------------------
+
+def test_pipeline_then_summarize(spark, pages):
+    from kgist_spark.oracle.engine import SummaryModel
+    from kgist_spark.pipeline.run import construct_kg, summarize_constructed_kg
+
+    triples, labels = construct_kg(spark, pages)
+    summ, model = summarize_constructed_kg(triples, labels, passes=1)
+    assert len(model.rules) > 0
+    ev = summ.evaluator()
+    assert ev.evaluate(model) < ev.evaluate(SummaryModel(summ.index))
+    # the obvious world rules should be discovered
+    tuplified = {summ.index.tuplify(r) for r in model.rules}
+    roots = {r[0] for r in tuplified}
+    assert any("person" in root for root in roots) or any(
+        "org" in root for root in roots
+    )
