@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the flagship candidate-generation aggregation over the derived
+KG, top-k ranking, text/dedup/similarity operators over documents/embeddings,
+an hourly window aggregation over events, and the stage-1 extraction
+throughput over a generated web corpus (docs/sec recorded under "extra").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+    from kgist_spark.session import get_spark
+    from kgist_spark.plans import testdata_queries as Q
+    from kgist_spark.pipeline.extract import extract_triples
+    from kgist_spark.sources.webpages import World, generate_pages
+
+    spark = get_spark(app_name="kgist-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = [
+        "candidate_stats",
+        "topk_rules_by_cas",
+        "ca_size_histogram",
+        "coverage_anti",
+        "dedup_exact",
+        "token_stats",
+        "quality",
+        "lang_score",
+        "cosine_topk",
+        "events_hourly",
+    ]
+
+    # warm up the JVM + parquet footers with one cheap action
+    Q.q_pred_freq(spark, sf_dir).count()
+
+    timings = {}
+    for name in bench_queries:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    # stage-1 extraction throughput over a generated corpus
+    world = World(42)
+    pages = generate_pages(spark, n_bench_docs, seed=42, world=world).cache()
+    pages.count()  # materialize generation outside the timed region
+    t0 = time.perf_counter()
+    n_triples = extract_triples(pages).count()
+    extract_sec = time.perf_counter() - t0
+    timings["extract_triples"] = round(extract_sec, 3)
+    docs_per_sec = round(n_bench_docs / extract_sec, 1)
+    pages.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": {
+            "cpus": cpus,
+            "extract_docs_per_sec": docs_per_sec,
+            "n_bench_docs": n_bench_docs,
+            "n_extracted_triples": n_triples,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline (JVM-side ``zip_with`` /
+``aggregate`` — no UDF), and an LSH-bucketed approximate variant as the
+scale path: random-hyperplane signatures narrow candidates to matching
+buckets before exact rescoring, turning the O(N) scan into O(N/buckets) per
+query at a measured recall.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_to_query(embeddings: DataFrame, query: Sequence[float],
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine similarity of every vector to a constant query vector."""
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(np.dot(q, q)))
+    qcol = F.array(*[F.lit(x).cast("double") for x in q])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return embeddings.select(
+        F.col(id_col),
+        F.round(_dot(v, qcol) / (_norm(v) * F.lit(qn)), 5).alias("cosine"),
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine, deterministic tie-break on id
+    (TakeOrderedAndProject — the bounded-heap top-k physical op)."""
+    return (
+        cosine_to_query(embeddings, query, id_col, vec_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 16, seed: int = 7,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int | None = None) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of <v, h_i> packed into a long."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for i in range(n_planes):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bits.append(F.when(_dot(v, h) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return embeddings.select(F.col(id_col), sig.cast("long").alias("sig"))
+
+
+def ann_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
+             n_planes: int = 12, seed: int = 7, probe_hamming: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: restrict the exact rescore to vectors whose
+    hyperplane signature is within ``probe_hamming`` bits of the query's."""
+    dim = len(query)
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    qsig = 0
+    for i in range(n_planes):
+        if float(np.dot(planes[i], query)) >= 0:
+            qsig |= 1 << i
+    sigs = hyperplane_signatures(embeddings, n_planes, seed, id_col, vec_col, dim=dim)
+    cand = sigs.where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    ).select(id_col)
+    subset = embeddings.join(F.broadcast(cand), id_col)
+    return cosine_topk(subset, query, k, id_col, vec_col)

@@ -1,0 +1,89 @@
+"""Text-analysis operators over document tables (training-data pipeline ops).
+
+All JVM-side column expressions (no Python in the hot path): token counting,
+quality scoring, n-gram language scoring, exact-dedup grouping, and a
+rolling-hash document fingerprint.  Float outputs are rounded to 5 decimals
+so results are engine-comparable (the driver's DuckDB oracle hashes values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "of", "and", "a", "to", "in")
+
+
+def tokens(col: str) -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts + average token length."""
+    t = tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_text"),
+        F.round(
+            F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+            / F.size(t),
+            5,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: stopword ratio, unique-token ratio,
+    punctuation ratio; plus a combined score."""
+    t = tokens(text_col)
+    stop_array = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_array, x)))
+    n_unique = F.size(F.array_distinct(t))
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,;:!?]", "")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(n_stop / F.size(t), 5).alias("stopword_ratio"),
+        F.round(n_unique / F.size(t), 5).alias("unique_ratio"),
+        F.round(n_punct / F.length(F.col(text_col)), 5).alias("punct_ratio"),
+        F.round(
+            (n_stop / F.size(t)) * 0.5 + (n_unique / F.size(t)) * 0.5, 5
+        ).alias("quality"),
+    )
+
+
+def english_char_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram-free language-ID heuristic: share of characters drawn from the
+    high-frequency English set."""
+    kept = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "[etaoinshr ]", "")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(kept / F.length(F.col(text_col)), 5).alias("eng_score"),
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content hash; only groups with >1 member."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                    modulus: int = 1_000_003) -> DataFrame:
+    """Deterministic rolling-hash fingerprint: polynomial hash of token hash
+    codes (order-sensitive, content-defined)."""
+    t = tokens(text_col)
+    fp = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(31) + F.pmod(F.hash(x), F.lit(modulus)), F.lit(modulus)),
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,364 @@
+"""Driver-contract queries over the synthetic testdata tables.
+
+Each function here is one operator from the engine's inventory (SURVEY.md §2)
+exercised on the TPC-H-ish testdata: a KG is derived deterministically from
+the relational tables (entities = customers/suppliers/nations/orders/parts;
+edges = foreign-key relationships) and the engine's operators run over it.
+``ORACLE_SQL`` carries the DuckDB-equivalent SQL for every SQL-expressible
+query — the driver executes both sides and compares row counts, schemas and
+value hashes.
+
+Semantics notes for engine-comparability:
+* every float column is rounded to 5 decimals on BOTH sides;
+* aggregates are aliased identically on both sides;
+* top-k queries carry total tie-break orderings so the result *set* is
+  deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgist_spark.operators import candidates as C
+from kgist_spark.operators import similarity as SIM
+from kgist_spark.operators import text as TX
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# derived KG (shared by the KGist-operator queries)
+# ---------------------------------------------------------------------------
+
+def derived_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def tr(df, s_prefix, s_col, pred, o_prefix, o_col):
+        return df.select(
+            F.concat(F.lit(s_prefix), F.col(s_col)).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(o_prefix), F.col(o_col)).alias("obj"),
+        ).distinct()
+
+    return (
+        tr(customer, "c", "c_custkey", "in_nation", "n", "c_nationkey")
+        .unionAll(tr(supplier, "s", "s_suppkey", "in_nation", "n", "s_nationkey"))
+        .unionAll(tr(orders, "o", "o_orderkey", "placed_by", "c", "o_custkey"))
+        .unionAll(tr(lineitem, "o", "l_orderkey", "contains_part", "p", "l_partkey"))
+        .unionAll(tr(lineitem, "p", "l_partkey", "supplied_by", "s", "l_suppkey"))
+    )
+
+
+DERIVED_TRIPLES_SQL = """
+    SELECT DISTINCT 'c' || c_custkey AS subj, 'in_nation' AS pred, 'n' || c_nationkey AS obj FROM customer
+    UNION ALL SELECT DISTINCT 's' || s_suppkey, 'in_nation', 'n' || s_nationkey FROM supplier
+    UNION ALL SELECT DISTINCT 'o' || o_orderkey, 'placed_by', 'c' || o_custkey FROM orders
+    UNION ALL SELECT DISTINCT 'o' || l_orderkey, 'contains_part', 'p' || l_partkey FROM lineitem
+    UNION ALL SELECT DISTINCT 'p' || l_partkey, 'supplied_by', 's' || l_suppkey FROM lineitem
+"""
+
+
+def derived_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+
+    def lab(df, prefix, key, label_col):
+        return df.select(
+            F.concat(F.lit(prefix), F.col(key)).alias("node"), label_col.alias("label")
+        )
+
+    slug = lambda c: F.lower(F.regexp_replace(F.col(c), "[ #]", "_"))
+    return (
+        lab(customer, "c", "c_custkey", F.lit("customer"))
+        .unionAll(lab(customer, "c", "c_custkey", slug("c_mktsegment")))
+        .unionAll(lab(supplier, "s", "s_suppkey", F.lit("supplier")))
+        .unionAll(lab(nation, "n", "n_nationkey", F.lit("nation")))
+        .unionAll(lab(nation, "n", "n_nationkey", slug("n_name")))
+        .unionAll(lab(orders, "o", "o_orderkey", F.lit("order")))
+        .unionAll(lab(orders, "o", "o_orderkey", slug("o_orderpriority")))
+        .unionAll(lab(part, "p", "p_partkey", F.lit("part")))
+        .unionAll(lab(part, "p", "p_partkey", slug("p_brand")))
+    )
+
+
+DERIVED_LABELS_SQL = """
+    SELECT 'c' || c_custkey AS node, 'customer' AS label FROM customer
+    UNION ALL SELECT 'c' || c_custkey, lower(replace(replace(c_mktsegment, ' ', '_'), '#', '_')) FROM customer
+    UNION ALL SELECT 's' || s_suppkey, 'supplier' FROM supplier
+    UNION ALL SELECT 'n' || n_nationkey, 'nation' FROM nation
+    UNION ALL SELECT 'n' || n_nationkey, lower(replace(replace(n_name, ' ', '_'), '#', '_')) FROM nation
+    UNION ALL SELECT 'o' || o_orderkey, 'order' FROM orders
+    UNION ALL SELECT 'o' || o_orderkey, lower(replace(replace(o_orderpriority, ' ', '_'), '#', '_')) FROM orders
+    UNION ALL SELECT 'p' || p_partkey, 'part' FROM part
+    UNION ALL SELECT 'p' || p_partkey, lower(replace(replace(p_brand, ' ', '_'), '#', '_')) FROM part
+"""
+
+_KG_CTE = f"WITH triples AS ({DERIVED_TRIPLES_SQL}), labels AS ({DERIVED_LABELS_SQL})"
+
+_CAND_CTE = (
+    _KG_CTE
+    + """,
+ cand AS (
+    SELECT ls.label AS root_label, t.pred AS pred, 'out' AS dir, lo.label AS child_label,
+           t.subj AS root_node, t.obj AS child_node
+    FROM triples t JOIN labels ls ON t.subj = ls.node JOIN labels lo ON t.obj = lo.node
+    UNION ALL
+    SELECT lo.label, t.pred, 'in', ls.label, t.obj, t.subj
+    FROM triples t JOIN labels ls ON t.subj = ls.node JOIN labels lo ON t.obj = lo.node
+ )"""
+)
+
+
+def _labels_flat(spark, sf_dir):
+    return derived_labels(spark, sf_dir).withColumn("pos", F.lit(0))
+
+
+def _cand_edges(spark, sf_dir):
+    triples = derived_triples(spark, sf_dir).withColumn(
+        "eid", F.concat_ws("|", "subj", "pred", "obj")
+    )
+    return C.candidate_edges(triples, _labels_flat(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_kg_triples(spark, sf_dir):
+    return derived_triples(spark, sf_dir)
+
+
+def q_kg_labels(spark, sf_dir):
+    return derived_labels(spark, sf_dir)
+
+
+def q_candidate_stats(spark, sf_dir):
+    """A1 — the flagship candidate-generation aggregation."""
+    return C.candidate_stats(_cand_edges(spark, sf_dir)).select(
+        "root_label", "pred", "dir", "child_label", "n_edges", "n_cas", "n_labels_cov"
+    )
+
+
+def q_label_freq(spark, sf_dir):
+    return (
+        derived_labels(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_pred_freq(spark, sf_dir):
+    return derived_triples(spark, sf_dir).groupBy("pred").agg(F.count("*").alias("n"))
+
+
+def q_nodes_with_type(spark, sf_dir):
+    """P2 — nodes carrying BOTH labels (set intersection as group-by+having)."""
+    lf = derived_labels(spark, sf_dir)
+    both = (
+        lf.where(F.col("label").isin("customer", "building"))
+        .groupBy("node")
+        .agg(F.countDistinct("label").alias("k"))
+        .where(F.col("k") == 2)
+    )
+    return both.agg(F.count("*").alias("n_nodes"))
+
+
+def q_topk_rules_by_cas(spark, sf_dir):
+    """W2 — bounded top-k with total tie-break ordering."""
+    return (
+        q_candidate_stats(spark, sf_dir)
+        .orderBy(
+            F.desc("n_cas"), F.asc("root_label"), F.asc("pred"), F.asc("dir"),
+            F.asc("child_label"),
+        )
+        .limit(20)
+    )
+
+
+def q_ca_size_histogram(spark, sf_dir):
+    """A2 — assertion-size histogram for the rule
+    (nation <-in_nation- customer)."""
+    hist = C.ca_size_histogram(_cand_edges(spark, sf_dir))
+    return (
+        hist.where(
+            (F.col("root_label") == "nation")
+            & (F.col("pred") == "in_nation")
+            & (F.col("dir") == "in")
+            & (F.col("child_label") == "customer")
+        )
+        .select("ca_size", "n_heads")
+    )
+
+
+def q_coverage_anti(spark, sf_dir):
+    """G2/J2 — edges of a predicate NOT covered by a rule (anti-join count)."""
+    triples = derived_triples(spark, sf_dir)
+    labels = derived_labels(spark, sf_dir)
+    covered_subj = labels.where(F.col("label") == "customer").select("node")
+    uncovered = (
+        triples.where(F.col("pred") == "in_nation")
+        .join(covered_subj.withColumnRenamed("node", "subj"), "subj", "left_anti")
+    )
+    return uncovered.agg(F.count("*").alias("n_uncovered"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return TX.exact_dup_groups(_t(spark, sf_dir, "documents")).select(
+        "text_md5", "n_docs", "keep_id"
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    return TX.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    return TX.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_score(spark, sf_dir):
+    return TX.english_char_score(_t(spark, sf_dir, "documents"))
+
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("HOUR", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 5).alias("avg_value"))
+    )
+
+
+QUERIES = {
+    "kg_triples": q_kg_triples,
+    "kg_labels": q_kg_labels,
+    "candidate_stats": q_candidate_stats,
+    "label_freq": q_label_freq,
+    "pred_freq": q_pred_freq,
+    "nodes_with_type": q_nodes_with_type,
+    "topk_rules_by_cas": q_topk_rules_by_cas,
+    "ca_size_histogram": q_ca_size_histogram,
+    "coverage_anti": q_coverage_anti,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_score": q_lang_score,
+    "cosine_topk": q_cosine_topk,
+    "events_hourly": q_events_hourly,
+}
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_STOP = "['the','of','and','a','to','in']"
+
+ORACLE_SQL = {
+    "kg_triples": f"{DERIVED_TRIPLES_SQL}",
+    "kg_labels": f"{DERIVED_LABELS_SQL}",
+    "candidate_stats": _CAND_CTE
+    + """
+        SELECT root_label, pred, dir, child_label,
+               COUNT(*) AS n_edges,
+               COUNT(DISTINCT root_node) AS n_cas,
+               COUNT(DISTINCT child_node) AS n_labels_cov
+        FROM cand GROUP BY root_label, pred, dir, child_label
+    """,
+    "label_freq": f"{_KG_CTE} SELECT label, COUNT(*) AS n FROM labels GROUP BY label",
+    "pred_freq": f"{_KG_CTE} SELECT pred, COUNT(*) AS n FROM triples GROUP BY pred",
+    "nodes_with_type": f"""{_KG_CTE}
+        SELECT COUNT(*) AS n_nodes FROM (
+            SELECT node FROM labels WHERE label IN ('customer', 'building')
+            GROUP BY node HAVING COUNT(DISTINCT label) = 2
+        )
+    """,
+    "topk_rules_by_cas": _CAND_CTE
+    + """
+        SELECT root_label, pred, dir, child_label,
+               COUNT(*) AS n_edges,
+               COUNT(DISTINCT root_node) AS n_cas,
+               COUNT(DISTINCT child_node) AS n_labels_cov
+        FROM cand GROUP BY root_label, pred, dir, child_label
+        ORDER BY n_cas DESC, root_label, pred, dir, child_label
+        LIMIT 20
+    """,
+    "ca_size_histogram": f"""{_KG_CTE}
+        SELECT ca_size, COUNT(*) AS n_heads FROM (
+            SELECT t.obj AS head, COUNT(*) AS ca_size
+            FROM triples t
+            JOIN labels ls ON t.subj = ls.node AND ls.label = 'customer'
+            JOIN labels lo ON t.obj = lo.node AND lo.label = 'nation'
+            WHERE t.pred = 'in_nation'
+            GROUP BY t.obj
+        ) GROUP BY ca_size
+    """,
+    "coverage_anti": f"""{_KG_CTE}
+        SELECT COUNT(*) AS n_uncovered FROM triples t
+        WHERE t.pred = 'in_nation'
+          AND t.subj NOT IN (SELECT node FROM labels WHERE label = 'customer')
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    "token_stats": f"""
+        SELECT doc_id,
+               len({_TOKENS}) AS n_tokens,
+               length(text) AS n_chars_text,
+               round(CAST(list_sum(list_transform({_TOKENS}, t -> length(t))) AS DOUBLE)
+                     / len({_TOKENS}), 5) AS avg_token_len
+        FROM documents
+    """,
+    "quality": f"""
+        SELECT doc_id,
+               round(CAST(len(list_filter({_TOKENS}, t -> list_contains({_STOP}, t))) AS DOUBLE)
+                     / len({_TOKENS}), 5) AS stopword_ratio,
+               round(CAST(len(list_distinct({_TOKENS})) AS DOUBLE) / len({_TOKENS}), 5) AS unique_ratio,
+               round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                     / length(text), 5) AS punct_ratio,
+               round(CAST(len(list_filter({_TOKENS}, t -> list_contains({_STOP}, t))) AS DOUBLE)
+                     / len({_TOKENS}) * 0.5
+                   + CAST(len(list_distinct({_TOKENS})) AS DOUBLE) / len({_TOKENS}) * 0.5, 5) AS quality
+        FROM documents
+    """,
+    "lang_score": """
+        SELECT doc_id,
+               round(CAST(length(text) - length(regexp_replace(text, '[etaoinshr ]', '', 'g')) AS DOUBLE)
+                     / length(text), 5) AS eng_score
+        FROM documents
+    """,
+    "cosine_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 5) AS cosine
+        FROM embeddings, q
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n, round(avg(value), 5) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+}
