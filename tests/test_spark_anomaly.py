@@ -1,0 +1,87 @@
+"""Parity: distributed batch anomaly scoring == per-edge oracle scorer."""
+
+import pytest
+
+from kgist_spark.oracle.anomaly import AnomalyScorer
+from kgist_spark.oracle.engine import GreedySearcher
+from tests.conftest import fixture_kg
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.mark.parametrize("idify", [False, True])
+def test_batch_scores_match_oracle(spark, idify):
+    from kgist_spark.operators.anomaly import score_edges
+
+    kg = fixture_kg("test", idify=idify)
+    model = GreedySearcher(kg).build_model(passes=2, label_qualify=True)
+    scorer = AnomalyScorer(model)
+
+    # string-vocabulary edges for the distributed path
+    to_node = (lambda n: kg.id_to_node[n]) if idify else (lambda n: n)
+    to_pred = (lambda p: kg.id_to_pred[p]) if idify else (lambda p: p)
+    edges = [
+        (to_node(s), to_pred(p), to_node(o)) for (s, p, o) in kg.id_to_edge.values()
+    ]
+    triples = spark.createDataFrame(edges, "subj string, pred string, obj string")
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["score"]
+        for r in score_edges(spark, model, triples).collect()
+    }
+    assert len(got) == len(set(edges))
+    for (s, p, o), score in got.items():
+        want = scorer.score_edge((s, p, o))
+        assert abs(score - want) < 1e-9, (s, p, o, score, want)
+
+
+def test_ranking_consistent_and_scores_nonnegative(spark):
+    from pyspark.sql import functions as F
+
+    from kgist_spark.operators.anomaly import score_edges
+
+    kg = fixture_kg("test")
+    model = GreedySearcher(kg).build_model()
+    edges = list(kg.id_to_edge.values())
+    triples = spark.createDataFrame(edges, "subj string, pred string, obj string")
+    ranked = (
+        score_edges(spark, model, triples)
+        .orderBy(F.desc("score"), "subj", "pred", "obj")
+        .collect()
+    )
+    assert all(r["score"] >= 0 for r in ranked)
+    scores = [r["score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.nell
+def test_nell_batch_scoring_matches_oracle(spark):
+    """Batch-score all 231k NELL edges distributed; sampled parity vs the
+    per-edge oracle (which itself matches the reference exactly)."""
+    import random
+    import zipfile
+
+    from kgist_spark.operators.anomaly import score_edges
+    from kgist_spark.oracle import LocalKG
+    from tests.conftest import NELL_ZIP
+
+    if not NELL_ZIP.exists():
+        pytest.skip("NELL dataset not available")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        with zipfile.ZipFile(NELL_ZIP) as z:
+            z.extractall(td)
+        kg = LocalKG.from_files(f"{td}/nell.txt", f"{td}/nell_labels.txt", idify=True)
+    model = GreedySearcher(kg).build_model(passes=2, label_qualify=True)
+    scorer = AnomalyScorer(model)
+    to_n, to_p = kg.id_to_node, kg.id_to_pred
+    edges = [(to_n[s], to_p[p], to_n[o]) for (s, p, o) in kg.id_to_edge.values()]
+    triples = spark.createDataFrame(edges, "subj string, pred string, obj string")
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["score"]
+        for r in score_edges(spark, model, triples).collect()
+    }
+    assert len(got) == len(set(edges))
+    random.seed(1)
+    for e in random.sample(edges, 500):
+        assert abs(got[e] - scorer.score_edge(e)) < 1e-6, e
