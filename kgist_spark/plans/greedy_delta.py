@@ -1,0 +1,306 @@
+"""M2 — greedy rule selection at scale (delta mode).
+
+The exact-mode summarizer collects per-rule edge-id sets to the driver; that
+caps out around NELL scale.  Delta mode keeps ALL edge/label-coverage data on
+the cluster and the driver holds only O(#candidates) counters:
+
+* per-candidate scalars (n_edges, n_labels_cov, n_cas, ca-size histogram,
+  first-seen order) collected once from the distributed aggregates;
+* two running overlap counters per candidate: |edges(g) ∩ covered| and
+  |labels(g) ∩ covered|.
+
+The key identity making this exact: when rule r is accepted, the newly
+covered set Δ = edges(r) − covered is disjoint from the old covered set, so
+for every candidate g the overlap increment is |edges(g) ∩ Δ| — additive.
+One broadcast-join + group-by job per ACCEPT (not per trial) maintains every
+counter; trials are pure driver float math.  O(accepted rules) Spark jobs
+total, independent of candidate count (reference semantics from
+``searcher.py:168-244`` preserved decision-for-decision).
+
+Float caveat: L(alpha(g)) is computed from the ca-size histogram (count ×
+term) rather than the reference's per-head summation order; the two differ
+by < 1e-9 bits, which can only matter on exact MDL ties.  The exact-mode
+path remains the bit-parity reference; tests assert both modes select the
+same model on the fixtures.
+"""
+
+from __future__ import annotations
+
+from math import log2
+from typing import Dict, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgist_spark.functions import mdl
+from kgist_spark.functions.ir import reverse_of
+from kgist_spark.operators import candidates as C
+from kgist_spark.operators.qualify import nodes_with_all_labels, shared_head_labels
+
+_SEP = "\x1f"
+
+
+def _df_key_col():
+    return F.concat_ws(_SEP, "root_label", "pred", "dir", "child_label").alias("key")
+
+
+class CandidateMeta:
+    __slots__ = (
+        "rule", "df_key", "n_edges", "n_labels", "n_cas", "ca_hist",
+        "first_seen", "num_assertions",
+    )
+
+    def __init__(self, rule, df_key, n_edges, n_labels, n_cas, ca_hist, first_seen):
+        self.rule = rule
+        self.df_key = df_key
+        self.n_edges = n_edges
+        self.n_labels = n_labels
+        self.n_cas = n_cas
+        self.ca_hist = ca_hist  # {ca_size: n_heads}, iterated sorted
+        self.first_seen = first_seen
+        self.num_assertions = None  # nodes_with_type(root); filled lazily
+
+
+class DeltaGreedy:
+    """Distributed-coverage greedy selection over candidate tables."""
+
+    def __init__(self, triples: DataFrame, labels_flat: DataFrame,
+                 stats: mdl.GraphStats, label_node_counts: Dict[str, int]):
+        """:triples: (subj, pred, obj, eid); :labels_flat: (node, label, pos);
+        :label_node_counts: label -> #distinct nodes carrying it (the
+        ``nodes_with_type`` map for single-label roots)."""
+        self.spark = triples.sparkSession
+        self.stats = stats
+        self.label_node_counts = label_node_counts
+        self.labels_flat = labels_flat
+
+        cand = C.candidate_edges(triples, labels_flat)
+        self.cand_edges = (
+            cand.select(_df_key_col(), "eid", "root_node").distinct().persist()
+        )
+        self.cand_labels = (
+            cand.select(_df_key_col(), "child_label", "child_node").distinct().persist()
+        )
+        self._cand_raw = cand
+
+        # one-time driver metadata
+        stats_rows = C.candidate_stats(cand).collect()
+        hist_rows = C.ca_size_histogram(cand).collect()
+        hist: Dict[str, Dict[int, int]] = {}
+        for r in hist_rows:
+            k = _SEP.join([r["root_label"], r["pred"], r["dir"], r["child_label"]])
+            hist.setdefault(k, {})[r["ca_size"]] = r["n_heads"]
+        self.meta: Dict[tuple, CandidateMeta] = {}
+        order = []
+        for r in stats_rows:
+            k = _SEP.join([r["root_label"], r["pred"], r["dir"], r["child_label"]])
+            rule = ((r["root_label"],), ((r["pred"], r["dir"], ((r["child_label"],), ())),))
+            fs = r["first_seen"]
+            m = CandidateMeta(
+                rule, k, r["n_edges"], r["n_labels_cov"], r["n_cas"], hist.get(k, {}),
+                (fs["eid"], fs["sl_pos"], fs["ol_pos"], fs["dir_rank"]),
+            )
+            order.append(m)
+        order.sort(key=lambda m: m.first_seen)
+        for m in order:
+            self.meta[m.rule] = m
+
+        # coverage state
+        self.covered_e: DataFrame | None = None
+        self.covered_l: DataFrame | None = None
+        self.n_covered_e = 0
+        self.n_covered_l = 0
+        self.overlap_e: Dict[tuple, int] = {}
+        self.overlap_l: Dict[tuple, int] = {}
+        self._assert_len_cache: Dict[tuple, float] = {}
+
+    # -- MDL terms ---------------------------------------------------------
+    def _num_assertions(self, meta: CandidateMeta) -> int:
+        if meta.num_assertions is None:
+            root = meta.rule[0]
+            assert len(root) == 1
+            meta.num_assertions = self.label_node_counts[root[0]]
+        return meta.num_assertions
+
+    def _assert_len(self, meta: CandidateMeta) -> float:
+        rule = meta.rule
+        if rule in self._assert_len_cache:
+            return self._assert_len_cache[rule]
+        hist = dict(sorted(meta.ca_hist.items()))
+        bits = mdl.length_assertions_from_histogram(
+            self._num_assertions(meta), hist, self.stats
+        )
+        self._assert_len_cache[rule] = bits
+        return bits
+
+    def _rule_len(self, rule) -> float:
+        return mdl.length_rule(rule, self.stats)
+
+    # -- qualification (A5 distributed) ------------------------------------
+    def label_qualify(self) -> int:
+        shared_rows = shared_head_labels(self._cand_raw, self.labels_flat).collect()
+        shared = {}
+        for r in shared_rows:
+            k = _SEP.join([r["root_label"], r["pred"], r["dir"], r["child_label"]])
+            shared[k] = tuple(r["shared_labels"])
+        proposals = [
+            (m, shared[m.df_key]) for m in self.meta.values() if m.df_key in shared
+        ]
+        new_counts = nodes_with_all_labels(
+            self.labels_flat, [labels for _, labels in proposals]
+        )
+        qual_cache: Dict[tuple, float] = {}
+
+        def cost(rule, num_assertions, hist):
+            if rule in qual_cache:
+                alen = qual_cache[rule]
+            else:
+                alen = mdl.length_assertions_from_histogram(
+                    num_assertions, dict(sorted(hist.items())), self.stats
+                )
+                qual_cache[rule] = alen
+            return self._rule_len(rule) + alen
+
+        n_qualified = 0
+        for m, new_labels in proposals:
+            old_rule = m.rule
+            new_rule = (new_labels, old_rule[1])
+            old_cost = cost(old_rule, self._num_assertions(m), m.ca_hist)
+            new_cost = cost(new_rule, new_counts[new_labels], m.ca_hist)
+            if new_cost < old_cost:
+                # rekey: dict-overwrite semantics (existing key keeps position)
+                del self.meta[old_rule]
+                m.rule = new_rule
+                m.num_assertions = new_counts[new_labels]
+                self.meta[new_rule] = m
+                n_qualified += 1
+        return n_qualified
+
+    # -- ranking (W1 driver-side over counts) ------------------------------
+    def rank(self) -> List[CandidateMeta]:
+        null_err = mdl.length_error(0, 0, self.stats)
+
+        def key(m: CandidateMeta):
+            err = mdl.length_error(m.n_edges, m.n_labels, self.stats)
+            return (null_err - err, m.n_cas, m.rule[0])
+
+        return sorted(self.meta.values(), key=key, reverse=True)
+
+    # -- accept bookkeeping (the one-job-per-accept scheme) ----------------
+    def _accept(self, meta: CandidateMeta):
+        k = meta.df_key
+        r_edges = self.cand_edges.where(F.col("key") == k).select("eid").distinct()
+        r_labels = (
+            self.cand_labels.where(F.col("key") == k)
+            .select("child_label", "child_node")
+            .distinct()
+        )
+        if self.covered_e is not None:
+            delta_e = r_edges.join(self.covered_e, "eid", "left_anti")
+            delta_l = r_labels.join(
+                self.covered_l, ["child_label", "child_node"], "left_anti"
+            )
+        else:
+            delta_e, delta_l = r_edges, r_labels
+        # deltas are bounded by one rule's coverage — materialize them as
+        # small local relations instead of checkpointing (cheaper per accept)
+        delta_e_rows = delta_e.collect()
+        delta_l_rows = delta_l.collect()
+        delta_e = self.spark.createDataFrame(delta_e_rows or [(-1,)], "eid long")
+        delta_l = self.spark.createDataFrame(
+            delta_l_rows or [("", "")], "child_label string, child_node string"
+        )
+        if not delta_e_rows:
+            delta_e = delta_e.where(F.lit(False))
+        if not delta_l_rows:
+            delta_l = delta_l.where(F.lit(False))
+
+        inc_e = (
+            self.cand_edges.join(F.broadcast(delta_e), "eid")
+            .groupBy("key").agg(F.countDistinct("eid").alias("n"))
+            .collect()
+        ) if delta_e_rows else []
+        inc_l = (
+            self.cand_labels.join(
+                F.broadcast(delta_l), ["child_label", "child_node"]
+            )
+            .groupBy("key").agg(F.count("*").alias("n"))
+            .collect()
+        ) if delta_l_rows else []
+        by_key = {m.df_key: m.rule for m in self.meta.values()}
+        for r in inc_e:
+            rule = by_key.get(r["key"])
+            if rule is not None:
+                self.overlap_e[rule] = self.overlap_e.get(rule, 0) + r["n"]
+        for r in inc_l:
+            rule = by_key.get(r["key"])
+            if rule is not None:
+                self.overlap_l[rule] = self.overlap_l.get(rule, 0) + r["n"]
+
+        self.n_covered_e += len(delta_e_rows)
+        self.n_covered_l += len(delta_l_rows)
+        self.covered_e = (
+            delta_e if self.covered_e is None else self.covered_e.unionByName(delta_e)
+        )
+        self.covered_l = (
+            delta_l if self.covered_l is None else self.covered_l.unionByName(delta_l)
+        )
+        # bound the union-lineage depth (planning cost) with periodic cuts
+        self._accepts = getattr(self, "_accepts", 0) + 1
+        if self._accepts % 16 == 0:
+            self.covered_e = self.covered_e.localCheckpoint()
+            self.covered_l = self.covered_l.localCheckpoint()
+
+    # -- the greedy loop ----------------------------------------------------
+    def fit(self, passes: int = 2, label_qualify: bool = True):
+        if label_qualify:
+            self.label_qualify()
+        ranked = self.rank()
+
+        stats = self.stats
+        selected: Dict[tuple, CandidateMeta] = {}
+        best_model_len = mdl.length_model_header(stats)
+        best_val = best_model_len + mdl.length_error(0, 0, stats)
+
+        def trial_val(meta: CandidateMeta):
+            new_e = meta.n_edges - self.overlap_e.get(meta.rule, 0)
+            new_l = meta.n_labels - self.overlap_l.get(meta.rule, 0)
+            m_len = best_model_len + self._rule_len(meta.rule) + self._assert_len(meta)
+            err = mdl.length_error(
+                self.n_covered_e + new_e, self.n_covered_l + new_l, stats
+            )
+            return m_len + err, m_len
+
+        for _ in range(passes):
+            for meta in ranked:
+                rule = meta.rule
+                reverse_rule = reverse_of(rule)
+                rev_meta = self.meta.get(reverse_rule)
+                if rev_meta is not None:
+                    if rule in selected or reverse_rule in selected:
+                        continue
+                    val, m_len = trial_val(meta)
+                    rev_val, rev_m_len = trial_val(rev_meta)
+                    if val <= rev_val and rev_val < best_val:
+                        selected[rule] = meta
+                        self._accept(meta)
+                        best_val, best_model_len = val, m_len
+                    elif rev_val < best_val:
+                        selected[reverse_rule] = rev_meta
+                        self._accept(rev_meta)
+                        best_val, best_model_len = rev_val, rev_m_len
+                else:
+                    if rule in selected:
+                        continue
+                    val, m_len = trial_val(meta)
+                    if val < best_val:
+                        selected[rule] = meta
+                        self._accept(meta)
+                        best_val, best_model_len = val, m_len
+        return {
+            "rules": list(selected.keys()),
+            "objective_bits": best_val,
+            "model_bits": best_model_len,
+            "covered_edges": self.n_covered_e,
+            "covered_labels": self.n_covered_l,
+        }

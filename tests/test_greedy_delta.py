@@ -1,0 +1,49 @@
+"""Delta-mode (distributed-coverage) greedy == exact-mode greedy: same
+selected rules and matching objective on the fixture graphs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgist_spark.oracle.engine import GreedySearcher, ModelEvaluator
+from tests.conftest import FIXTURES, fixture_kg
+
+pytestmark = pytest.mark.spark
+
+
+def build_delta(spark, name):
+    from kgist_spark.plans.greedy_delta import DeltaGreedy
+    from kgist_spark.plans.summarizer import graph_stats
+    from kgist_spark.sources.edgelist import explode_labels, load_labels, load_triples
+
+    triples = load_triples(spark, str(FIXTURES / f"{name}.txt"))
+    labels = load_labels(spark, str(FIXTURES / f"{name}_labels.txt"))
+    lf = explode_labels(labels)
+    stats = graph_stats(triples, lf)
+    label_node_counts = {
+        r["label"]: r["n"]
+        for r in lf.groupBy("label").agg(F.countDistinct("node").alias("n")).collect()
+    }
+    return DeltaGreedy(triples, lf, stats, label_node_counts)
+
+
+@pytest.mark.parametrize("name,passes,qualify", [
+    ("test", 2, True),
+    ("test", 2, False),
+    ("tiny", 2, True),
+    ("tiny1", 2, True),
+    ("repeated", 2, True),
+    ("label_qualifier_1", 2, True),
+])
+def test_delta_matches_exact(spark, name, passes, qualify):
+    delta = build_delta(spark, name)
+    result = delta.fit(passes=passes, label_qualify=qualify)
+
+    kg = fixture_kg(name, idify=False)
+    model = GreedySearcher(kg).build_model(passes=passes, label_qualify=qualify)
+    ev = ModelEvaluator(kg)
+    want_val = ev.evaluate(model)
+
+    assert set(result["rules"]) == set(model.rules.keys())
+    assert result["covered_edges"] == len(model.covered_edges)
+    assert result["covered_labels"] == len(model.covered_labels)
+    assert abs(result["objective_bits"] - want_val) < 1e-6
