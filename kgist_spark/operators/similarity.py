@@ -68,8 +68,50 @@ def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 16, seed: int =
     return embeddings.select(F.col(id_col), sig.cast("long").alias("sig"))
 
 
+def ivf_assignments(embeddings: DataFrame, centroids, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign each vector to its max-cosine centroid
+    (centroids as literal arrays — JVM-side argmax, no UDF)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vn = _norm(v)
+    sims = []
+    for c in centroids:
+        cn = float(np.sqrt(np.dot(c, c))) or 1.0
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        sims.append(_dot(v, carr) / (vn * F.lit(cn)))
+    sim_arr = F.array(*sims)
+    return embeddings.select(
+        F.col(id_col),
+        (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int").alias("cell"),
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
+             n_centroids: int = 32, n_probe: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: centroids = the first ``n_centroids`` vectors by
+    id (deterministic, sample-based coarse quantizer); the query rescans only
+    its ``n_probe`` nearest cells exactly.  At scale the assignment column is
+    precomputed/partitioned-by once and queries touch n_probe/n_centroids of
+    the data."""
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in embeddings.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    qv = np.array(query, dtype=float)
+    sims = [
+        float(np.dot(qv, c) / ((np.linalg.norm(qv) * np.linalg.norm(c)) or 1.0))
+        for c in cents
+    ]
+    probe = sorted(range(len(cents)), key=lambda i: -sims[i])[:n_probe]
+    assign = ivf_assignments(embeddings, cents, id_col, vec_col)
+    cand = assign.where(F.col("cell").isin(probe)).select(id_col)
+    subset = embeddings.join(F.broadcast(cand), id_col)
+    return cosine_topk(subset, query, k, id_col, vec_col)
+
+
 def ann_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
-             n_planes: int = 12, seed: int = 7, probe_hamming: int = 1,
+             n_planes: int = 8, seed: int = 7, probe_hamming: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: restrict the exact rescore to vectors whose
     hyperplane signature is within ``probe_hamming`` bits of the query's."""

@@ -241,6 +241,37 @@ def q_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-5-gram Jaccard near-dup pairs over documents."""
+    from kgist_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+    return pairs.select("a", "b", F.round("jaccard", 5).alias("jaccard"))
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash-LSH blocked near-dup pairs (rows-only check: hash-seeded)."""
+    from kgist_spark.operators.dedup import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+    return pairs.select("a", "b", F.round("jaccard", 5).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (rows-only: blake2b-seeded)."""
+    from kgist_spark.operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_ann(spark, sf_dir):
+    """Approximate nearest neighbors via IVF coarse quantization (rows-only)."""
+    from kgist_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -267,6 +298,10 @@ QUERIES = {
     "lang_score": q_lang_score,
     "cosine_topk": q_cosine_topk,
     "events_hourly": q_events_hourly,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash": q_simhash,
+    "embedding_ann": q_embedding_ann,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -360,5 +395,31 @@ ORACLE_SQL = {
         SELECT date_trunc('hour', ts) AS hour, event_type,
                COUNT(*) AS n, round(avg(value), 5) AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    # minhash_neardup / simhash / embedding_ann are hash-seeded — rows-only
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 4, 1)),
+                           i -> array_to_string(t[i:i+4], ' '))) AS shingle
+                FROM toks
+            ) WHERE length(shingle) > 0
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT x.id AS a, y.id AS b, COUNT(*) AS n_inter
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+            GROUP BY x.id, y.id
+        )
+        SELECT a, b, round(n_inter * 1.0 / (na.n + nb.n - n_inter), 5) AS jaccard
+        FROM inter
+        JOIN sizes na ON inter.a = na.id
+        JOIN sizes nb ON inter.b = nb.id
+        WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.4
     """,
 }
