@@ -113,3 +113,28 @@ def test_model_io_roundtrip(spark, tmp_path):
     # blame tables reload
     heads = spark.read.parquet(str(tmp_path / "model" / "blame" / "heads"))
     assert heads.count() > 0
+
+
+def test_salted_aggregations_match_unsalted(spark):
+    """X6 — skew-safe two-phase aggregation equals the direct computation on
+    a zipfian-skewed key distribution."""
+    from kgist_spark.operators.salting import salted_count_distinct, salted_sum
+
+    rows = [("hot", f"v{i % 997}", float(i % 7)) for i in range(20000)]
+    rows += [(f"k{i % 50}", f"v{i}", 1.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["key", "value", "x"])
+
+    want_distinct = {
+        r["key"]: r["n"]
+        for r in df.groupBy("key").agg(F.countDistinct("value").alias("n")).collect()
+    }
+    got_distinct = {
+        r["key"]: r["n_distinct"]
+        for r in salted_count_distinct(df, ["key"], "value").collect()
+    }
+    assert got_distinct == want_distinct
+    assert got_distinct["hot"] == 997
+
+    want_sum = {r["key"]: r["s"] for r in df.groupBy("key").agg(F.sum("x").alias("s")).collect()}
+    got_sum = {r["key"]: r["total"] for r in salted_sum(df, ["key"], F.col("x")).collect()}
+    assert got_sum == want_sum
