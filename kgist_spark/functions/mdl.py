@@ -51,8 +51,13 @@ def length_binomial(n: int, k: int) -> float:
     """log2 C(n, k) via lgamma (reference ``evaluator.py:82-97``).
 
     The reference uses ``scipy.special.gammaln``; ``math.lgamma`` computes the
-    same log-Gamma for positive reals to double precision.
+    same log-Gamma for positive reals to double precision.  For the impossible
+    cases k < 0 or k > n there are zero ways to choose (C = 0 → log2 = -inf);
+    ``math.lgamma`` raises on the negative-integer pole where scipy returns
+    inf, so the guard makes the two agree.
     """
+    if k < 0 or k > n:
+        return float("-inf")
     return (lgamma(n + 1) - lgamma(k + 1) - lgamma(n + 1 - k)) / _LN2
 
 

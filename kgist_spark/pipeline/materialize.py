@@ -95,22 +95,31 @@ def materialize_kg(spark: SparkSession, triples: DataFrame, labels: DataFrame,
 
     written, skipped = 0, 0
     for name, df in tables.items():
-        for b in range(n_buckets):
-            if (name, b) in done:
-                skipped += 1
-                continue
-            part = df.where(F.col("bucket") == b).drop("bucket")
-            path = os.path.join(out_dir, name, f"bucket={b}")
-            n_rows = part.count()
-            part.write.mode("overwrite").parquet(path)
+        missing = [b for b in range(n_buckets) if (name, b) not in done]
+        skipped += n_buckets - len(missing)
+        if not missing:
+            continue
+        part = df.where(F.col("bucket").isin(missing))
+        # one write job for all missing buckets (dynamic partition overwrite
+        # touches only those directories), one count job for their lineage
+        part.write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("bucket") \
+            .parquet(os.path.join(out_dir, name))
+        counts = {
+            r["bucket"]: r["n"]
+            for r in part.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        now = _dt.datetime.now(_dt.timezone.utc).isoformat()
+        for b in missing:
             _append_manifest(
                 out_dir,
                 {
                     "table": name,
                     "bucket": b,
-                    "n_rows": n_rows,
+                    "n_rows": counts.get(b, 0),
                     "status": "done",
-                    "wrote_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                    "wrote_at": now,
                 },
             )
             written += 1

@@ -29,7 +29,15 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
     * triples — (subj, pred, obj, url[, eid])
     * labels  — (node, label, pos) distinct
     """
-    raw_triples = extract_triples(pages).select("url", "subj", "pred", "obj")
+    # distinct facts: the same (s, p, o) extracted from many pages (zipfian
+    # head entities!) is ONE edge in the KG; lineage keeps the smallest
+    # source url deterministically (evidence counts can be added as a weight
+    # column later without changing the KG shape)
+    raw_triples = (
+        extract_triples(pages)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min("url").alias("url"))
+    )
     raw_labels = (
         extract_labels(pages)
         .groupBy("node", "label")

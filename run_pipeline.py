@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the full KG-construction pipeline.
+
+Cluster:
+    zip -r kgist_spark.zip kgist_spark
+    spark-submit --py-files kgist_spark.zip run_pipeline.py \
+        --input <pages table/parquet path> --out /path/kg_out \
+        [--summarize] [--score-anomalies] [--buckets 64]
+
+Local smoke (no cluster):
+    python run_pipeline.py --generate 10000 --out /tmp/kg_out --summarize
+
+The session comes from ``SparkSession.builder.getOrCreate()`` so spark-submit
+conf (master, executors, memory) applies untouched; local runs fall back to
+the engine defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="web-pages parquet path or table (url, warc_ts, html, text, lang)")
+    src.add_argument("--generate", type=int, metavar="N_DOCS",
+                     help="generate a synthetic corpus of N docs instead")
+    ap.add_argument("--out", required=True, help="output directory for KG tables + model")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--no-canonicalize", action="store_true")
+    ap.add_argument("--summarize", action="store_true", help="run KGist MDL summarization")
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--score-anomalies", action="store_true",
+                    help="write per-edge anomaly scores (implies --summarize)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("kgist-pipeline").getOrCreate()
+    if spark.sparkContext.master.startswith("local"):
+        spark.stop()
+        from kgist_spark.session import get_spark
+
+        spark = get_spark(app_name="kgist-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+
+    from kgist_spark.pipeline.run import construct_kg, summarize_constructed_kg
+
+    t0 = time.time()
+    if args.generate:
+        from kgist_spark.sources.webpages import generate_pages
+
+        pages = generate_pages(spark, args.generate, seed=args.seed)
+        n_docs = args.generate
+    else:
+        pages = spark.read.parquet(args.input) if "/" in args.input else spark.read.table(args.input)
+        n_docs = pages.count()
+
+    triples, labels = construct_kg(
+        spark, pages, out_dir=args.out, n_buckets=args.buckets,
+        canonicalize=not args.no_canonicalize,
+    )
+    n_triples = triples.count()
+    t_construct = time.time() - t0
+    report = {
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "construct_sec": round(t_construct, 2),
+        "docs_per_sec": round(n_docs / t_construct, 1),
+        "out": args.out,
+    }
+
+    if args.summarize or args.score_anomalies:
+        t1 = time.time()
+        summ, model = summarize_constructed_kg(triples, labels, passes=args.passes)
+        from kgist_spark.sources.model_io import save_model
+
+        meta = save_model(model, f"{args.out}/model", spark=spark)
+        report.update(
+            n_rules=meta["n_rules"],
+            objective_bits=round(meta["objective_bits"], 2),
+            pct_edges_explained=round(meta["pct_edges_explained"], 2),
+            summarize_sec=round(time.time() - t1, 2),
+        )
+        if args.score_anomalies:
+            from kgist_spark.operators.anomaly import score_edges
+            from kgist_spark.pipeline.run import kg_to_summarizer_inputs
+
+            t2 = time.time()
+            t, _ = kg_to_summarizer_inputs(triples, labels)
+            scored = score_edges(spark, model, t.select("subj", "pred", "obj"))
+            scored.write.mode("overwrite").parquet(f"{args.out}/anomaly_scores")
+            report["score_sec"] = round(time.time() - t2, 2)
+
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

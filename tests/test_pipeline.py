@@ -207,9 +207,11 @@ def test_pipeline_then_summarize(spark, pages):
     assert len(model.rules) > 0
     ev = summ.evaluator()
     assert ev.evaluate(model) < ev.evaluate(SummaryModel(summ.index))
-    # the obvious world rules should be discovered
+    # the discovered rules speak the world's schema vocabulary
     tuplified = {summ.index.tuplify(r) for r in model.rules}
-    roots = {r[0] for r in tuplified}
-    assert any("person" in root for root in roots) or any(
-        "org" in root for root in roots
-    )
+    seen_labels = set()
+    for root, children in tuplified:
+        seen_labels.update(root)
+        for _, _, child in children:
+            seen_labels.update(child[0])
+    assert seen_labels & {"person", "org", "place"}
