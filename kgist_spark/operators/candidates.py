@@ -22,6 +22,7 @@ Physical shape (designed for the 100 TB case):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,9 +52,15 @@ def candidate_edges(triples: DataFrame, labels_flat: DataFrame,
     joined = triples.join(lab_s, "subj").join(lab_o, "obj")
 
     def ordered(dir_rank):
-        return F.struct(
-            F.col("eid"), F.col("sl_pos"), F.col("ol_pos"), F.lit(dir_rank).alias("dir_rank")
-        ).alias("ord")
+        # first-seen scan order packed into ONE long so min() stays a
+        # primitive hash aggregate (struct min forces SortAggregate and kills
+        # whole-stage codegen): ((eid·1024 + sl_pos)·1024 + ol_pos)·2 + dir.
+        # Positions clamp at 1023; eid must be < 2^42 (~4.4e12 edges).
+        sl = F.least(F.col("sl_pos"), F.lit(1023))
+        ol = F.least(F.col("ol_pos"), F.lit(1023))
+        return (
+            ((F.col("eid") * 1024 + sl) * 1024 + ol) * 2 + F.lit(dir_rank)
+        ).cast("long").alias("ord")
 
     out = joined.select(
         F.col("sl").alias("root_label"),
@@ -127,8 +134,6 @@ def rank_candidates(cand_stats: DataFrame, stats, limit: int | None = None) -> D
     DataFrame version computes the same value with a pandas UDF for purely
     distributed top-k use.
     """
-    import pandas as pd
-    from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
     from kgist_spark.functions import mdl
@@ -140,7 +145,7 @@ def rank_candidates(cand_stats: DataFrame, stats, limit: int | None = None) -> D
     total_l = stats.total_num_labels
     null_err = mdl.length_error(0, 0, stats)
 
-    @pandas_udf(T.DoubleType())
+    @pandas_udf("double")
     def red_in_err(n_edges: pd.Series, n_labels: pd.Series) -> pd.Series:
         from math import lgamma, log
 

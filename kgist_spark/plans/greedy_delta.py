@@ -95,10 +95,9 @@ class DeltaGreedy:
         for r in stats_rows:
             k = _SEP.join([r["root_label"], r["pred"], r["dir"], r["child_label"]])
             rule = ((r["root_label"],), ((r["pred"], r["dir"], ((r["child_label"],), ())),))
-            fs = r["first_seen"]
             m = CandidateMeta(
                 rule, k, r["n_edges"], r["n_labels_cov"], r["n_cas"], hist.get(k, {}),
-                (fs["eid"], fs["sl_pos"], fs["ol_pos"], fs["dir_rank"]),
+                r["first_seen"],  # packed scan-order long
             )
             order.append(m)
         order.sort(key=lambda m: m.first_seen)

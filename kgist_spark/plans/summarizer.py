@@ -89,12 +89,10 @@ def build_driver_index(
     pdf = (
         cand.select(
             "root_label", "pred", "dir", "child_label", "eid", "root_node", "child_node",
-            F.col("ord.sl_pos").alias("sl_pos"),
-            F.col("ord.ol_pos").alias("ol_pos"),
-            F.col("ord.dir_rank").alias("dir_rank"),
+            "ord",
         )
         .toPandas()
-        .sort_values(["eid", "sl_pos", "ol_pos", "dir_rank"], kind="stable")
+        .sort_values("ord", kind="stable")  # packed (eid, sl_pos, ol_pos, dir)
     )
 
     # edge dimension (drives id_to_edge, edge counts, and idify dictionaries)
