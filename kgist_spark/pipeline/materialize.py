@@ -53,11 +53,34 @@ def _append_manifest(out_dir: str, entry: dict):
         f.write(json.dumps(entry, separators=(",", ":")) + "\n")
 
 
+def deterministic_dense_ids(df: DataFrame, sort_cols, id_col: str,
+                            n_buckets: int = 64) -> DataFrame:
+    """Dense ids 0..N-1, deterministic and partitioning-independent, WITHOUT
+    a global single-partition sort: rows are hash-bucketed on the sort key,
+    numbered per bucket (parallel windows), and offset by the exclusive
+    prefix-sum of bucket sizes (one tiny collect).  Never
+    ``monotonically_increasing_id`` — that is partition-dependent."""
+    bucket = F.pmod(F.hash(*[F.col(c) for c in sort_cols]), F.lit(n_buckets))
+    tagged = df.withColumn("_b", bucket)
+    sizes = {r["_b"]: r["n"] for r in tagged.groupBy("_b").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += sizes.get(b, 0)
+    offset_col = F.coalesce(
+        *[F.when(F.col("_b") == b, F.lit(off)) for b, off in offsets.items()]
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_b").orderBy(*sort_cols)
+    return (
+        tagged.withColumn(id_col, (F.row_number().over(w) - 1 + offset_col).cast("long"))
+        .drop("_b")
+    )
+
+
 def with_eids(triples: DataFrame) -> DataFrame:
     """Deterministic sequential edge ids (duplicates keep distinct ids, all
     count toward m — reference loader semantics)."""
-    w = Window.orderBy("subj", "pred", "obj", "url")
-    return triples.withColumn("eid", F.row_number().over(w) - F.lit(1))
+    return deterministic_dense_ids(triples, ["subj", "pred", "obj", "url"], "eid")
 
 
 def bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:

@@ -60,14 +60,15 @@ def kg_to_summarizer_inputs(triples: DataFrame, labels: DataFrame):
     triples (subj, pred, obj, eid) + labels (node, labels array, line_no),
     with deterministic ids/orderings."""
     t = with_eids(triples).select("subj", "pred", "obj", "eid")
+    from kgist_spark.pipeline.materialize import deterministic_dense_ids
+
     lab = (
         labels.groupBy("node")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "label"))).alias("pl"))
         .withColumn("labels", F.expr("transform(pl, x -> x.label)"))
         .drop("pl")
     )
-    w = Window.orderBy("node")
-    lab = lab.withColumn("line_no", F.row_number().over(w) - F.lit(1))
+    lab = deterministic_dense_ids(lab, ["node"], "line_no")
     return t, lab
 
 

@@ -241,6 +241,29 @@ def q_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_ranked_rules(spark, sf_dir):
+    """W1 — MDL reduction-in-error ranking, top 30 (lexicographic tie-break
+    instead of scan order so a SQL oracle can reproduce the exact set)."""
+    from kgist_spark.plans.summarizer import graph_stats
+    from kgist_spark.sources.edgelist import explode_labels
+
+    triples = derived_triples(spark, sf_dir)
+    lf = _labels_flat(spark, sf_dir)
+    stats = graph_stats(triples, lf.select("node", "label", "pos"))
+    ranked = C.rank_candidates(C.candidate_stats(_cand_edges(spark, sf_dir)), stats)
+    return (
+        ranked.select(
+            "root_label", "pred", "dir", "child_label", "n_cas",
+            F.round("reduction_in_error", 4).alias("red_bits"),
+        )
+        .orderBy(
+            F.desc("red_bits"), F.desc("n_cas"), F.desc("root_label"),
+            F.asc("pred"), F.asc("dir"), F.asc("child_label"),
+        )
+        .limit(30)
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact word-5-gram Jaccard near-dup pairs over documents."""
     from kgist_spark.operators.dedup import ngram_jaccard_pairs
@@ -298,6 +321,7 @@ QUERIES = {
     "lang_score": q_lang_score,
     "cosine_topk": q_cosine_topk,
     "events_hourly": q_events_hourly,
+    "ranked_rules": q_ranked_rules,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
@@ -395,6 +419,34 @@ ORACLE_SQL = {
         SELECT date_trunc('hour', ts) AS hour, event_type,
                COUNT(*) AS n, round(avg(value), 5) AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    "ranked_rules": _CAND_CTE
+    + """,
+ agg AS (
+    SELECT root_label, pred, dir, child_label,
+           COUNT(*) AS n_edges,
+           COUNT(DISTINCT root_node) AS n_cas,
+           COUNT(DISTINCT child_node) AS n_labels_cov
+    FROM cand GROUP BY root_label, pred, dir, child_label
+ ),
+ stats AS (
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT node FROM labels UNION SELECT subj FROM triples UNION SELECT obj FROM triples)) AS n,
+      (SELECT COUNT(*) FROM triples) AS m,
+      (SELECT COUNT(DISTINCT label) FROM labels) AS nl,
+      (SELECT COUNT(DISTINCT pred) FROM triples) AS ne,
+      (SELECT COUNT(*) FROM labels) AS total_l
+ )
+ SELECT root_label, pred, dir, child_label, n_cas,
+        round(
+          ((lgamma(n*n*ne + 1) - lgamma(m + 1) - lgamma(n*n*ne + 1 - m)) / ln(2)
+           + (lgamma(nl*n + 1) - lgamma(total_l + 1) - lgamma(nl*n + 1 - total_l)) / ln(2))
+          - ((lgamma(n*n*ne - n_edges + 1) - lgamma(m - n_edges + 1) - lgamma(n*n*ne - n_edges + 1 - (m - n_edges))) / ln(2)
+           + (lgamma(nl*n - n_labels_cov + 1) - lgamma(total_l - n_labels_cov + 1) - lgamma(nl*n - n_labels_cov + 1 - (total_l - n_labels_cov))) / ln(2)),
+          4) AS red_bits
+ FROM agg, stats
+ ORDER BY red_bits DESC, n_cas DESC, root_label DESC, pred ASC, dir ASC, child_label ASC
+ LIMIT 30
     """,
     # minhash_neardup / simhash / embedding_ann are hash-seeded — rows-only
     "ngram_jaccard_pairs": """
