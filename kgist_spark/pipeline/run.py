@@ -9,7 +9,7 @@ union-find fixpoint and the greedy selection loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgist_spark.pipeline.canonicalize import (
