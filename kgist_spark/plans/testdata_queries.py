@@ -241,6 +241,57 @@ def q_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def _fit_derived_model(spark, sf_dir):
+    """Exact-mode summarizer over the derived KG (cached per sf_dir)."""
+    if sf_dir in _MODEL_CACHE:
+        return _MODEL_CACHE[sf_dir]
+    from kgist_spark.plans.summarizer import SparkSummarizer
+    from kgist_spark.pipeline.materialize import deterministic_dense_ids
+
+    triples = deterministic_dense_ids(
+        derived_triples(spark, sf_dir), ["subj", "pred", "obj"], "eid"
+    )
+    labels = (
+        derived_labels(spark, sf_dir)
+        .groupBy("node")
+        .agg(F.array_sort(F.collect_set("label")).alias("labels"))
+    )
+    labels = deterministic_dense_ids(labels, ["node"], "line_no")
+    summ = SparkSummarizer(triples, labels, idify=True)
+    model = summ.fit(passes=1, label_qualify=True)
+    _MODEL_CACHE[sf_dir] = (summ, model)
+    return summ, model
+
+
+_MODEL_CACHE: dict = {}
+
+
+def q_kg_model_rules(spark, sf_dir):
+    """End-to-end flagship (rows-only): fit the MDL model on the derived KG
+    and return its rule set with assertion counts."""
+    summ, model = _fit_derived_model(spark, sf_dir)
+    rows = []
+    for rule, ca in model.rules.items():
+        t = summ.index.tuplify(rule)
+        rows.append((repr(t), len(ca), sum(ca)))
+    return spark.createDataFrame(rows, "rule string, n_cas long, n_edges long")
+
+
+def q_anomaly_topk(spark, sf_dir):
+    """Q1 batch anomaly ranking over the derived KG (rows-only): the 25 most
+    anomalous edges under the fitted model."""
+    from kgist_spark.operators.anomaly import score_edges
+
+    summ, model = _fit_derived_model(spark, sf_dir)
+    triples = derived_triples(spark, sf_dir)
+    return (
+        score_edges(spark, model, triples)
+        .select("subj", "pred", "obj", F.round("score", 5).alias("score"))
+        .orderBy(F.desc("score"), "subj", "pred", "obj")
+        .limit(25)
+    )
+
+
 def q_ranked_rules(spark, sf_dir):
     """W1 — MDL reduction-in-error ranking, top 30 (lexicographic tie-break
     instead of scan order so a SQL oracle can reproduce the exact set)."""
@@ -322,6 +373,8 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "events_hourly": q_events_hourly,
     "ranked_rules": q_ranked_rules,
+    "kg_model_rules": q_kg_model_rules,
+    "anomaly_topk": q_anomaly_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
