@@ -201,10 +201,18 @@ class DeltaGreedy:
             )
         else:
             delta_e, delta_l = r_edges, r_labels
-        # deltas are bounded by one rule's coverage — materialize them as
-        # small local relations instead of checkpointing (cheaper per accept)
-        delta_e_rows = delta_e.collect()
-        delta_l_rows = delta_l.collect()
+        # one action computes both deltas (tagged union); deltas are bounded
+        # by one rule's coverage, so they come back as small local relations
+        both = delta_e.select(
+            F.lit("e").alias("kind"), F.col("eid").cast("string").alias("v1"),
+            F.lit("").alias("v2"),
+        ).unionByName(
+            delta_l.select(F.lit("l").alias("kind"),
+                           F.col("child_label").alias("v1"),
+                           F.col("child_node").alias("v2"))
+        ).collect()
+        delta_e_rows = [(int(r["v1"]),) for r in both if r["kind"] == "e"]
+        delta_l_rows = [(r["v1"], r["v2"]) for r in both if r["kind"] == "l"]
         delta_e = self.spark.createDataFrame(delta_e_rows or [(-1,)], "eid long")
         delta_l = self.spark.createDataFrame(
             delta_l_rows or [("", "")], "child_label string, child_node string"
@@ -214,27 +222,28 @@ class DeltaGreedy:
         if not delta_l_rows:
             delta_l = delta_l.where(F.lit(False))
 
-        inc_e = (
+        # one action maintains every overlap counter: per-(key, kind) match
+        # counts against the just-covered deltas.  (key, eid) and
+        # (key, label, node) rows are distinct by construction → count(*)
+        incs = (
             self.cand_edges.join(F.broadcast(delta_e), "eid")
-            .groupBy("key").agg(F.countDistinct("eid").alias("n"))
-            .collect()
-        ) if delta_e_rows else []
-        inc_l = (
-            self.cand_labels.join(
-                F.broadcast(delta_l), ["child_label", "child_node"]
+            .select("key", F.lit("e").alias("kind"))
+            .unionByName(
+                self.cand_labels.join(
+                    F.broadcast(delta_l), ["child_label", "child_node"]
+                ).select("key", F.lit("l").alias("kind"))
             )
-            .groupBy("key").agg(F.count("*").alias("n"))
+            .groupBy("key", "kind")
+            .agg(F.count("*").alias("n"))
             .collect()
-        ) if delta_l_rows else []
+        ) if (delta_e_rows or delta_l_rows) else []
         by_key = {m.df_key: m.rule for m in self.meta.values()}
-        for r in inc_e:
+        for r in incs:
             rule = by_key.get(r["key"])
-            if rule is not None:
-                self.overlap_e[rule] = self.overlap_e.get(rule, 0) + r["n"]
-        for r in inc_l:
-            rule = by_key.get(r["key"])
-            if rule is not None:
-                self.overlap_l[rule] = self.overlap_l.get(rule, 0) + r["n"]
+            if rule is None:
+                continue
+            target = self.overlap_e if r["kind"] == "e" else self.overlap_l
+            target[rule] = target.get(rule, 0) + r["n"]
 
         self.n_covered_e += len(delta_e_rows)
         self.n_covered_l += len(delta_l_rows)
