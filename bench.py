@@ -53,9 +53,12 @@ def main():
         fn = Q.QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop write, not count(): a bare count on an aggregate lets Catalyst
+        # prune the aggregate expressions, timing a cheaper plan than the one
+        # the driver's correctness harness actually runs; noop forces every
+        # output column without paying driver-side collection.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
 
     # stage-1 extraction throughput over a generated corpus
     world = World(42)

@@ -12,9 +12,12 @@ Physical shape (designed for the 100 TB case):
   web KGs are similar), so both joins are **broadcast hash joins**; no
   shuffle of the big table at all.  Above the broadcast threshold Catalyst
   falls back to sort-merge with AQE skew splitting — still correct.
-* the union of the two direction projections doubles rows *before* the
-  groupBy, but partial (map-side) aggregation collapses them per partition,
-  so the shuffle carries only per-(rule, …) partials.
+* the two direction projections are emitted in a SINGLE pass over the join
+  output via ``explode(array(out_struct, in_struct))`` — a ``union`` of two
+  projections of the same join would make Catalyst execute the scan + both
+  broadcast joins twice (union children are independent subtrees).  The
+  doubled rows feed partial (map-side) aggregation, so the shuffle still
+  carries only per-(rule, …) partials.
 * ``first_seen`` (min of a packed struct) reproduces the single-threaded
   scan's candidate insertion order so the greedy tie-breaking is identical
   on a 1-core or 1000-executor run.
@@ -40,7 +43,18 @@ def candidate_edges(triples: DataFrame, labels_flat: DataFrame,
         child_node, ord)`` where ``ord`` is the packed first-seen sort key
         ``(eid, subj-label pos, obj-label pos, dir_rank)``.
     """
-    lab = labels_flat.select("node", "label", "pos")
+    # Dedupe (node, label) on the SMALL side (first-seen position kept).  This
+    # makes every (rule-key, eid) pair structurally unique in the output —
+    # each edge contributes exactly one row per (subject-label, object-label,
+    # direction) — which is what lets candidate_stats/ca_sizes use count(*)
+    # instead of countDistinct(eid).  A distinct over (key, eid) would shuffle
+    # one group per contribution row (~|cand_edges| groups); at web scale that
+    # is the classic distinct-on-a-unique-column anti-pattern.
+    lab = (
+        labels_flat.select("node", "label", "pos")
+        .groupBy("node", "label")
+        .agg(F.min("pos").alias("pos"))
+    )
     if broadcast_labels:
         lab = F.broadcast(lab)
     lab_s = lab.select(
@@ -51,38 +65,44 @@ def candidate_edges(triples: DataFrame, labels_flat: DataFrame,
     )
     joined = triples.join(lab_s, "subj").join(lab_o, "obj")
 
-    def ordered(dir_rank):
-        # first-seen scan order packed into ONE long so min() stays a
-        # primitive hash aggregate (struct min forces SortAggregate and kills
-        # whole-stage codegen): ((eid·1024 + sl_pos)·1024 + ol_pos)·2 + dir.
-        # Positions clamp at 1023; eid must be < 2^42 (~4.4e12 edges).
-        sl = F.least(F.col("sl_pos"), F.lit(1023))
-        ol = F.least(F.col("ol_pos"), F.lit(1023))
-        return (
-            ((F.col("eid") * 1024 + sl) * 1024 + ol) * 2 + F.lit(dir_rank)
-        ).cast("long").alias("ord")
+    def side(root_l, dirv, child_l, root_n, child_n):
+        return F.struct(
+            F.col(root_l).alias("root_label"),
+            F.lit(dirv).alias("dir"),
+            F.col(child_l).alias("child_label"),
+            F.col(root_n).alias("root_node"),
+            F.col(child_n).alias("child_node"),
+        )
 
-    out = joined.select(
-        F.col("sl").alias("root_label"),
-        "pred",
-        F.lit("out").alias("dir"),
-        F.col("ol").alias("child_label"),
-        "eid",
-        F.col("subj").alias("root_node"),
-        F.col("obj").alias("child_node"),
-        ordered(0),
+    flat = joined.select(
+        "pred", "eid", "sl_pos", "ol_pos",
+        F.explode(
+            F.array(side("sl", "out", "ol", "subj", "obj"),
+                    side("ol", "in", "sl", "obj", "subj"))
+        ).alias("c"),
     )
-    inn = joined.select(
-        F.col("ol").alias("root_label"),
+    # first-seen scan order packed into ONE long so min() stays a primitive
+    # hash aggregate (struct min forces SortAggregate and kills whole-stage
+    # codegen): ((eid·1024 + sl_pos)·1024 + ol_pos)·2 + dir.  Positions clamp
+    # at 1023; eid must be < 2^42 (~4.4e12 edges).  Kept a TOP-LEVEL column
+    # (not a struct field) so Catalyst prunes it — and its eid cast — when a
+    # consumer drops first_seen.
+    sl = F.least(F.col("sl_pos"), F.lit(1023))
+    ol = F.least(F.col("ol_pos"), F.lit(1023))
+    ord_col = (
+        ((F.col("eid") * 1024 + sl) * 1024 + ol) * 2
+        + F.when(F.col("c.dir") == "in", 1).otherwise(0)
+    ).cast("long").alias("ord")
+    return flat.select(
+        F.col("c.root_label").alias("root_label"),
         "pred",
-        F.lit("in").alias("dir"),
-        F.col("sl").alias("child_label"),
+        F.col("c.dir").alias("dir"),
+        F.col("c.child_label").alias("child_label"),
         "eid",
-        F.col("obj").alias("root_node"),
-        F.col("subj").alias("child_node"),
-        ordered(1),
+        F.col("c.root_node").alias("root_node"),
+        F.col("c.child_node").alias("child_node"),
+        ord_col,
     )
-    return out.unionByName(inn)
 
 
 def candidate_stats(cand_edges: DataFrame) -> DataFrame:
@@ -90,7 +110,10 @@ def candidate_stats(cand_edges: DataFrame) -> DataFrame:
     order.  One shuffle on the rule key; everything downstream (MDL ranking,
     top-k) reads these counts only."""
     return cand_edges.groupBy(*KEY).agg(
-        F.countDistinct("eid").alias("n_edges"),
+        # (key, eid) is unique by construction (labels deduped in
+        # candidate_edges), so count(*) == |edges| exactly — no distinct
+        # shuffle over the edge-id space.
+        F.count("*").alias("n_edges"),
         F.countDistinct("root_node").alias("n_cas"),
         F.countDistinct("child_node").alias("n_labels_cov"),
         F.min("ord").alias("first_seen"),
@@ -102,7 +125,8 @@ def ca_sizes(cand_edges: DataFrame) -> DataFrame:
     ``graph.py:140,148``): number of distinct edges under the rule rooted at
     each head, plus the head's first-seen edge for deterministic ordering."""
     return cand_edges.groupBy(*KEY, "root_node").agg(
-        F.countDistinct("eid").alias("ca_size"),
+        # exact: (key, eid) unique by construction, see candidate_stats
+        F.count("*").alias("ca_size"),
         F.min("eid").alias("first_eid"),
     )
 
