@@ -30,6 +30,12 @@ def get_spark(app_name: str = "kgist_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # JDK17 defaults to G1, which is pathological for this workload's
+        # allocation pattern (wide hash aggregations over short-lived string
+        # rows): measured 6-80 s swings on an identical query at local[32].
+        # The throughput collector holds the same query at a stable ~6 s.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
