@@ -43,6 +43,8 @@ def main():
         "lang_score",
         "cosine_topk",
         "events_hourly",
+        "bpe_tokens",
+        "dedup_embedding",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

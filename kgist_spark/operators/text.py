@@ -87,3 +87,70 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         lambda acc, x: F.pmod(acc * F.lit(31) + F.pmod(F.hash(x), F.lit(modulus)), F.lit(modulus)),
     )
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+#: portable "BPE-ish" pre-tokenization: alpha runs, digit runs, single
+#: punctuation marks.  The same RE2/Java-compatible pattern runs verbatim in
+#: the DuckDB oracle.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Regex pre-tokenizer statistics: total/unique token counts and the
+    share of purely-alphabetic tokens."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    words = F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$"))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+        F.round(F.size(words) / F.size(toks), 5).alias("word_ratio"),
+    )
+
+
+#: language -> characteristic function-word set (deterministic spec; the
+#: point is a fixed, engine-portable scoring rule, not linguistic accuracy)
+LANG_PROFILES = (
+    ("en", ("the", "a", "of", "and", "to", "in")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht")),
+    ("fr", ("le", "la", "et", "les", "des", "est")),
+)
+
+
+def lang_id_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Function-word language ID: per-language stopword-hit ratio over the
+    whitespace tokens plus the argmax prediction (ties broken by profile
+    order: en, de, fr)."""
+    t = tokens(text_col)
+    cols = [F.col(id_col)]
+    scores = []
+    for lang, words in LANG_PROFILES:
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.round(
+            F.size(F.filter(t, lambda x: F.array_contains(arr, x))) / F.size(t), 5
+        )
+        scores.append((lang, score))
+        cols.append(score.alias(f"score_{lang}"))
+    best = scores[0][1]
+    pred = F.lit(scores[0][0])
+    for lang, score in scores[1:]:
+        pred = F.when(score > best, F.lit(lang)).otherwise(pred)
+        best = F.when(score > best, score).otherwise(best)
+    cols.append(pred.alias("pred_lang"))
+    return docs.select(*cols)
+
+
+def doc_fingerprint_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        modulus: int = 1_000_003) -> DataFrame:
+    """Engine-portable rolling-hash fingerprint: left fold of
+    ``acc*31 + md5_prefix(token)`` mod ``modulus`` over the whitespace
+    tokens.  Unlike :func:`doc_fingerprint` (which uses Spark's xxhash-based
+    ``hash()``), every term here is reproducible in any engine with md5."""
+    t = tokens(text_col)
+    code = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    fp = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(31) + F.pmod(code(x), F.lit(modulus)), F.lit(modulus)),
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

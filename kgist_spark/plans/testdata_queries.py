@@ -346,6 +346,28 @@ def q_embedding_ann(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Regex pre-tokenizer (BPE-ish) counts + alpha-token share."""
+    return TX.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Function-word language-ID scores + argmax prediction."""
+    return TX.lang_id_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash document fingerprint (md5-portable)."""
+    return TX.doc_fingerprint_md5(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force exact baseline)."""
+    from kgist_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -379,6 +401,10 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
     "embedding_ann": q_embedding_ann,
+    "bpe_tokens": q_bpe_tokens,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_embedding": q_dedup_embedding,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -500,6 +526,55 @@ ORACLE_SQL = {
  FROM agg, stats
  ORDER BY red_bits DESC, n_cas DESC, root_label DESC, pred ASC, dir ASC, child_label ASC
  LIMIT 30
+    """,
+    "bpe_tokens": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(t) AS n_bpe_tokens,
+               len(list_distinct(t)) AS n_unique_bpe,
+               round(CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS DOUBLE)
+                     / len(t), 5) AS word_ratio
+        FROM toks
+    """,
+    "lang_id": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        s AS (
+            SELECT doc_id,
+                round(CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(t), 5) AS score_en,
+                round(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS DOUBLE) / len(t), 5) AS score_de,
+                round(CAST(len(list_filter(t, x -> list_contains(['le','la','et','les','des','est'], x))) AS DOUBLE) / len(t), 5) AS score_fr
+            FROM toks
+        )
+        SELECT doc_id, score_en, score_de, score_fr,
+               CASE WHEN score_fr > greatest(score_en, score_de) THEN 'fr'
+                    WHEN score_de > score_en THEN 'de'
+                    ELSE 'en' END AS pred_lang
+        FROM s
+    """,
+    "doc_fingerprint": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents)
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(t, x ->
+                           CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 1000003)),
+                   (acc, x) -> (acc * 31 + x) % 1000003) AS fingerprint
+        FROM toks
+    """,
+    "dedup_embedding": """
+        WITH n AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) >= 0.4
     """,
     # minhash_neardup / simhash / embedding_ann are hash-seeded — rows-only
     "ngram_jaccard_pairs": """
