@@ -346,6 +346,17 @@ def q_embedding_ann(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_salted_pred_fanout(spark, sf_dir):
+    """X6 — skew-safe distinct-count by a hot group key: distinct subjects
+    per predicate via the two-phase salted aggregation.  The oracle is the
+    plain COUNT(DISTINCT) — exactness of the salting scheme is the point."""
+    from kgist_spark.operators.salting import salted_count_distinct
+
+    return salted_count_distinct(
+        derived_triples(spark, sf_dir), ["pred"], "subj", out_col="n_subj"
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Regex pre-tokenizer (BPE-ish) counts + alpha-token share."""
     return TX.bpe_token_stats(_t(spark, sf_dir, "documents"))
@@ -401,6 +412,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
     "embedding_ann": q_embedding_ann,
+    "salted_pred_fanout": q_salted_pred_fanout,
     "bpe_tokens": q_bpe_tokens,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -526,6 +538,9 @@ ORACLE_SQL = {
  FROM agg, stats
  ORDER BY red_bits DESC, n_cas DESC, root_label DESC, pred ASC, dir ASC, child_label ASC
  LIMIT 30
+    """,
+    "salted_pred_fanout": f"""{_KG_CTE}
+        SELECT pred, COUNT(DISTINCT subj) AS n_subj FROM triples GROUP BY pred
     """,
     "bpe_tokens": r"""
         WITH toks AS (
