@@ -22,7 +22,9 @@ import time
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    # 100k docs: at 20k the timed region is dominated by Python-worker
+    # startup and the docs/sec figure swung 1.2k-26k run to run
+    n_bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 
     from kgist_spark.session import get_spark
     from kgist_spark.plans import testdata_queries as Q
