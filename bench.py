@@ -73,6 +73,22 @@ def main():
     extract_sec = time.perf_counter() - t0
     timings["extract_triples"] = round(extract_sec, 3)
     docs_per_sec = round(n_bench_docs / extract_sec, 1)
+
+    # full 3-stage pipeline (extraction -> canonicalization -> materialized
+    # KG tables with lineage manifest) — the north-star headline
+    import shutil
+    import tempfile
+
+    from kgist_spark.pipeline.run import construct_kg
+
+    out = tempfile.mkdtemp(prefix="bench_kg_")
+    t0 = time.perf_counter()
+    triples, labels = construct_kg(spark, pages, out_dir=out)
+    e2e_sec = time.perf_counter() - t0
+    timings["pipeline_e2e"] = round(e2e_sec, 3)
+    n_kg_triples = triples.count()
+    triples.unpersist(), labels.unpersist()
+    shutil.rmtree(out, ignore_errors=True)
     pages.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -87,8 +103,10 @@ def main():
         "extra": {
             "cpus": cpus,
             "extract_docs_per_sec": docs_per_sec,
+            "pipeline_docs_per_sec": round(n_bench_docs / e2e_sec, 1),
             "n_bench_docs": n_bench_docs,
             "n_extracted_triples": n_triples,
+            "n_kg_triples": n_kg_triples,
         },
     }
     print(json.dumps(out))

@@ -19,11 +19,18 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
-                         max_iter: int = 50, checkpoint_every: int = 1) -> DataFrame:
+                         max_iter: int = 50, checkpoint_every: int = 1,
+                         driver_threshold: int = 200_000) -> DataFrame:
     """``(node, component)`` where component = min node id in the component
     (a total order over the node id type is assumed: string or numeric).
 
     :edges: undirected edge list; self-loops/duplicates tolerated.
+    :driver_threshold: pair sets at or below this size run classic union-find
+        on the driver in one collect (the same size-based physical-strategy
+        choice Catalyst makes for broadcast joins: a fixpoint of distributed
+        jobs over a few thousand rows is pure scheduling overhead).  Larger
+        inputs take the distributed min-label-propagation loop.  Both paths
+        produce identical output and both are covered by tests.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -31,6 +38,13 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
     )
+    if driver_threshold:
+        sym = sym.persist()
+        if sym.count() <= driver_threshold:
+            pairs = [(r["u"], r["v"]) for r in sym.collect()]
+            id_type = sym.schema["u"].dataType
+            sym.unpersist()
+            return _driver_components(edges.sparkSession, pairs, id_type)
     comp = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -60,3 +74,32 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         if changed == 0:
             break
     return comp
+
+
+def _driver_components(spark, pairs, id_type):
+    """Path-compressed union-find over a collected pair list; component id =
+    min member (same contract as the distributed loop)."""
+    from pyspark.sql import types as T
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # keep the smaller id as the root so roots ARE the component ids
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    nodes = {n for p in pairs for n in p}
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)

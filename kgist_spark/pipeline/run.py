@@ -33,6 +33,8 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
     # head entities!) is ONE edge in the KG; lineage keeps the smallest
     # source url deterministically (evidence counts can be added as a weight
     # column later without changing the KG shape)
+    from pyspark import StorageLevel
+
     raw_triples = (
         extract_triples(pages)
         .groupBy("subj", "pred", "obj")
@@ -43,10 +45,22 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
         .groupBy("node", "label")
         .agg(F.min("pos").alias("pos"))
     )
+    # The extraction scan is the most expensive input; every downstream stage
+    # (vocabulary, canonical map, apply, 3-table materialization, and the
+    # caller's summarizer) re-reads these — persist once, after the distinct
+    # (the persisted set is |facts|, far smaller than |pages|).
+    raw_triples = raw_triples.persist(StorageLevel.MEMORY_AND_DISK)
+    raw_labels = raw_labels.persist(StorageLevel.MEMORY_AND_DISK)
     if canonicalize:
-        canon = canonical_map(entity_vocabulary(raw_triples))
-        triples = apply_canonical_triples(raw_triples, canon)
-        labels = apply_canonical_labels(raw_labels, canon)
+        canon = canonical_map(entity_vocabulary(raw_triples)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        triples = apply_canonical_triples(raw_triples, canon).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        labels = apply_canonical_labels(raw_labels, canon).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     else:
         triples, labels = raw_triples, raw_labels
 

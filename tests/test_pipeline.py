@@ -136,9 +136,35 @@ def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("b", "a"), ("b", "c"), ("x", "y"), ("z", "z")], ["a", "b"]
     )
+    # driver_threshold picks the collect+union-find path here; threshold=0
+    # forces the distributed min-label-propagation loop — both must agree
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got["a"] == got["b"] == got["c"] == "a"
     assert got["x"] == got["y"] == "x"
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert dist == got
+
+
+def test_connected_components_paths_agree_random(spark):
+    """Driver union-find vs distributed propagation on a chain-heavy random
+    graph (long diameters stress the iterative path)."""
+    import random
+
+    from kgist_spark.operators.components import connected_components
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    pairs = [(nodes[i], nodes[i + 1]) for i in range(0, 110, 2)]  # chains
+    pairs += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)]
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    drv = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(edges, driver_threshold=0).collect()}
+    assert drv == dist and len(drv) > 0
 
 
 def test_link_mentions(spark):
