@@ -104,9 +104,9 @@ class DeltaGreedy:
         for m in order:
             self.meta[m.rule] = m
 
-        # coverage state
-        self.covered_e: DataFrame | None = None
-        self.covered_l: DataFrame | None = None
+        # coverage state: ONE tagged DataFrame (kind 'e'|'l') so each accept
+        # needs a single delta checkpoint and a single covered checkpoint
+        self.covered: DataFrame | None = None
         self.n_covered_e = 0
         self.n_covered_l = 0
         self.overlap_e: Dict[tuple, int] = {}
@@ -185,7 +185,7 @@ class DeltaGreedy:
 
         return sorted(self.meta.values(), key=key, reverse=True)
 
-    # -- accept bookkeeping (the one-job-per-accept scheme) ----------------
+    # -- accept bookkeeping (3 Spark jobs per accepted rule) ---------------
     def _accept(self, meta: CandidateMeta):
         k = meta.df_key
         r_edges = self.cand_edges.where(F.col("key") == k).select("eid").distinct()
@@ -194,70 +194,84 @@ class DeltaGreedy:
             .select("child_label", "child_node")
             .distinct()
         )
-        if self.covered_e is not None:
-            delta_e = r_edges.join(self.covered_e, "eid", "left_anti")
-            delta_l = r_labels.join(
-                self.covered_l, ["child_label", "child_node"], "left_anti"
+        if self.covered is not None:
+            cov_e = self.covered.where(F.col("kind") == "e").select("eid")
+            cov_l = self.covered.where(F.col("kind") == "l").select(
+                "child_label", "child_node"
             )
+            delta_e = r_edges.join(cov_e, "eid", "left_anti")
+            delta_l = r_labels.join(cov_l, ["child_label", "child_node"], "left_anti")
         else:
             delta_e, delta_l = r_edges, r_labels
-        # one action computes both deltas (tagged union); deltas are bounded
-        # by one rule's coverage, so they come back as small local relations
-        both = delta_e.select(
-            F.lit("e").alias("kind"), F.col("eid").cast("string").alias("v1"),
-            F.lit("").alias("v2"),
-        ).unionByName(
-            delta_l.select(F.lit("l").alias("kind"),
-                           F.col("child_label").alias("v1"),
-                           F.col("child_node").alias("v2"))
-        ).collect()
-        delta_e_rows = [(int(r["v1"]),) for r in both if r["kind"] == "e"]
-        delta_l_rows = [(r["v1"], r["v2"]) for r in both if r["kind"] == "l"]
-        delta_e = self.spark.createDataFrame(delta_e_rows or [(-1,)], "eid long")
-        delta_l = self.spark.createDataFrame(
-            delta_l_rows or [("", "")], "child_label string, child_node string"
+        # Deltas stay DISTRIBUTED — never collected.  (An earlier design
+        # collected each delta and re-broadcast it as a local relation; that
+        # caps coverage at driver memory, and the growing union-of-local-
+        # relations lineage made accept latency climb 2.8 -> 15 s between
+        # periodic checkpoints.)  Both deltas ride ONE tagged checkpoint
+        # (job 1, flat plan); rows never leave the cluster.
+        eid_type = dict(self.cand_edges.dtypes)["eid"]
+        delta = (
+            delta_e.select(
+                F.lit("e").alias("kind"), "eid",
+                F.lit(None).cast("string").alias("child_label"),
+                F.lit(None).cast("string").alias("child_node"),
+            )
+            .unionByName(
+                delta_l.select(
+                    F.lit("l").alias("kind"),
+                    F.lit(None).cast(eid_type).alias("eid"),
+                    "child_label", "child_node",
+                )
+            )
+            .localCheckpoint()
         )
-        if not delta_e_rows:
-            delta_e = delta_e.where(F.lit(False))
-        if not delta_l_rows:
-            delta_l = delta_l.where(F.lit(False))
+        d_e = delta.where(F.col("kind") == "e").select("eid")
+        d_l = delta.where(F.col("kind") == "l").select("child_label", "child_node")
 
-        # one action maintains every overlap counter: per-(key, kind) match
-        # counts against the just-covered deltas.  (key, eid) and
-        # (key, label, node) rows are distinct by construction → count(*)
+        # One action (job 2) maintains every overlap counter: per-(key, kind)
+        # match counts against the just-covered deltas.  (key, eid) and
+        # (key, label, node) rows are distinct by construction → count(*).
+        # The accepted rule's OWN key row doubles as the delta size (its
+        # cand rows ∩ delta == delta exactly), so no separate count jobs.
+        # No broadcast hint: AQE picks broadcast while deltas are small and
+        # falls back to shuffle join when they are not.
         incs = (
-            self.cand_edges.join(F.broadcast(delta_e), "eid")
+            self.cand_edges.join(d_e, "eid")
             .select("key", F.lit("e").alias("kind"))
             .unionByName(
                 self.cand_labels.join(
-                    F.broadcast(delta_l), ["child_label", "child_node"]
+                    d_l, ["child_label", "child_node"]
                 ).select("key", F.lit("l").alias("kind"))
             )
             .groupBy("key", "kind")
             .agg(F.count("*").alias("n"))
             .collect()
-        ) if (delta_e_rows or delta_l_rows) else []
+        )
         by_key = {m.df_key: m.rule for m in self.meta.values()}
+        n_delta_e, n_delta_l = 0, 0
         for r in incs:
+            if r["kind"] == "e":
+                target = self.overlap_e
+            else:
+                target = self.overlap_l
             rule = by_key.get(r["key"])
-            if rule is None:
-                continue
-            target = self.overlap_e if r["kind"] == "e" else self.overlap_l
-            target[rule] = target.get(rule, 0) + r["n"]
+            if rule is not None:
+                target[rule] = target.get(rule, 0) + r["n"]
+            if r["key"] == k:
+                if r["kind"] == "e":
+                    n_delta_e = r["n"]
+                else:
+                    n_delta_l = r["n"]
 
-        self.n_covered_e += len(delta_e_rows)
-        self.n_covered_l += len(delta_l_rows)
-        self.covered_e = (
-            delta_e if self.covered_e is None else self.covered_e.unionByName(delta_e)
+        self.n_covered_e += n_delta_e
+        self.n_covered_l += n_delta_l
+        # covered := covered ∪ delta, re-materialized flat every accept
+        # (job 3: a narrow rescan of the covered rows — the O(coverage)
+        # set-cover maintenance cost, with lineage depth pinned at 1)
+        self.covered = (
+            delta if self.covered is None
+            else self.covered.unionByName(delta).localCheckpoint()
         )
-        self.covered_l = (
-            delta_l if self.covered_l is None else self.covered_l.unionByName(delta_l)
-        )
-        # bound the union-lineage depth (planning cost) with periodic cuts
-        self._accepts = getattr(self, "_accepts", 0) + 1
-        if self._accepts % 16 == 0:
-            self.covered_e = self.covered_e.localCheckpoint()
-            self.covered_l = self.covered_l.localCheckpoint()
 
     # -- the greedy loop ----------------------------------------------------
     def fit(self, passes: int = 2, label_qualify: bool = True):
