@@ -277,6 +277,44 @@ def q_kg_model_rules(spark, sf_dir):
     return spark.createDataFrame(rows, "rule string, n_cas long, n_edges long")
 
 
+def _rule_rows(summ, model):
+    """(repr(de-idified rule), #cas, #edges) rows; refined models may hold
+    RuleTree values (Rm/Rn products) alongside level-0 tuples."""
+    rows = []
+    for rule, ca in model.rules.items():
+        if hasattr(rule, "tuplify"):  # RuleTree (Rm/Rn product)
+            t = rule.tuplify()
+            n_cas, n_edges = len(rule.assertions), len(rule.edges_covered())
+        else:
+            t, n_cas, n_edges = rule, len(ca), sum(ca)
+        rows.append((repr(summ.index.tuplify(t)), n_cas, n_edges))
+    return rows
+
+
+def q_kg_rules_merged(spark, sf_dir):
+    """R6 (Rm) — same-root rule merging over the fitted model (rows-only):
+    the merged rule set with assertion counts."""
+    from kgist_spark.oracle.refine import merge_rules
+
+    summ, model = _fit_derived_model(spark, sf_dir)
+    merged = merge_rules(model)
+    return spark.createDataFrame(
+        _rule_rows(summ, merged), "rule string, n_cas long, n_edges long"
+    )
+
+
+def q_kg_rules_nested(spark, sf_dir):
+    """R7 (Rn) — rule nesting refinement over the fitted model (rows-only);
+    nesting never increases the MDL objective."""
+    from kgist_spark.oracle.refine import nest_rules
+
+    summ, model = _fit_derived_model(spark, sf_dir)
+    nested = nest_rules(model, max_rounds=2)
+    return spark.createDataFrame(
+        _rule_rows(summ, nested), "rule string, n_cas long, n_edges long"
+    )
+
+
 def q_anomaly_topk(spark, sf_dir):
     """Q1 batch anomaly ranking over the derived KG (rows-only): the 25 most
     anomalous edges under the fitted model."""
@@ -407,6 +445,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "ranked_rules": q_ranked_rules,
     "kg_model_rules": q_kg_model_rules,
+    "kg_rules_merged": q_kg_rules_merged,
+    "kg_rules_nested": q_kg_rules_nested,
     "anomaly_topk": q_anomaly_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
