@@ -58,21 +58,27 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = 32) -> DataFrame:
 
 def lsh_buckets(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """``(id, band, bucket)`` — one row per band; bucket = hash of the band's
-    signature slice."""
+    signature slice.
+
+    All band hashes are computed in ONE projection and exploded — a union of
+    per-band projections would make Catalyst re-execute the upstream
+    signature aggregation once per band (union children are independent
+    subtrees; same pitfall as the pre-explode candidate generation)."""
     assert bands * rows_per_band <= 256
-    parts = []
+    entries = []
     for b in range(bands):
         lo = b * rows_per_band
         band_slice = F.slice(F.col("sig"), lo + 1, rows_per_band)
-        parts.append(
-            signatures.select(
-                "id", F.lit(b).alias("band"), F.hash(band_slice.cast("array<int>")).alias("bucket")
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(band_slice.cast("array<int>")).alias("bucket"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        signatures.select("id", F.explode(F.array(*entries)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
 
 
 def candidate_pairs(buckets: DataFrame, max_bucket: int = 64) -> DataFrame:

@@ -103,3 +103,43 @@ def extract_labels(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "node", "label", "pos"])
 
     return _lang_filtered(pages).mapInPandas(run, schema=LABELS_SCHEMA)
+
+
+FACTS_SCHEMA = (
+    "kind string, url string, subj string, pred string, obj string, "
+    "node string, label string, pos int"
+)
+
+
+def extract_facts(pages: DataFrame) -> DataFrame:
+    """X1+X2 fused: ONE pass over the corpus emitting tagged rows —
+    ``kind='t'`` relation triples and ``kind='l'`` label assignments.
+
+    Normalization and mention detection are the dominant per-document cost;
+    running :func:`extract_triples` and :func:`extract_labels` separately
+    does that work twice.  The pipeline consumes this via two filters over
+    one persisted output (see ``pipeline/run.py``).  Row-level results are
+    identical to the two single-purpose extractors (asserted in tests).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                norm = spec.normalize_text(text)
+                mentions = spec.find_mentions(norm)
+                for m in mentions:
+                    node = spec.entity_id(m.surface, m.etype)
+                    for pos, label in enumerate(spec.entity_labels(m.surface, m.etype)):
+                        rows.append(("l", url, None, None, None, node, label, pos))
+                for s, st, pred, o, ot, a, b in spec.find_relations(norm, mentions):
+                    rows.append(
+                        ("t", url, spec.entity_id(s, st), pred,
+                         spec.entity_id(o, ot), None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["kind", "url", "subj", "pred", "obj", "node", "label", "pos"],
+            )
+
+    return _lang_filtered(pages).mapInPandas(run, schema=FACTS_SCHEMA)

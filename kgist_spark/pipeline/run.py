@@ -18,7 +18,7 @@ from kgist_spark.pipeline.canonicalize import (
     canonical_map,
     entity_vocabulary,
 )
-from kgist_spark.pipeline.extract import extract_labels, extract_triples
+from kgist_spark.pipeline.extract import extract_facts
 from kgist_spark.pipeline.materialize import materialize_kg, with_eids
 
 
@@ -35,22 +35,28 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
     # column later without changing the KG shape)
     from pyspark import StorageLevel
 
+    # ONE extraction pass (normalization + mention detection are the
+    # dominant per-doc cost; separate triple/label extractors would pay it
+    # twice), split into the two fact tables by tag.  Persist after the
+    # distinct: every downstream stage (vocabulary, canonical map, apply,
+    # 3-table materialization, the caller's summarizer) re-reads these, and
+    # the persisted sets are |facts|, far smaller than |pages|.
+    facts = extract_facts(pages).persist(StorageLevel.MEMORY_AND_DISK)
     raw_triples = (
-        extract_triples(pages)
+        facts.where(F.col("kind") == "t")
         .groupBy("subj", "pred", "obj")
         .agg(F.min("url").alias("url"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     raw_labels = (
-        extract_labels(pages)
+        facts.where(F.col("kind") == "l")
         .groupBy("node", "label")
         .agg(F.min("pos").alias("pos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # The extraction scan is the most expensive input; every downstream stage
-    # (vocabulary, canonical map, apply, 3-table materialization, and the
-    # caller's summarizer) re-reads these — persist once, after the distinct
-    # (the persisted set is |facts|, far smaller than |pages|).
-    raw_triples = raw_triples.persist(StorageLevel.MEMORY_AND_DISK)
-    raw_labels = raw_labels.persist(StorageLevel.MEMORY_AND_DISK)
+    # force both distinct tables off the raw extraction, then free it
+    raw_triples.count(), raw_labels.count()
+    facts.unpersist()
     if canonicalize:
         canon = canonical_map(entity_vocabulary(raw_triples)).persist(
             StorageLevel.MEMORY_AND_DISK

@@ -97,6 +97,28 @@ def test_extraction_precision_recall(spark, pages, world):
     assert recall >= 0.95, (recall, len(got), len(truth))
 
 
+def test_fused_extraction_matches_single_purpose(spark, pages):
+    """extract_facts (one tagged pass) row-matches extract_triples +
+    extract_labels run separately."""
+    from kgist_spark.pipeline.extract import (
+        extract_facts,
+        extract_labels,
+        extract_triples,
+    )
+
+    facts = extract_facts(pages).collect()
+    fused_t = {(r["url"], r["subj"], r["pred"], r["obj"])
+               for r in facts if r["kind"] == "t"}
+    fused_l = {(r["url"], r["node"], r["label"], r["pos"])
+               for r in facts if r["kind"] == "l"}
+    sep_t = {(r["url"], r["subj"], r["pred"], r["obj"])
+             for r in extract_triples(pages).collect()}
+    sep_l = {(r["url"], r["node"], r["label"], r["pos"])
+             for r in extract_labels(pages).collect()}
+    assert fused_t == sep_t and len(fused_t) > 0
+    assert fused_l == sep_l and len(fused_l) > 0
+
+
 def test_spark_extraction_matches_oracle(spark, pages):
     from kgist_spark.pipeline.extract import extract_triples
 
