@@ -33,8 +33,17 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         produce identical output and both are covered by tests.
     """
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        # both directions from one exploded scan (a union of two projections
+        # would execute the upstream pair computation twice)
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
     )

@@ -80,16 +80,21 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     SimHash (classic rotate-and-block scheme)."""
     fp = simhash64(docs, id_col, text_col)
     width = 64 // bands
-    parts = []
-    for b in range(bands):
-        band_val = F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
-            F.lit((1 << width) - 1)
+    # one exploded projection — a per-band union would re-run the SimHash
+    # pandas UDF once per band
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bucket"),
         )
-        parts.append(fp.select(F.col(id_col).alias("id"), F.lit(b).alias("band"),
-                               band_val.alias("bucket")))
-    buckets = parts[0]
-    for p in parts[1:]:
-        buckets = buckets.unionByName(p)
+        for b in range(bands)
+    ]
+    buckets = (
+        fp.select(F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
     return MH.candidate_pairs(buckets)
 
 

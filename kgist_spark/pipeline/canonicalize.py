@@ -27,8 +27,7 @@ from kgist_spark.operators.components import connected_components
 def entity_vocabulary(raw_triples: DataFrame) -> DataFrame:
     """Distinct entity surface ids appearing in stage-1 output."""
     return (
-        raw_triples.select(F.col("subj").alias("node"))
-        .unionByName(raw_triples.select(F.col("obj").alias("node")))
+        raw_triples.select(F.explode(F.array("subj", "obj")).alias("node"))
         .distinct()
     )
 

@@ -88,16 +88,21 @@ def bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
 
 
 def adjacency(triples: DataFrame) -> DataFrame:
-    """Adjacency-list view: one row per (node, direction, pred, neighbor)."""
-    out = triples.select(
-        F.col("subj").alias("node"), F.lit("out").alias("dir"), "pred",
-        F.col("obj").alias("neighbor"),
+    """Adjacency-list view: one row per (node, direction, pred, neighbor);
+    both directions come from one exploded scan of the triples."""
+    entries = F.array(
+        F.struct(
+            F.col("subj").alias("node"), F.lit("out").alias("dir"),
+            F.col("pred").alias("pred"), F.col("obj").alias("neighbor"),
+        ),
+        F.struct(
+            F.col("obj").alias("node"), F.lit("in").alias("dir"),
+            F.col("pred").alias("pred"), F.col("subj").alias("neighbor"),
+        ),
     )
-    inn = triples.select(
-        F.col("obj").alias("node"), F.lit("in").alias("dir"), "pred",
-        F.col("subj").alias("neighbor"),
+    return triples.select(F.explode(entries).alias("a")).select(
+        "a.node", "a.dir", "a.pred", "a.neighbor"
     )
-    return out.unionByName(inn)
 
 
 def materialize_kg(spark: SparkSession, triples: DataFrame, labels: DataFrame,

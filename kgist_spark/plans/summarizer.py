@@ -43,8 +43,9 @@ def graph_stats(triples: DataFrame, labels_flat: DataFrame) -> GraphStats:
         for r in triples.groupBy("pred").agg(F.count("*").alias("cnt")).collect()
     }
     n = (
-        triples.select(F.col("subj").alias("node"))
-        .unionByName(triples.select(F.col("obj").alias("node")))
+        # explode, not a union of two projections — a union would scan the
+        # triples subtree twice
+        triples.select(F.explode(F.array("subj", "obj")).alias("node"))
         .unionByName(labels_flat.select("node"))
         .distinct()
         .count()
