@@ -92,6 +92,31 @@ def test_multimodal_decode_plumbing(spark):
     assert not r["ok"]
 
 
+def test_multimodal_audio_plumbing(spark):
+    import math
+
+    from kgist_spark.pipeline.multimodal import extract_audio_features, fake_audio
+
+    rows = [(i, "audio", fake_audio(i, 16000, 1600), "{}") for i in range(10)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert len(got) == 10
+    r0 = got[0]
+    assert r0["sample_rate"] == 16000 and r0["n_samples"] == 1600 and r0["ok"]
+    assert abs(r0["duration_s"] - 0.1) < 1e-9
+    assert 0.0 < r0["rms"] <= 1.0
+    # deterministic: same payload -> same features
+    again = extract_audio_features(media).where("media_id = 0").first()
+    assert math.isclose(again["rms"], r0["rms"])
+    bad = spark.createDataFrame(
+        [(99, "audio", b"garbage", "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    assert not extract_audio_features(bad).first()["ok"]
+
+
 def test_model_io_roundtrip(spark, tmp_path):
     from kgist_spark.oracle.engine import GreedySearcher
     from kgist_spark.sources.model_io import load_model_meta, load_rules, save_model
