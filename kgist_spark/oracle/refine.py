@@ -63,7 +63,9 @@ def _bron_kerbosch(adj: Dict[int, set]) -> List[List[int]]:
 
     def expand(r, p, x):
         if not p and not x:
-            cliques.append(sorted(r))
+            if r:  # the top-level call on an edgeless graph reaches here
+                   # with r empty — there is no empty clique
+                cliques.append(sorted(r))
             return
         pivot = max(p | x, key=lambda v: len(adj.get(v, ())))
         for v in sorted(p - adj.get(pivot, set())):

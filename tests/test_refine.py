@@ -37,6 +37,17 @@ def test_merge_rules_two():
     assert ev.evaluate(merged) < ev.evaluate(model)
 
 
+def test_merge_rules_noop_on_unmergeable_model():
+    """A model with no same-root pair (edgeless shared-root graph) passes
+    through unchanged — regression: the Bron-Kerbosch top-level call used to
+    emit an empty clique and crash the merge."""
+    kg = fixture_kg("test")
+    rules = [(("1927286",), (("6293378", "out", (("7241965",), ())),))]
+    model = model_with(kg, rules)
+    merged = merge_rules(model)
+    assert set(merged.rules) == set(rules)
+
+
 def test_merge_rules_four_full_clique():
     # reference test_model.py:404-435
     kg = fixture_kg("test")
