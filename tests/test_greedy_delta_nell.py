@@ -1,0 +1,57 @@
+"""Delta-mode greedy at NELL scale (1k-triple slice): the fully-distributed
+coverage path must select the same rules at the same objective as the exact
+single-node oracle.  Fixture-scale equivalents live in test_greedy_delta.py;
+this pins the at-scale path (distributed deltas, counts-only driver state)
+against real data.
+"""
+
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgist_spark.oracle.engine import GreedySearcher, ModelEvaluator
+from kgist_spark.oracle.kg import LocalKG
+from tests.conftest import NELL_ZIP
+
+pytestmark = [pytest.mark.nell, pytest.mark.spark]
+
+
+@pytest.fixture(scope="module")
+def nell1k(tmp_path_factory):
+    if not NELL_ZIP.exists():
+        pytest.skip("reference NELL dataset not available")
+    target = tmp_path_factory.mktemp("nell_delta")
+    with zipfile.ZipFile(NELL_ZIP) as z:
+        z.extractall(target)
+    with open(target / "nell.txt") as f:
+        head = f.read().splitlines()[:1000]
+    (target / "nell1k.txt").write_text("\n".join(head) + "\n")
+    return target
+
+
+def test_delta_matches_exact_on_nell1k(spark, nell1k):
+    from kgist_spark.plans.greedy_delta import DeltaGreedy
+    from kgist_spark.plans.summarizer import graph_stats
+    from kgist_spark.sources.edgelist import explode_labels, load_labels, load_triples
+
+    triples = load_triples(spark, str(nell1k / "nell1k.txt")).persist()
+    labels = load_labels(spark, str(nell1k / "nell_labels.txt")).persist()
+    lf = explode_labels(labels)
+    stats = graph_stats(triples, lf)
+    lnc = {
+        r["label"]: r["n"]
+        for r in lf.groupBy("label").agg(F.countDistinct("node").alias("n")).collect()
+    }
+    result = DeltaGreedy(triples, lf, stats, lnc).fit(passes=2, label_qualify=True)
+
+    kg = LocalKG.from_files(
+        str(nell1k / "nell1k.txt"), str(nell1k / "nell_labels.txt"), idify=False
+    )
+    model = GreedySearcher(kg).build_model(passes=2, label_qualify=True)
+    want = ModelEvaluator(kg).evaluate(model)
+
+    assert set(result["rules"]) == set(model.rules.keys())
+    assert result["covered_edges"] == len(model.covered_edges)
+    assert result["covered_labels"] == len(model.covered_labels)
+    assert abs(result["objective_bits"] - want) < 1e-6
