@@ -86,3 +86,28 @@ def test_topk_uses_bounded_heap_physical_op(spark):
 
     plan = plan_of(q_topk_rules_by_cas(spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_banding_single_signature_pass(spark):
+    """lsh_buckets must not re-run the signature aggregation per band: the
+    physical plan contains exactly one scan of the source (regression for
+    the union-of-per-band-projections rewrite)."""
+    from kgist_spark.operators import minhash as MH
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = MH.word_shingles(docs, "doc_id", "text")
+    buckets = MH.lsh_buckets(MH.minhash_signatures(sh, num_perm=32), bands=8,
+                             rows_per_band=4)
+    plan = plan_of(buckets)
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_adjacency_single_scan(spark):
+    from kgist_spark.pipeline.materialize import adjacency
+
+    triples = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").selectExpr(
+        "cast(l_orderkey as string) as subj", "'contains' as pred",
+        "cast(l_partkey as string) as obj"
+    )
+    plan = plan_of(adjacency(triples))
+    assert plan.count("Scan parquet") == 1, plan
