@@ -111,3 +111,23 @@ def test_adjacency_single_scan(spark):
     )
     plan = plan_of(adjacency(triples))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_materialized_kg_partition_pruning(spark, tmp_path):
+    """Reading one bucket of the materialized KG touches only that bucket's
+    directory (partition pruning on the S7 layout)."""
+    from kgist_spark.pipeline.materialize import materialize_kg
+
+    triples = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i}", f"u{i}") for i in range(40)],
+        "subj string, pred string, obj string, url string",
+    )
+    labels = spark.createDataFrame(
+        [(f"s{i}", "thing", 0) for i in range(40)], "node string, label string, pos int"
+    )
+    out = str(tmp_path / "kg")
+    materialize_kg(spark, triples, labels, out, n_buckets=4)
+    df = spark.read.parquet(out + "/kg_triples").where("bucket = 2")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[-1][:120]
+    assert df.count() > 0
