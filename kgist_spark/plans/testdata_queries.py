@@ -417,6 +417,15 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_embedding_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate nearest neighbors (rows-only: seeded
+    random planes gate the exact rescore to a Hamming ball)."""
+    from kgist_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -452,6 +461,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
     "embedding_ann": q_embedding_ann,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
     "salted_pred_fanout": q_salted_pred_fanout,
     "bpe_tokens": q_bpe_tokens,
     "lang_id": q_lang_id,
