@@ -173,16 +173,20 @@ def rank_candidates(cand_stats: DataFrame, stats, limit: int | None = None) -> D
     def red_in_err(n_edges: pd.Series, n_labels: pd.Series) -> pd.Series:
         from math import lgamma, log
 
+        import numpy as np
+
         ln2 = log(2.0)
+        vlgamma = np.vectorize(lgamma, otypes=[np.float64])
 
         def binom(nn, kk):
-            return (lgamma(nn + 1) - lgamma(kk + 1) - lgamma(nn + 1 - kk)) / ln2
+            # math.lgamma element-wise (matches the driver-side bits exactly;
+            # scipy's gammaln is unavailable here and np has no lgamma ufunc)
+            return (vlgamma(nn + 1) - vlgamma(kk + 1) - vlgamma(nn + 1 - kk)) / ln2
 
-        out = []
-        for ne, nl in zip(n_edges, n_labels):
-            err = binom(n * n * num_el - ne, m - ne) + binom(num_nl * n - nl, total_l - nl)
-            out.append(null_err - err)
-        return pd.Series(out)
+        ne = n_edges.to_numpy(dtype=np.float64)
+        nl = n_labels.to_numpy(dtype=np.float64)
+        err = binom(n * n * num_el - ne, m - ne) + binom(num_nl * n - nl, total_l - nl)
+        return pd.Series(null_err - err)
 
     ranked = cand_stats.withColumn(
         "reduction_in_error", red_in_err(F.col("n_edges"), F.col("n_labels_cov"))

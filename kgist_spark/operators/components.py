@@ -48,41 +48,48 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         .distinct()
     )
     if driver_threshold:
-        sym = sym.persist()
-        if sym.count() <= driver_threshold:
+        # cheap bounded probe BEFORE deciding whether to persist — a plain
+        # count() would pay a full job, and persisting up front leaks the
+        # cache for the session when the distributed path is taken
+        probe = sym.limit(driver_threshold + 1).count()
+        if probe <= driver_threshold:
             pairs = [(r["u"], r["v"]) for r in sym.collect()]
             id_type = sym.schema["u"].dataType
-            sym.unpersist()
             return _driver_components(edges.sparkSession, pairs, id_type)
-    comp = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    ).localCheckpoint()
+    # the fixpoint loop re-reads sym every round — persist for its duration
+    sym = sym.persist()
+    try:
+        comp = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        ).localCheckpoint()
 
-    for i in range(max_iter):
-        # every node pulls the min component over its neighborhood
-        neighbor_comp = (
-            sym.join(comp.withColumnRenamed("node", "v"), "v")
-            .select(F.col("u").alias("node"), "component")
-        )
-        new_comp = (
-            comp.unionByName(neighbor_comp)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        if (i + 1) % checkpoint_every == 0:
-            new_comp = new_comp.localCheckpoint()
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
-            break
-    return comp
+        for i in range(max_iter):
+            # every node pulls the min component over its neighborhood
+            neighbor_comp = (
+                sym.join(comp.withColumnRenamed("node", "v"), "v")
+                .select(F.col("u").alias("node"), "component")
+            )
+            new_comp = (
+                comp.unionByName(neighbor_comp)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            if (i + 1) % checkpoint_every == 0:
+                new_comp = new_comp.localCheckpoint()
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+        return comp
+    finally:
+        sym.unpersist()
 
 
 def _driver_components(spark, pairs, id_type):

@@ -98,50 +98,119 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return MH.candidate_pairs(buckets)
 
 
-def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
-                            id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cosine)`` for
-    ``id_a < id_b`` and cosine >= threshold.
-
-    Physical shape: the embedding matrix is broadcast once (the same
-    small-side-broadcast judgment as a broadcast hash join — 1 M x 64 floats
-    is 256 MB; well within executor memory), and each Arrow batch of the
-    distributed side computes one BLAS block-multiply ``batch @ full.T``
-    instead of per-pair array expressions (measured 40x faster than a
-    ``zip_with``/``aggregate`` pair join at 2 k vectors).  Above broadcast
-    scale, run the same kernel WITHIN hyperplane-LSH buckets
-    (:func:`kgist_spark.operators.similarity.hyperplane_signatures`) or IVF
-    cells so the self-join is blocked, not all-pairs.
-    """
-    import numpy as np
+def _pair_schema(embeddings: DataFrame, id_col: str):
+    """Output schema derived from the input id dtype (works for long AND
+    string ids — the ids are only compared, never cast)."""
     from pyspark.sql import types as T
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    sc = embeddings.sparkSession.sparkContext
-    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
-
-    out_schema = T.StructType([
-        T.StructField("id_a", T.LongType()),
-        T.StructField("id_b", T.LongType()),
+    id_type = embeddings.schema[id_col].dataType
+    return T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
         T.StructField("cosine", T.DoubleType()),
     ])
 
-    def block(batches):
-        full, full_ids, full_norms = b_mat.value, b_ids.value, b_norms.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf[vec_col]), dtype=np.float64)
-            sims = (a @ full.T) / np.outer(
-                np.sqrt((a * a).sum(axis=1)), full_norms
-            )
-            sims = np.round(sims, 5)
-            ii, jj = np.nonzero((sims >= threshold) & (a_ids[:, None] < full_ids[None, :]))
-            yield pd.DataFrame({
-                "id_a": a_ids[ii], "id_b": full_ids[jj], "cosine": sims[ii, jj]
-            })
 
-    return embeddings.select(id_col, vec_col).mapInPandas(block, out_schema)
+def _bucket_pairs_kernel(id_col: str, vec_col: str, threshold: float,
+                         max_bucket: int | None, block: int = 2048):
+    """applyInPandas kernel: exact pairwise cosine within ONE group, emitted
+    as ``(id_a, id_b, cosine)`` with ``id_a < id_b``.  The group matrix is
+    multiplied in row blocks (one BLAS GEMM per block) so peak memory is
+    O(block x group), not O(group^2).  Groups over ``max_bucket`` rows are
+    dropped (degenerate hot buckets; the documented coverage loss of the LSH
+    path — ``None`` disables the cap for the exact single-bucket path)."""
+    import numpy as np
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": pdf[id_col][:0], "id_b": pdf[id_col][:0],
+                              "cosine": pd.Series([], dtype="float64")})
+        if n < 2 or (max_bucket is not None and n > max_bucket):
+            return empty
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        frames = []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = np.round(
+                (mat[lo:hi] @ mat.T) / np.outer(norms[lo:hi], norms), 5
+            )
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+            )
+            if len(ii):
+                frames.append(pd.DataFrame({
+                    "id_a": ids[lo:hi][ii], "id_b": ids[jj],
+                    "cosine": sims[ii, jj],
+                }))
+        return pd.concat(frames) if frames else empty
+
+    return kernel
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            exact_threshold: int = 100_000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cosine)`` for
+    ``id_a < id_b`` and cosine >= threshold.
+
+    Physical strategy, chosen by a bounded row probe (the same size-based
+    judgment Catalyst makes for broadcast joins):
+
+    * **<= exact_threshold rows** — exact all-pairs via ONE grouped BLAS
+      block-multiply on an executor (``applyInPandas`` with a constant
+      group key).  Nothing is ever collected to the driver.
+    * **larger** — :func:`embedding_neardup_pairs_lsh`: the identical kernel
+      run WITHIN banded hyperplane-LSH buckets, so the self-join is blocked,
+      not all-pairs O(N^2).  Candidate recall is tunable via
+      (bits_per_band, bands); in-bucket cosines are exact, so reported pairs
+      are always true positives.
+    """
+    probe = embeddings.limit(exact_threshold + 1).count()
+    if probe <= exact_threshold:
+        kernel = _bucket_pairs_kernel(id_col, vec_col, threshold, max_bucket=None)
+        return (
+            embeddings.select(id_col, vec_col)
+            .groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(kernel, _pair_schema(embeddings, id_col))
+        )
+    return embedding_neardup_pairs_lsh(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
+def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
+                                id_col: str = "vec_id", vec_col: str = "embedding",
+                                bits_per_band: int = 8, bands: int = 16,
+                                seed: int = 7, max_bucket: int = 4096) -> DataFrame:
+    """Scale path: exact-cosine pairs within banded hyperplane-LSH buckets.
+
+    Each vector lands in ``bands`` buckets (one per band of ``bits_per_band``
+    sign bits); the exact BLAS kernel runs per (band, bucket) group and the
+    per-band results are deduplicated.  A pair is found iff its signatures
+    agree on at least one full band: recall for cosine s is
+    ``1 - (1 - p^r)^L`` with ``p = 1 - acos(s)/pi`` — at the defaults
+    (r=8, L=16) that is ~0.98 for s=0.85 and falls off toward the threshold;
+    raise ``bands`` (more shuffle volume) or lower ``bits_per_band`` (bigger
+    buckets) for recall closer to the decision boundary.  Buckets larger
+    than ``max_bucket`` are dropped (hot-bucket cap — same policy as
+    :func:`kgist_spark.operators.minhash.candidate_pairs`).
+
+    No driver collect and no all-pairs product anywhere: one pandas-UDF
+    projection for signatures, one explode (vector duplicated ``bands``
+    times into the shuffle — the standard LSH space/recall trade), one
+    grouped kernel, one distinct.
+    """
+    from kgist_spark.operators.similarity import banded_hyperplane_buckets
+
+    bucketed = banded_hyperplane_buckets(
+        embeddings, id_col=id_col, vec_col=vec_col,
+        bits_per_band=bits_per_band, bands=bands, seed=seed,
+    )
+    kernel = _bucket_pairs_kernel(id_col, vec_col, threshold, max_bucket=max_bucket)
+    return (
+        bucketed.groupBy("band", "bucket")
+        .applyInPandas(kernel, _pair_schema(embeddings, id_col))
+        .distinct()
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,6 +67,43 @@ def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 16, seed: int =
     for b in bits[1:]:
         sig = sig + b
     return embeddings.select(F.col(id_col), sig.cast("long").alias("sig"))
+
+
+def banded_hyperplane_buckets(embeddings: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding", bits_per_band: int = 8,
+                              bands: int = 16, seed: int = 7,
+                              dim: int | None = None) -> DataFrame:
+    """``(id, vec, band, bucket)`` — banded random-hyperplane LSH.
+
+    ``bands * bits_per_band`` independent hyperplanes; band b's bucket is the
+    packed sign pattern of its ``bits_per_band`` planes.  All plane dot
+    products for a batch are ONE BLAS GEMM inside a vectorized pandas UDF
+    (the plane matrix is a closure constant — bands*bits x dim doubles, a
+    few KB); the per-band rows come from a single ``posexplode`` so the
+    upstream projection runs once.  Used by the bucketed near-dup kernel
+    (:func:`kgist_spark.operators.dedup.embedding_neardup_pairs_lsh`)."""
+    from pyspark.sql import types as T
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes_t = rng.randn(bands * bits_per_band, dim).T  # (dim, bands*r)
+    n_bands, r = bands, bits_per_band
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def band_buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.array(list(vecs), dtype=np.float64)
+        bits = (a @ planes_t) >= 0
+        packed = bits.reshape(len(a), n_bands, r) @ (1 << np.arange(r))
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return (
+        embeddings.select(
+            id_col, vec_col, F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket")
+        )
+    )
 
 
 def ivf_assignments(embeddings: DataFrame, centroids, id_col: str = "vec_id",

@@ -127,6 +127,14 @@ def build_driver_index(
             root_node=pdf["root_node"].map(kg.node_to_id),
             child_node=pdf["child_node"].map(kg.node_to_id),
         )
+        # Series.map(dict) yields NaN (not KeyError) on a miss, and NaN != NaN
+        # would silently split every row into its own CandRecord — fail loudly
+        # if the distributed aggregates ever drift from the driver dictionaries
+        if pdf.isna().any().any():
+            bad = pdf.columns[pdf.isna().any()].tolist()
+            raise AssertionError(
+                f"idify dictionary miss while replaying candidates: {bad}"
+            )
     candidates = kg.candidates
     if kg.idify:
         # pre-converting to Python-int lists keeps the replay loop free of

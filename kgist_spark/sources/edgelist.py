@@ -53,8 +53,15 @@ def _numbered_lines(spark: SparkSession, path: str) -> DataFrame:
         # and it slowed all later jobs over the same table.
         import pandas as pd
 
-        with open(path) as f:
-            lines = f.read().splitlines()
+        # match textFile's line semantics exactly: UTF-8, '\n' boundaries
+        # with trailing '\r' stripped — str.splitlines() would also split on
+        # \x0b/\x0c/\x85/  etc. and the locale encoding is not UTF-8
+        # everywhere
+        with open(path, encoding="utf-8") as f:
+            data = f.read()
+        lines = [l[:-1] if l.endswith("\r") else l for l in data.split("\n")]
+        if lines and lines[-1] == "":
+            lines.pop()  # trailing newline does not produce an empty record
         pdf = pd.DataFrame({"value": lines, "line_no": range(len(lines))})
         return spark.createDataFrame(pdf, schema)
     rdd = spark.sparkContext.textFile(path).zipWithIndex()

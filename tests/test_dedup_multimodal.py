@@ -163,3 +163,89 @@ def test_salted_aggregations_match_unsalted(spark):
     want_sum = {r["key"]: r["s"] for r in df.groupBy("key").agg(F.sum("x").alias("s")).collect()}
     got_sum = {r["key"]: r["total"] for r in salted_sum(df, ["key"], F.col("x")).collect()}
     assert got_sum == want_sum
+
+
+def _numpy_exact_pairs(ids, mat, threshold):
+    import numpy as np
+
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 5)
+    out = {}
+    n = len(ids)
+    ii, jj = np.nonzero(sims >= threshold)
+    for i, j in zip(ii, jj):
+        if ids[i] < ids[j]:
+            out[(int(ids[i]), int(ids[j]))] = float(sims[i, j])
+    return out
+
+
+def test_embedding_neardup_exact_path_matches_numpy(spark):
+    """Small inputs take the single-bucket exact kernel (no driver collect):
+    result must equal the numpy all-pairs reference bit for bit."""
+    import numpy as np
+
+    from kgist_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(300, 16)
+    mat[50] = mat[40] + 0.01 * rng.randn(16)  # one planted near-dup
+    ids = np.arange(300)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in ids], ["vec_id", "embedding"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(df, threshold=0.6).collect()
+    }
+    want = _numpy_exact_pairs(ids, mat, 0.6)
+    assert got == want
+    assert (40, 50) in got
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """Scale path: >= 0.95 recall vs the exact kernel on a seeded 10k-vector
+    set with planted near-duplicates; every reported pair's cosine is the
+    exact value (in-bucket rescoring is exact, so precision is 1.0)."""
+    import numpy as np
+
+    from kgist_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    rng = np.random.RandomState(7)
+    n, dim, n_dups = 10_000, 32, 100
+    mat = rng.randn(n, dim)
+    for i in range(n_dups):  # planted dups: cosine ~0.95+
+        mat[n - n_dups + i] = mat[i] + 0.15 * rng.randn(dim)
+    ids = np.arange(n)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in ids], ["vec_id", "embedding"]
+    ).repartition(8)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_lsh(df, threshold=0.8).collect()
+    }
+    want = _numpy_exact_pairs(ids, mat, 0.8)
+    assert set(got) <= set(want)  # precision 1.0 (exact in-bucket cosines)
+    for p, c in got.items():
+        assert abs(c - want[p]) < 1e-9
+    recall = len(got) / len(want)
+    assert recall >= 0.95, f"recall {recall:.3f} over {len(want)} exact pairs"
+
+
+def test_embedding_neardup_string_ids(spark):
+    """Output schema follows the input id dtype (regression: int64 was
+    hardcoded, so string ids failed at runtime)."""
+    import numpy as np
+
+    from kgist_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8)
+    rows = [
+        ("docA", [float(x) for x in base]),
+        ("docB", [float(x) for x in base + 0.01]),
+        ("docC", [float(x) for x in rng.randn(8)]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = embedding_neardup_pairs(df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {("docA", "docB")}
+    assert dict(df.dtypes)["vec_id"] == "string"
