@@ -76,13 +76,12 @@ def node_labels_df(spark: SparkSession, model: SummaryModel) -> DataFrame:
     return spark.createDataFrame(rows, "node string, label string, pos int")
 
 
-def blame_table(spark: SparkSession, model: SummaryModel,
-                labels_flat: DataFrame | None = None) -> DataFrame:
-    """(node, pred, blame) for every node/pred combination with blame > 0."""
-    roots, preds, stats, heads = model_blame_tables(spark, model)
-    if labels_flat is None:
-        labels_flat = node_labels_df(spark, model)
-
+def blame_from_parts(roots: DataFrame, preds: DataFrame, stats: DataFrame,
+                     heads: DataFrame, labels_flat: DataFrame) -> DataFrame:
+    """(node, pred, blame) from the four model-side tables.  ``roots``,
+    ``preds`` and ``stats`` are O(|rules|) and broadcast; ``heads`` may be a
+    genuinely distributed DataFrame (delta mode derives it from the candidate
+    tables), so its anti-join is left to AQE."""
     # applicability replicates the reference exactly (anomaly_detector.py:50):
     # the rule root tuple must be an *ordered subsequence* of the node's label
     # tuple (the reference enumerates order-preserving combinations of the
@@ -107,9 +106,7 @@ def blame_table(spark: SparkSession, model: SummaryModel,
         .select("node", "rid", "bits_per_exception")
     )
     # exclude heads (nodes that satisfy the rule)
-    culpable = applicable.join(
-        F.broadcast(heads), ["rid", "node"], "left_anti"
-    )
+    culpable = applicable.join(heads, ["rid", "node"], "left_anti")
     return (
         culpable.join(F.broadcast(preds), "rid")
         .groupBy("node", "pred")
@@ -117,28 +114,101 @@ def blame_table(spark: SparkSession, model: SummaryModel,
     )
 
 
-def score_edges(spark: SparkSession, model: SummaryModel, triples: DataFrame,
+def blame_table(spark: SparkSession, model: SummaryModel,
                 labels_flat: DataFrame | None = None) -> DataFrame:
-    """Score a (subj, pred, obj[, eid]) table; returns the input columns +
-    ``score`` (bits).  Edges outside the model's coverage get the shared
-    unexplained-edge cost; ranking is a plain orderBy on the result."""
-    scorer = AnomalyScorer(model)
-    unexplained = scorer.unexplained_edge_bits()
+    """(node, pred, blame) for every node/pred combination with blame > 0."""
+    roots, preds, stats, heads = model_blame_tables(spark, model)
+    if labels_flat is None:
+        labels_flat = node_labels_df(spark, model)
+    return blame_from_parts(roots, preds, stats, heads, labels_flat)
+
+
+def covered_triples_for_model(spark: SparkSession, model: SummaryModel,
+                              triples: DataFrame,
+                              labels_flat: DataFrame) -> DataFrame | None:
+    """Distributed reconstruction of the model's covered-edge set from the
+    rule PATTERNS (no materialization of per-edge coverage on the driver).
+
+    A level-0 rule ``((root_labels), ((pred, dir, ((child,), ())),))`` covers
+    exactly the edges whose root endpoint carries every root label and whose
+    child endpoint carries the child label (the candidate index is built from
+    that same pattern scan, reference ``graph.py:127-148``; qualification
+    preserves the edge set because all heads share the qualified labels).
+    Only O(|rules|) key rows ship to the cluster — the covered relation
+    itself is computed by joins.  Returns ``None`` for models holding
+    RuleTree rules (Rm/Rn products), whose coverage is not a flat pattern.
+    """
+    index = model.index
+    to_label = (lambda l: index.id_to_label[l]) if index.idify else (lambda l: l)
+    to_pred = (lambda p: index.id_to_pred[p]) if index.idify else (lambda p: p)
+
+    meta_rows, root_rows = [], []
+    for rid, rule in enumerate(model.rules):
+        if isinstance(rule, RuleTree):
+            return None
+        root, children = rule
+        if len(children) != 1:
+            return None
+        pred, dirv, (child_labels, grand) = children[0]
+        if grand != () or len(child_labels) != 1:
+            return None
+        meta_rows.append((rid, to_pred(pred), dirv, to_label(child_labels[0]), len(root)))
+        root_rows.extend((rid, to_label(l)) for l in root)
+
+    t = triples.select("subj", "pred", "obj")
+    if not meta_rows:
+        return t.where(F.lit(False))
+
+    meta = spark.createDataFrame(
+        meta_rows, "rid int, pred string, dir string, child_label string, root_size int"
+    )
+    roots = spark.createDataFrame(root_rows, "rid int, label string")
+
+    node_labels = labels_flat.select("node", "label").distinct()
+    root_ok = (
+        node_labels.join(F.broadcast(roots), "label")
+        .groupBy("rid", "node")
+        .agg(F.countDistinct("label").alias("k"))
+        .join(F.broadcast(meta.select("rid", "root_size")), "rid")
+        .where(F.col("k") == F.col("root_size"))
+        .select("rid", F.col("node").alias("rn"))
+    )
+    matched = (
+        t.join(F.broadcast(meta), "pred")
+        .select(
+            "subj", "pred", "obj", "rid", "child_label",
+            F.when(F.col("dir") == "out", F.col("subj")).otherwise(F.col("obj")).alias("rn"),
+            F.when(F.col("dir") == "out", F.col("obj")).otherwise(F.col("subj")).alias("cn"),
+        )
+        .join(
+            node_labels.select(F.col("node").alias("cn"), F.col("label").alias("child_label")),
+            ["cn", "child_label"],
+        )
+        .join(root_ok, ["rid", "rn"])
+    )
+    return matched.select("subj", "pred", "obj").distinct()
+
+
+def _covered_from_driver_model(spark: SparkSession, model: SummaryModel) -> DataFrame:
+    """Fallback covered set materialized from the driver-resident model
+    (exact-mode models keep coverage on the driver by construction); only
+    used for RuleTree (Rm/Rn) models, whose coverage is not pattern-flat."""
     index = model.index
     to_node = (lambda n: index.id_to_node[n]) if index.idify else (lambda n: n)
     to_pred = (lambda p: index.id_to_pred[p]) if index.idify else (lambda p: p)
     covered_rows = [
-        (to_node(s), to_pred(p), to_node(o), eid)
+        (to_node(s), to_pred(p), to_node(o))
         for eid in model.covered_edges
         for (s, p, o) in [index.id_to_edge[eid]]
     ]
-    covered = spark.createDataFrame(
-        covered_rows or [("", "", "", -1)],
-        "subj string, pred string, obj string, ceid long",
-    ).select("subj", "pred", "obj").distinct()
+    return spark.createDataFrame(
+        covered_rows or [("", "", "")], "subj string, pred string, obj string"
+    ).distinct()
 
-    blame = blame_table(spark, model, labels_flat)
 
+def _assemble_scores(triples: DataFrame, covered: DataFrame, blame: DataFrame,
+                     unexplained: float) -> DataFrame:
+    """score = [uncovered]*unexplained + blame(subj, pred) + blame(obj, pred)."""
     uncovered_flag = (
         triples.join(covered, ["subj", "pred", "obj"], "left_anti")
         .select("subj", "pred", "obj")
@@ -165,3 +235,97 @@ def score_edges(spark: SparkSession, model: SummaryModel, triples: DataFrame,
         )
         .drop("base", "blame_s", "blame_o")
     )
+
+
+def score_edges(spark: SparkSession, model: SummaryModel, triples: DataFrame,
+                labels_flat: DataFrame | None = None,
+                covered_triples: DataFrame | None = None) -> DataFrame:
+    """Score a (subj, pred, obj[, eid]) table; returns the input columns +
+    ``score`` (bits).  Edges outside the model's coverage get the shared
+    unexplained-edge cost; ranking is a plain orderBy on the result.
+
+    :covered_triples: optional distributed ``(subj, pred, obj)`` covered set
+        (e.g. from :func:`score_edges_delta`'s pipeline).  When absent, the
+        covered set is *reconstructed distributedly* from the rule patterns —
+        the driver never materializes a per-edge relation — except for
+        RuleTree (Rm/Rn) models, which fall back to the driver-resident
+        coverage the exact-mode fit already holds.
+    """
+    scorer = AnomalyScorer(model)
+    unexplained = scorer.unexplained_edge_bits()
+    if labels_flat is None:
+        labels_flat = node_labels_df(spark, model)
+    covered = covered_triples
+    if covered is None:
+        covered = covered_triples_for_model(spark, model, triples, labels_flat)
+    if covered is None:
+        covered = _covered_from_driver_model(spark, model)
+    blame = blame_table(spark, model, labels_flat)
+    return _assemble_scores(triples.select("subj", "pred", "obj"), covered,
+                            blame, unexplained)
+
+
+# ---------------------------------------------------------------------------
+# delta-mode scoring: coverage AND rule heads stay fully distributed
+# ---------------------------------------------------------------------------
+
+def delta_blame_parts(delta, selected_rules):
+    """Model-side blame tables for a delta-mode fit.  roots/preds/stats are
+    O(|rules|) driver rows; ``heads`` is DERIVED ON THE CLUSTER from the
+    persisted candidate-edge table (never collected — at web scale the head
+    sets are the big side)."""
+    from kgist_spark.functions.mdl import length_binomial
+
+    spark = delta.spark
+    root_rows, pred_rows, stat_rows, key_rows = [], [], [], []
+    for rid, rule in enumerate(selected_rules):
+        meta = delta.meta[rule]
+        root = rule[0]
+        n_assert = delta._num_assertions(meta)
+        n_exc = n_assert - meta.n_cas
+        bits = length_binomial(n_assert, n_exc)
+        stat_rows.append((rid, len(root), bits / n_exc if n_exc else 0.0))
+        root_rows.extend((rid, label, idx) for idx, label in enumerate(root))
+        pred_rows.append((rid, rule[1][0][0]))
+        key_rows.append((meta.df_key, rid))
+    roots = spark.createDataFrame(root_rows, "rid int, label string, root_idx int")
+    preds = spark.createDataFrame(pred_rows, "rid int, pred string")
+    stats = spark.createDataFrame(
+        stat_rows, "rid int, root_size int, bits_per_exception double"
+    )
+    key_map = spark.createDataFrame(key_rows, "key string, rid int")
+    heads = (
+        delta.cand_edges.join(F.broadcast(key_map), "key")
+        .select("rid", F.col("root_node").alias("node"))
+        .distinct()
+    )
+    return roots, preds, stats, heads
+
+
+def score_edges_delta(delta, fit_result: dict, triples: DataFrame,
+                      labels_flat: DataFrame | None = None) -> DataFrame:
+    """Batch anomaly scoring wired to a delta-mode fit
+    (:class:`kgist_spark.plans.greedy_delta.DeltaGreedy`): the covered-edge
+    set is the fit's own distributed checkpointed DataFrame and rule heads
+    come from the persisted candidate tables — nothing coverage-sized ever
+    reaches the driver, unlike the exact-mode fallback."""
+    from kgist_spark.functions.mdl import length_negative_edge_error
+
+    spark = delta.spark
+    rules = fit_result["rules"]
+    if labels_flat is None:
+        labels_flat = delta.labels_flat
+    n_cov = fit_result["covered_edges"]
+    neg = length_negative_edge_error(n_cov, delta.stats)
+    remaining = delta.stats.m - n_cov
+    unexplained = neg / remaining if remaining else 0.0
+    covered = delta.covered_triples(triples)
+    if rules:
+        roots, preds, stats, heads = delta_blame_parts(delta, rules)
+        blame = blame_from_parts(
+            roots, preds, stats, heads, labels_flat.select("node", "label", "pos")
+        )
+    else:
+        blame = spark.createDataFrame([], "node string, pred string, blame double")
+    return _assemble_scores(triples.select("subj", "pred", "obj"), covered,
+                            blame, unexplained)

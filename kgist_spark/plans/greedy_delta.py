@@ -273,6 +273,25 @@ class DeltaGreedy:
             else self.covered.unionByName(delta).localCheckpoint()
         )
 
+    # -- distributed coverage accessors (consumed by the batch anomaly
+    # scorer, kgist_spark.operators.anomaly.score_edges_delta) --------------
+    def covered_edges_df(self) -> DataFrame:
+        """Distinct covered edge ids as a DataFrame — the fit's own
+        checkpointed coverage state; never collected."""
+        if self.covered is None:
+            return self.cand_edges.select("eid").where(F.lit(False))
+        return self.covered.where(F.col("kind") == "e").select("eid")
+
+    def covered_triples(self, triples: DataFrame) -> DataFrame:
+        """Covered ``(subj, pred, obj)`` rows via an eid join against the
+        input triples (which must carry the same ``eid`` column the candidate
+        tables were built from)."""
+        return (
+            triples.join(self.covered_edges_df(), "eid")
+            .select("subj", "pred", "obj")
+            .distinct()
+        )
+
     # -- the greedy loop ----------------------------------------------------
     def fit(self, passes: int = 2, label_qualify: bool = True):
         if label_qualify:

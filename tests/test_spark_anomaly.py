@@ -85,3 +85,60 @@ def test_nell_batch_scoring_matches_oracle(spark):
     random.seed(1)
     for e in random.sample(edges, 500):
         assert abs(got[e] - scorer.score_edge(e)) < 1e-6, e
+
+
+@pytest.mark.parametrize("idify", [False, True])
+def test_pattern_covered_set_matches_driver_model(spark, idify):
+    """The distributed pattern-based covered-set reconstruction equals the
+    exact-mode model's driver-resident coverage (so score_edges never needs
+    to ship per-edge coverage for level-0 models)."""
+    from kgist_spark.operators.anomaly import (
+        covered_triples_for_model, node_labels_df)
+
+    kg = fixture_kg("test", idify=idify)
+    model = GreedySearcher(kg).build_model(passes=2, label_qualify=True)
+    to_node = (lambda n: kg.id_to_node[n]) if idify else (lambda n: n)
+    to_pred = (lambda p: kg.id_to_pred[p]) if idify else (lambda p: p)
+    want = {
+        (to_node(s), to_pred(p), to_node(o))
+        for eid in model.covered_edges
+        for (s, p, o) in [kg.id_to_edge[eid]]
+    }
+    edges = [
+        (to_node(s), to_pred(p), to_node(o)) for (s, p, o) in kg.id_to_edge.values()
+    ]
+    triples = spark.createDataFrame(edges, "subj string, pred string, obj string")
+    got_df = covered_triples_for_model(
+        spark, model, triples, node_labels_df(spark, model)
+    )
+    assert got_df is not None
+    got = {(r["subj"], r["pred"], r["obj"]) for r in got_df.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("name", ["test", "tiny1", "label_qualifier_1"])
+def test_delta_mode_scoring_matches_oracle(spark, name):
+    """End-to-end delta-mode pipeline: distributed greedy fit -> distributed
+    covered set + cluster-derived heads -> batch scores == per-edge oracle."""
+    from kgist_spark.operators.anomaly import score_edges_delta
+    from tests.test_greedy_delta import build_delta
+
+    delta = build_delta(spark, name)
+    result = delta.fit(passes=2, label_qualify=True)
+
+    kg = fixture_kg(name, idify=False)
+    model = GreedySearcher(kg).build_model(passes=2, label_qualify=True)
+    assert set(result["rules"]) == set(model.rules.keys())
+    scorer = AnomalyScorer(model)
+
+    from kgist_spark.sources.edgelist import load_triples
+    from tests.conftest import FIXTURES
+
+    triples = load_triples(spark, str(FIXTURES / f"{name}.txt"))
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["score"]
+        for r in score_edges_delta(delta, result, triples).collect()
+    }
+    for (s, p, o), score in got.items():
+        want = scorer.score_edge((s, p, o))
+        assert abs(score - want) < 1e-9, (s, p, o, score, want)
