@@ -263,3 +263,70 @@ def test_pipeline_then_summarize(spark, pages):
         for _, _, child in children:
             seen_labels.update(child[0])
     assert seen_labels & {"person", "org", "place"}
+
+
+def test_star_components_path_graph_log_rounds(spark):
+    """Large-star/small-star on a 512-node chain: identical output to driver
+    union-find, converging in O(log d) rounds where min-label propagation
+    needs O(d)."""
+    from kgist_spark.operators.components import connected_components, star_components
+
+    n = 512
+    pairs = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)]
+    pairs += [("z0", "z1"), ("z1", "z2")]  # a second small component
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+
+    want = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}  # driver union-find
+    stats: dict = {}
+    got = {r["node"]: r["component"]
+           for r in star_components(edges, stats=stats).collect()}
+    assert got == want
+    assert want["n0511"] == "n0000" and want["z2"] == "z0"
+    # diameter 511 -> O(log d): a min-label loop would need ~256+ rounds
+    assert stats["rounds"] <= 14, stats
+
+
+def test_connected_components_auto_switch_matches_union_find(spark):
+    """The distributed path hands off to the star algorithm after
+    switch_after min-label rounds; output must still equal union-find."""
+    from kgist_spark.operators.components import connected_components
+
+    n = 200
+    pairs = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)]
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    want = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, driver_threshold=0,
+                                         switch_after=3).collect()}
+    assert got == want
+
+
+def test_star_components_random_graph_matches_union_find(spark):
+    import random
+
+    from kgist_spark.operators.components import connected_components, star_components
+
+    rng = random.Random(13)
+    nodes = list(range(300))
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(220)]
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    want = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    got = {r["node"]: r["component"] for r in star_components(edges).collect()}
+    # union-find includes self-loop-only nodes; star drops pure self-loops
+    want = {k: v for k, v in want.items() if k in got}
+    assert got == want
+
+
+def test_auto_switch_keeps_selfloop_only_nodes(spark):
+    from kgist_spark.operators.components import connected_components
+
+    pairs = [(f"n{i}", f"n{i + 1}") for i in range(30)] + [("iso", "iso")]
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, driver_threshold=0,
+                                         switch_after=2).collect()}
+    assert got["iso"] == "iso"
+    assert got["n30"] == "n0"
