@@ -56,6 +56,20 @@ def test_full_nell_merge_matches_reference(nell_dir):
     assert len(merged.covered_edges) == REF_NELL_RM["covered_edges"]
     assert len(merged.covered_labels) == REF_NELL_RM["covered_labels"]
 
+    # The reference README publishes 26.5164 bits for this edge under
+    # KGist+m; a LIVE run of the reference itself (scipy/networkx shimmed)
+    # on the shipped NELL data scores it 26.542208568396546 under BOTH the
+    # base and the Rm-merged model — the published number is not
+    # reproducible from the shipped code+data.  We pin parity with the live
+    # run, base and merged alike.
+    from kgist_spark.oracle.anomaly import AnomalyScorer
+
+    edge = ("concept:company:limited_brands", "concept:companyceo",
+            "concept:ceo:leslie_wexner")
+    live_reference_score = 26.542208568396546
+    assert abs(AnomalyScorer(model).score_edge(edge) - live_reference_score) < 1e-6
+    assert abs(AnomalyScorer(merged).score_edge(edge) - live_reference_score) < 1e-6
+
 
 def test_nell3k_full_refinement_chain(nell_dir):
     slice_path = nell_dir / "nell3k.txt"
