@@ -4,8 +4,9 @@
 * n-gram Jaccard near-dup — exact pairwise similarity over word shingles
   (SQL-expressible; quadratic only within shared-shingle groups)
 * MinHash-LSH near-dup — :mod:`kgist_spark.operators.minhash` pipeline
-* SimHash — 64-bit sign-sum fingerprints via an Arrow-batched pandas UDF,
-  near-dup candidates = identical band slices of the fingerprint
+* SimHash — 60-bit md5-based sign-sum fingerprints, pure JVM column
+  expressions (SQL-oracle-able); near-dup candidates = identical band
+  slices of the fingerprint
 * embedding near-dup — cosine threshold over hyperplane-LSH buckets
   (:mod:`kgist_spark.operators.similarity`)
 """
@@ -45,41 +46,62 @@ def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     return MH.jaccard_verified_pairs(pairs, sh, threshold)
 
 
+#: hash bits per SimHash fingerprint.  60 (not 64) so the per-token hash is
+#: the first 15 hex digits of md5 — a POSITIVE int64 in every engine, which
+#: lets an ANSI-SQL oracle (DuckDB) reproduce the fingerprints exactly
+#: without unsigned/wrapping arithmetic.  Fingerprints still ship as int64.
+SIMHASH_BITS = 60
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash fingerprints (vectorized pandas UDF over Arrow batches)."""
+    """SimHash fingerprints (``SIMHASH_BITS`` sign-sum bits packed into an
+    int64) — entirely JVM column expressions, no Python anywhere:
 
-    @F.pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        from hashlib import blake2b
+    * tokens: lowercase whitespace split (empty tokens dropped);
+    * per-token 60-bit hash: ``conv(substr(md5(tok), 1, 15), 16, 10)`` —
+      md5 is identical across engines, so a SQL oracle can replay it;
+    * one grouped aggregation computes all 60 signed bit-sums map-side
+      (exactly like the minhash signature aggregation), then the
+      fingerprint is packed from the sum signs.
 
-        import numpy as np
-
-        out = []
-        for t in texts:
-            counts = np.zeros(64, dtype=np.int64)
-            for tok in (t or "").lower().split():
-                # blake2b: deterministic across processes (unlike built-in hash)
-                h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "little")
-                bits = np.unpackbits(
-                    np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8)
-                ).astype(np.int64)
-                counts += 2 * bits - 1
-            fp = 0
-            for i, c in enumerate(counts):
-                if c > 0:
-                    fp |= 1 << i
-            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
-        return pd.Series(out, dtype="int64")
-
-    return docs.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    Physical shape at scale: explode tokens -> hash -> partial+final hash
+    aggregate on the doc key.  One shuffle, whole-stage codegen throughout.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+                )
+            ).alias("tok"),
+        )
+        .withColumn(
+            "hv", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        )
+    )
+    sums = [
+        F.sum(
+            F.when(F.col("hv").isNull(), F.lit(0)).otherwise(
+                F.shiftrightunsigned(F.col("hv"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
 def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        bands: int = 4) -> DataFrame:
-    """Near-dup candidate pairs: documents sharing any 16-bit band of their
+    """Near-dup candidate pairs: documents sharing any 15-bit band of their
     SimHash (classic rotate-and-block scheme)."""
     fp = simhash64(docs, id_col, text_col)
-    width = 64 // bands
+    width = SIMHASH_BITS // bands
     # one exploded projection — a per-band union would re-run the SimHash
     # pandas UDF once per band
     entries = [

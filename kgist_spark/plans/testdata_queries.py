@@ -362,7 +362,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash-LSH blocked near-dup pairs (rows-only check: hash-seeded)."""
+    """MinHash-LSH blocked near-dup pairs.  The verification stage computes
+    EXACT jaccard over candidates, so the result is a subset of the exact
+    ngram-jaccard pairs; on this corpus the near-dup pairs are high-jaccard
+    and LSH recall is complete, so the exact-SQL oracle matches in full —
+    any LSH recall loss would surface as a row-count mismatch."""
     from kgist_spark.operators.dedup import minhash_neardup_pairs
 
     pairs = minhash_neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
@@ -370,14 +374,18 @@ def q_minhash_neardup(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (rows-only: blake2b-seeded)."""
+    """SimHash fingerprints (md5-based JVM expressions; bit-exact DuckDB
+    oracle replays the same tokenization/hash/sign-sum pipeline)."""
     from kgist_spark.operators.dedup import simhash64
 
     return simhash64(_t(spark, sf_dir, "documents"))
 
 
 def q_embedding_ann(spark, sf_dir):
-    """Approximate nearest neighbors via IVF coarse quantization (rows-only)."""
+    """Approximate nearest neighbors via IVF coarse quantization.  Fully
+    deterministic (centroids = first 32 vectors by id, first-max argmax,
+    stable probe ordering), so the DuckDB oracle replays the entire IVF
+    pipeline, not just the final top-k."""
     from kgist_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -418,12 +426,29 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH approximate nearest neighbors (rows-only: seeded
-    random planes gate the exact rescore to a Hamming ball)."""
+    """Hyperplane-LSH approximate nearest neighbors.  The seeded random
+    planes are embedded as literal constants in the DuckDB oracle, which
+    replays the signature computation, Hamming gate and exact rescore."""
     from kgist_spark.operators.similarity import ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return ann_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def _lsh_planes_values_sql(n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
+    """The ann_topk hyperplanes as a DuckDB VALUES clause — same RandomState
+    stream as :func:`kgist_spark.operators.similarity.ann_topk`, serialized
+    with repr() (shortest round-trip form, parses back to the identical
+    double)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(n_planes)
+    )
+    return f"(VALUES {rows}) AS planes(i, pl)"
 
 
 def q_events_hourly(spark, sf_dir):
@@ -641,7 +666,91 @@ ORACLE_SQL = {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) >= 0.4
     """,
-    # minhash_neardup / simhash / embedding_ann are hash-seeded — rows-only
+    # MinHash-LSH verifies candidates with EXACT jaccard, and on this corpus
+    # near-dup pairs are high-jaccard (complete LSH recall), so the result
+    # must equal the exact shingle-join computation — the oracle is the same
+    # SQL as ngram_jaccard_pairs; a recall miss fails the row-count check.
+    "minhash_neardup": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 4, 1)),
+                           i -> array_to_string(t[i:i+4], ' '))) AS shingle
+                FROM toks
+            ) WHERE length(shingle) > 0
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT x.id AS a, y.id AS b, COUNT(*) AS n_inter
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+            GROUP BY x.id, y.id
+        )
+        SELECT a, b, round(n_inter * 1.0 / (na.n + nb.n - n_inter), 5) AS jaccard
+        FROM inter
+        JOIN sizes na ON inter.a = na.id
+        JOIN sizes nb ON inter.b = nb.id
+        WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.4
+    """,
+    # bit-exact replay of the md5-based 60-bit simhash pipeline
+    "simhash": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x != '')) AS tok
+            FROM documents
+        ),
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM tok),
+        bits AS (
+            SELECT doc_id, b AS b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+            GROUP BY doc_id, b
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(fp.simhash, CAST(0 AS BIGINT)) AS simhash
+        FROM documents d LEFT JOIN fp USING (doc_id)
+    """,
+    # full IVF replay: deterministic centroids, first-max cell assignment,
+    # stable probe ordering, exact rescore of the probed cells
+    "embedding_ann": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+        cnorm AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS ce,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 32)
+        ),
+        probe AS (
+            SELECT cid FROM cnorm, q, qn
+            ORDER BY list_dot_product(q.qv, ce) / (qn.qn * cn) DESC, cid ASC
+            LIMIT 8
+        ),
+        vn AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+               FROM embeddings),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY list_dot_product(v.e, c.ce) / (v.vn * c.cn) DESC,
+                                                   c.cid ASC) AS rn
+                FROM vn v CROSS JOIN cnorm c
+            ) WHERE rn = 1
+        )
+        SELECT v.vec_id, round(list_dot_product(v.e, q.qv) / (v.vn * qn.qn), 5) AS cosine
+        FROM vn v, q, qn
+        WHERE v.vec_id IN (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probe))
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
     "ngram_jaccard_pairs": """
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
@@ -668,3 +777,32 @@ ORACLE_SQL = {
         WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.4
     """,
 }
+
+# hyperplane-LSH ANN: the seeded planes are literal constants shared with the
+# Spark implementation (same RandomState stream), so the oracle replays the
+# signature computation, the Hamming-ball gate, and the exact rescore
+ORACLE_SQL["embedding_ann_lsh"] = rf"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+    planes AS (SELECT * FROM {_lsh_planes_values_sql()}),
+    sigs AS (
+        SELECT e.vec_id,
+               SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pl) >= 0
+                        THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS sig
+        FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+    ),
+    qsig AS (
+        SELECT SUM(CASE WHEN list_dot_product(q.qv, p.pl) >= 0
+                        THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS qs
+        FROM q CROSS JOIN planes p
+    ),
+    cand AS (SELECT vec_id FROM sigs, qsig WHERE bit_count(xor(sig, qs)) <= 3)
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * qn.qn),
+                 5) AS cosine
+    FROM embeddings e, q, qn
+    WHERE e.vec_id IN (SELECT vec_id FROM cand)
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+"""
