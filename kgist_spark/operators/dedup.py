@@ -21,12 +21,39 @@ from kgist_spark.operators import minhash as MH
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                        k: int = 5, threshold: float = 0.4) -> DataFrame:
-    """Exact word-k-gram Jaccard over all pairs sharing >= 1 shingle."""
+                        k: int = 5, threshold: float = 0.4,
+                        df_cap: int | None = 1000) -> DataFrame:
+    """Exact word-k-gram Jaccard over all pairs sharing >= 1 shingle.
+
+    ``df_cap`` bounds the in-shingle self-join: shingles appearing in more
+    than ``df_cap`` documents are dropped from CANDIDATE GENERATION only
+    (each contributes O(df^2) pair rows — the classic hot-key blowup of a
+    skewed corpus boilerplate shingle).  Verification always uses the FULL
+    shingle sets, so reported jaccard values are exact regardless; the only
+    possible loss is a pair whose every shared shingle is hot, which is
+    logged.  ``None`` disables the cap."""
     sh = MH.word_shingles(docs.select(id_col, text_col), id_col, text_col, k=k)
+    pair_sh = sh
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: dropping %d hot shingles (df > %d) "
+                "from candidate generation; pairs sharing ONLY hot shingles "
+                "are not reported", n_hot, df_cap,
+            )
+            pair_sh = sh.join(hot, "shingle", "left_anti")
     pairs = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
+        pair_sh.alias("x")
+        .join(pair_sh.alias("y"), "shingle")
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()

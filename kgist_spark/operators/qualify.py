@@ -55,8 +55,10 @@ def nodes_with_all_labels(labels_flat: DataFrame,
     rows = [
         (i, label, len(s)) for i, s in enumerate(label_sets) for label in set(s)
     ]
+    # label dtype follows the input (string vocabulary or idified ints)
+    label_type = dict(labels_flat.dtypes)["label"]
     sets_df = F.broadcast(
-        spark.createDataFrame(rows, "set_id int, label string, set_size int")
+        spark.createDataFrame(rows, f"set_id int, label {label_type}, set_size int")
     )
     counts = (
         labels_flat.select("node", "label").distinct()

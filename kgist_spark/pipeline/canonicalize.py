@@ -6,17 +6,14 @@
 * **Union-find** (X4): connected components over verified pairs; canonical
   id = lexicographically smallest member (deterministic).
 * **Linking** (X5): triples/labels re-keyed to canonical ids via a broadcast
-  map join; out-of-dictionary mentions are linked with a vectorized
-  pandas-UDF trigram score against LSH candidates.
+  map join; out-of-dictionary mentions are linked against LSH candidates by
+  the same JVM-side exact-trigram-jaccard join the dedup path uses.
 
-All steps are DataFrame-native; the only Python is the Arrow-batched scorer.
+All steps are DataFrame-native with zero Python in the hot path.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,8 +86,8 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
                   threshold: float = 0.5, num_perm: int = 32,
                   bands: int = 8, rows_per_band: int = 4) -> DataFrame:
     """``(mention, linked, score)``: exact dictionary hits score 1.0; misses
-    are blocked via LSH against the dictionary and scored with a vectorized
-    trigram-Jaccard pandas UDF; best candidate above threshold wins.
+    are blocked via LSH against the dictionary and scored by the JVM-side
+    exact trigram-jaccard join; best candidate above threshold wins.
 
     :mentions: one column ``mention`` (canonical-form surface ids)
     :dictionary: one column ``entity``
@@ -124,35 +121,22 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
             F.when(F.col("a").startswith("d|"), F.col("a")).otherwise(F.col("b")).alias("d"),
         )
         .where(F.col("m").startswith("m|") & F.col("d").startswith("d|"))
-        .select(
-            F.expr("substring(m, 3)").alias("mention"),
-            F.expr("substring(d, 3)").alias("entity"),
-        )
+        .select(F.col("m").alias("a"), F.col("d").alias("b"))
     )
 
-    gb_cache: dict = {}
-
-    @F.pandas_udf("double")
-    def trigram_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        def grams(s):
-            return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
-
-        out = []
-        for x, y in zip(a, b):
-            ga = grams(x)
-            gb = gb_cache.get(y)
-            if gb is None:
-                gb = grams(y)
-                gb_cache[y] = gb
-            union = ga | gb
-            out.append(len(ga & gb) / len(union) if union else 0.0)
-        return pd.Series(out)
-
-    scored = cand.withColumn("score", trigram_jaccard(F.col("mention"), F.col("entity")))
+    # score with the SAME JVM-side exact-jaccard join the dedup path uses —
+    # the trigram sets are already materialized in `shingles`, so a pandas
+    # UDF here would re-derive them per row (and an executor-lifetime gram
+    # cache with it); this keeps the whole scorer in whole-stage codegen
+    scored = MH.jaccard_verified_pairs(cand, shingles, threshold)
     best = (
-        scored.where(F.col("score") >= threshold)
+        scored.select(
+            F.expr("substring(a, 3)").alias("mention"),
+            F.expr("substring(b, 3)").alias("linked_entity"),
+            F.col("jaccard").alias("score"),
+        )
         .groupBy("mention")
-        .agg(F.max_by("entity", F.struct("score", "entity")).alias("linked"),
+        .agg(F.max_by("linked_entity", F.struct("score", "linked_entity")).alias("linked"),
              F.max("score").alias("score"))
     )
     return exact.unionByName(best)

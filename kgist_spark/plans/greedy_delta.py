@@ -44,6 +44,14 @@ def _df_key_col():
     return F.concat_ws(_SEP, "root_label", "pred", "dir", "child_label").alias("key")
 
 
+def _key(r) -> str:
+    """Driver-side mirror of ``_df_key_col`` — stringifies components so the
+    idified (integer) vocabulary produces identical keys to concat_ws."""
+    return _SEP.join(
+        str(x) for x in (r["root_label"], r["pred"], r["dir"], r["child_label"])
+    )
+
+
 class CandidateMeta:
     __slots__ = (
         "rule", "df_key", "n_edges", "n_labels", "n_cas", "ca_hist",
@@ -65,16 +73,22 @@ class DeltaGreedy:
     """Distributed-coverage greedy selection over candidate tables."""
 
     def __init__(self, triples: DataFrame, labels_flat: DataFrame,
-                 stats: mdl.GraphStats, label_node_counts: Dict[str, int]):
+                 stats: mdl.GraphStats, label_node_counts: Dict[str, int],
+                 cand: DataFrame | None = None):
         """:triples: (subj, pred, obj, eid); :labels_flat: (node, label, pos);
         :label_node_counts: label -> #distinct nodes carrying it (the
-        ``nodes_with_type`` map for single-label roots)."""
+        ``nodes_with_type`` map for single-label roots);
+        :cand: optional pre-computed/reloaded candidate contribution table
+        (S3 — :mod:`kgist_spark.sources.candidates_io`), making repeat
+        delta-greedy runs restartable without re-running candidate
+        generation."""
         self.spark = triples.sparkSession
         self.stats = stats
         self.label_node_counts = label_node_counts
         self.labels_flat = labels_flat
 
-        cand = C.candidate_edges(triples, labels_flat)
+        if cand is None:
+            cand = C.candidate_edges(triples, labels_flat)
         self.cand_edges = (
             cand.select(_df_key_col(), "eid", "root_node").distinct().persist()
         )
@@ -88,12 +102,12 @@ class DeltaGreedy:
         hist_rows = C.ca_size_histogram(cand).collect()
         hist: Dict[str, Dict[int, int]] = {}
         for r in hist_rows:
-            k = _SEP.join([r["root_label"], r["pred"], r["dir"], r["child_label"]])
+            k = _key(r)
             hist.setdefault(k, {})[r["ca_size"]] = r["n_heads"]
         self.meta: Dict[tuple, CandidateMeta] = {}
         order = []
         for r in stats_rows:
-            k = _SEP.join([r["root_label"], r["pred"], r["dir"], r["child_label"]])
+            k = _key(r)
             rule = ((r["root_label"],), ((r["pred"], r["dir"], ((r["child_label"],), ())),))
             m = CandidateMeta(
                 rule, k, r["n_edges"], r["n_labels_cov"], r["n_cas"], hist.get(k, {}),
@@ -140,7 +154,7 @@ class DeltaGreedy:
         shared_rows = shared_head_labels(self._cand_raw, self.labels_flat).collect()
         shared = {}
         for r in shared_rows:
-            k = _SEP.join([r["root_label"], r["pred"], r["dir"], r["child_label"]])
+            k = _key(r)
             shared[k] = tuple(r["shared_labels"])
         proposals = [
             (m, shared[m.df_key]) for m in self.meta.values() if m.df_key in shared

@@ -66,6 +66,7 @@ def build_driver_index(
     labels: DataFrame,
     labels_flat: DataFrame,
     idify: bool = False,
+    cand: DataFrame | None = None,
 ) -> LocalKG:
     """Materialize the distributed candidate aggregates into a driver-side
     index satisfying the ``CandidateIndex`` protocol.
@@ -86,7 +87,8 @@ def build_driver_index(
     for r in label_rows:
         kg._add_label_row(r["node"], tuple(r["labels"]))
 
-    cand = C.candidate_edges(triples, labels_flat)
+    if cand is None:
+        cand = C.candidate_edges(triples, labels_flat)
     pdf = (
         cand.select(
             "root_label", "pred", "dir", "child_label", "eid", "root_node", "child_node",
@@ -166,7 +168,12 @@ class SparkSummarizer:
     """High-level API: load KG tables → distributed candidate gen →
     driver greedy → fitted :class:`SummaryModel`."""
 
-    def __init__(self, triples: DataFrame, labels: DataFrame, idify: bool = True):
+    def __init__(self, triples: DataFrame, labels: DataFrame, idify: bool = True,
+                 cand_edges: DataFrame | None = None):
+        """:cand_edges: optional pre-computed candidate contribution table
+        (e.g. reloaded via :mod:`kgist_spark.sources.candidates_io`) — skips
+        the candidate-generation join entirely (S3, reference
+        ``graph.py:166-168``)."""
         from kgist_spark.sources.edgelist import explode_labels
 
         # persist: index construction reads each table several times, and
@@ -176,7 +183,8 @@ class SparkSummarizer:
         self.labels = labels.persist()
         self.labels_flat = explode_labels(self.labels)
         self.index = build_driver_index(
-            self.triples, self.labels, self.labels_flat, idify=idify
+            self.triples, self.labels, self.labels_flat, idify=idify,
+            cand=cand_edges,
         )
         self.searcher = GreedySearcher(self.index)
 

@@ -249,3 +249,28 @@ def test_embedding_neardup_string_ids(spark):
     got = embedding_neardup_pairs(df, threshold=0.9).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {("docA", "docB")}
     assert dict(df.dtypes)["vec_id"] == "string"
+
+
+def test_ngram_hot_shingle_cap(spark):
+    """A ubiquitous boilerplate shingle shared by every doc must not explode
+    the candidate self-join; true near-dups (sharing non-hot shingles) are
+    still found with exact jaccard values, and pairs sharing ONLY the hot
+    shingle are the documented loss."""
+    from kgist_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "copyright acme corp all rights"
+    rows = [(i, f"{boiler} reserved page number {i} unique tail {i * 7}")
+            for i in range(40)]
+    rows += [(100, f"{boiler} identical body of text here"),
+             (101, f"{boiler} identical body of text here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {(r["a"], r["b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, k=5, threshold=0.5, df_cap=10).collect()}
+    uncapped = {(r["a"], r["b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, k=5, threshold=0.5, df_cap=None).collect()}
+    assert (100, 101) in capped and capped[(100, 101)] == 1.0
+    # jaccard values identical wherever both report the pair (verification
+    # always uses full shingle sets)
+    for p, j in capped.items():
+        assert uncapped[p] == j
