@@ -61,6 +61,42 @@ def rule_from_json(s: str):
     return conv(json.loads(s))
 
 
+def rule_to_dot(rule) -> str:
+    """Graphviz DOT source for a rule (S5; reference ``rule.py:222-254``).
+
+    The reference renders via the ``graphviz`` binding (absent here); the
+    graph it draws — one node per rule level named by the root label's last
+    ``:``-segment (doublecircle root), one labeled edge per child oriented by
+    direction — is emitted as plain DOT text instead, renderable with any
+    ``dot`` binary and dependency-free."""
+
+    def seg(v):
+        return str(v).split(":")[-1]
+
+    root, _ = rule
+    nodes, edges = {}, []
+    frontier = [rule]
+    while frontier:
+        node = frontier.pop()
+        nroot, children = node
+        shape = "doublecircle" if nroot == root else "circle"
+        nodes.setdefault(seg(nroot[0]), shape)
+        for pred, direction, child in children:
+            frontier.insert(0, child)
+            a, b = seg(nroot[0]), seg(child[0][0])
+            if direction == "out":
+                edges.append((a, seg(pred), b))
+            else:
+                edges.append((b, seg(pred), a))
+    lines = ["digraph rule {"]
+    for name, shape in nodes.items():
+        lines.append(f'  "{name}" [shape={shape}];')
+    for a, p, b in edges:
+        lines.append(f'  "{a}" -> "{b}" [label=" {p}"];')
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def retuple(rule, label_map=None, pred_map=None):
     """Map ids back to strings through the dictionaries (reference
     ``graph.py:184-187`` ``tuplify``); identity when maps are None."""

@@ -55,3 +55,38 @@ def test_delta_matches_exact_on_nell1k(spark, nell1k):
     assert result["covered_edges"] == len(model.covered_edges)
     assert result["covered_labels"] == len(model.covered_labels)
     assert abs(result["objective_bits"] - want) < 1e-6
+
+
+@pytest.mark.nightly
+def test_idified_delta_matches_reference_on_full_nell(spark, nell1k):
+    """Full-NELL decision-for-decision parity at the reference CLI default:
+    delta-mode greedy over the DISTRIBUTED idified vocabulary must select the
+    reference's exact 1115-rule model at the exact objective (goldens captured
+    from a live reference run).  ~90 min at local[32]; nightly-marked."""
+    from kgist_spark.plans.greedy_delta import DeltaGreedy
+    from kgist_spark.plans.summarizer import graph_stats
+    from kgist_spark.sources.edgelist import explode_labels, load_labels, load_triples
+    from kgist_spark.sources.idify import idify_tables
+
+    triples = load_triples(spark, str(nell1k / "nell.txt"))
+    labels = load_labels(spark, str(nell1k / "nell_labels.txt"))
+    lf = explode_labels(labels)
+    t_id, lf_id, _ = idify_tables(triples, labels, lf)
+    t_id, lf_id = t_id.persist(), lf_id.persist()
+    stats = graph_stats(t_id, lf_id)
+    lnc = {
+        r["label"]: r["n"]
+        for r in lf_id.groupBy("label").agg(F.countDistinct("node").alias("n")).collect()
+    }
+    result = DeltaGreedy(t_id, lf_id, stats, lnc).fit(passes=2, label_qualify=True)
+
+    # reference goldens (tests/goldens_nell.json, idify=True, passes=2)
+    assert len(result["rules"]) == 1115
+    assert abs(result["objective_bits"] - 4630889.984523818) < 1e-3
+
+    kg = LocalKG.from_files(
+        str(nell1k / "nell.txt"), str(nell1k / "nell_labels.txt"), idify=True
+    )
+    model = GreedySearcher(kg).build_model(passes=2, label_qualify=True)
+    assert set(result["rules"]) == set(model.rules.keys())
+    assert result["covered_edges"] == len(model.covered_edges)

@@ -249,3 +249,20 @@ def test_plant_forest_goldens():
     _, rule = planted(kg, (("7241965",), (("5835005", "out", (("5794125",), ())),)))
     assert len(rule.assertions) == 2
     assert rule.labels_covered() == {("5794125", "308389")}
+
+
+def test_rule_to_dot():
+    """S5 — DOT export draws one node per level (doublecircle root) and one
+    labeled edge per child, 'in' edges reversed (reference rule.py:222-254)."""
+    from kgist_spark.functions.ir import rule_to_dot
+
+    rule = (("concept:company",),
+            (("concept:companyceo", "out", (("concept:ceo",), ())),
+             ("concept:hasoffice", "in", (("concept:city",), ()))))
+    dot = rule_to_dot(rule)
+    assert dot.startswith("digraph rule {") and dot.endswith("}")
+    assert '"company" [shape=doublecircle];' in dot
+    assert '"ceo" [shape=circle];' in dot
+    assert '"company" -> "ceo" [label=" companyceo"];' in dot
+    # 'in' direction points child -> root
+    assert '"city" -> "company" [label=" hasoffice"];' in dot
