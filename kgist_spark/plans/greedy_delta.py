@@ -307,7 +307,26 @@ class DeltaGreedy:
         )
 
     # -- the greedy loop ----------------------------------------------------
-    def fit(self, passes: int = 2, label_qualify: bool = True):
+    def fit(self, passes: int = 2, label_qualify: bool = True,
+            loop_shuffle_partitions: int | None = 8):
+        """:loop_shuffle_partitions: shuffle width for the accept-loop jobs,
+        restored afterwards.  Every reduce stage in the loop is tiny (the
+        per-key overlap partials collapse to O(#candidates) rows and the
+        delta side rides an AQE broadcast, so the big table never shuffles);
+        the session-wide width only adds per-task scheduling overhead —
+        measured 1.51 -> 1.05 s/accept going 64 -> 8 on a NELL slice.
+        ``None`` keeps the session setting."""
+        conf = self.spark.conf
+        old_parts = conf.get("spark.sql.shuffle.partitions")
+        if loop_shuffle_partitions:
+            conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
+        try:
+            return self._fit(passes, label_qualify)
+        finally:
+            if loop_shuffle_partitions:
+                conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    def _fit(self, passes: int, label_qualify: bool):
         if label_qualify:
             self.label_qualify()
         ranked = self.rank()
