@@ -161,13 +161,19 @@ def _pair_schema(embeddings: DataFrame, id_col: str):
 
 
 def _bucket_pairs_kernel(id_col: str, vec_col: str, threshold: float,
-                         max_bucket: int | None, block: int = 2048):
+                         max_bucket: int | None, block: int = 2048,
+                         block_col: str | None = None):
     """applyInPandas kernel: exact pairwise cosine within ONE group, emitted
     as ``(id_a, id_b, cosine)`` with ``id_a < id_b``.  The group matrix is
     multiplied in row blocks (one BLAS GEMM per block) so peak memory is
     O(block x group), not O(group^2).  Groups over ``max_bucket`` rows are
     dropped (degenerate hot buckets; the documented coverage loss of the LSH
-    path — ``None`` disables the cap for the exact single-bucket path)."""
+    path — ``None`` disables the cap for the exact path).
+
+    :block_col: when set, the group is one cell of a triangle block-pair
+        decomposition; if it holds two distinct blocks only CROSS-block
+        pairs are emitted (same-block pairs belong to the diagonal cell), so
+        every pair is produced exactly once across the grid."""
     import numpy as np
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -179,15 +185,20 @@ def _bucket_pairs_kernel(id_col: str, vec_col: str, threshold: float,
         ids = pdf[id_col].to_numpy()
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
+        cross_only = False
+        if block_col is not None:
+            blks = pdf[block_col].to_numpy()
+            cross_only = len(np.unique(blks)) > 1
         frames = []
         for lo in range(0, n, block):
             hi = min(lo + block, n)
             sims = np.round(
                 (mat[lo:hi] @ mat.T) / np.outer(norms[lo:hi], norms), 5
             )
-            ii, jj = np.nonzero(
-                (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
-            )
+            mask = (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+            if cross_only:
+                mask &= blks[lo:hi, None] != blks[None, :]
+            ii, jj = np.nonzero(mask)
             if len(ii):
                 frames.append(pd.DataFrame({
                     "id_a": ids[lo:hi][ii], "id_b": ids[jj],
@@ -218,14 +229,37 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     """
     probe = embeddings.limit(exact_threshold + 1).count()
     if probe <= exact_threshold:
-        kernel = _bucket_pairs_kernel(id_col, vec_col, threshold, max_bucket=None)
-        return (
-            embeddings.select(id_col, vec_col)
-            .groupBy(F.lit(0).alias("_g"))
-            .applyInPandas(kernel, _pair_schema(embeddings, id_col))
-        )
+        return _exact_pairs_triangle(embeddings, threshold, id_col, vec_col)
     return embedding_neardup_pairs_lsh(
         embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _exact_pairs_triangle(embeddings: DataFrame, threshold: float,
+                          id_col: str, vec_col: str,
+                          n_blocks: int = 8) -> DataFrame:
+    """Exact all-pairs cosine via the triangle block-pair decomposition: each
+    vector hashes to one of ``n_blocks`` blocks and is replicated into the
+    ``n_blocks`` grid cells its block participates in; each (bi <= bj) cell
+    runs the BLAS kernel (cross-block pairs only off the diagonal), so every
+    pair is computed exactly once across B(B+1)/2 parallel tasks.  The
+    replication factor is B — the standard space/parallelism trade of a
+    distributed self-join; no driver collect anywhere."""
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))
+    tagged = embeddings.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+    cells = tagged.select(
+        id_col, vec_col, "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_other"),
+    ).select(
+        id_col, vec_col, "_blk",
+        F.least("_blk", "_other").alias("_bi"),
+        F.greatest("_blk", "_other").alias("_bj"),
+    )
+    kernel = _bucket_pairs_kernel(id_col, vec_col, threshold,
+                                  max_bucket=None, block_col="_blk")
+    return (
+        cells.groupBy("_bi", "_bj")
+        .applyInPandas(kernel, _pair_schema(embeddings, id_col))
     )
 
 
