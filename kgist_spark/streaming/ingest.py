@@ -62,6 +62,68 @@ def run_incremental_extraction(spark: SparkSession, input_dir: str, out_dir: str
     return n_batches["n"]
 
 
+def stateful_dedup_stream(docs_stream: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Cross-batch EXACT dedup as a custom stateful streaming operator
+    (``applyInPandasWithState``): the first document carrying each md5
+    fingerprint — across ALL micro-batches and across restarts, via the
+    checkpointed state store — is emitted as ``(text_md5, keep_id)``; every
+    later duplicate is dropped.
+
+    State per group is one flag row keyed by the fingerprint, so the state
+    store grows with #distinct documents (the same cardinality the batch
+    dedup's shuffle carries) and is partitioned by the fingerprint hash —
+    no skew beyond genuine duplicate mass.  ``NoTimeout`` keeps fingerprints
+    forever, which is the dedup contract; swap in a processing-time timeout
+    for a sliding-horizon variant."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.col(id_col).cast("long").alias("_id"),
+    )
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter(())
+        best = None
+        for pdf in pdfs:
+            m = pdf["_id"].min()
+            best = m if best is None else min(best, m)
+        state.update((1,))
+        return iter([pd.DataFrame({"text_md5": [key[0]], "keep_id": [best]})])
+
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        dedup,
+        outputStructType="text_md5 string, keep_id long",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_incremental_dedup(spark: SparkSession, input_dir: str, out_dir: str,
+                          checkpoint_dir: str) -> None:
+    """AvailableNow driver for :func:`stateful_dedup_stream`: process all new
+    page files once, appending newly-first-seen fingerprints to ``out_dir``.
+    Re-running after more files land emits ONLY fingerprints never seen in
+    any previous run (state restored from the checkpoint)."""
+    docs = stream_pages(spark, input_dir).select(
+        F.abs(F.hash("url")).cast("long").alias("doc_id"), "text"
+    )
+    deduped = stateful_dedup_stream(docs)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_counts(events_stream: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts per event type (late rows beyond

@@ -83,3 +83,38 @@ def test_windowed_event_counts_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
+    """applyInPandasWithState dedup: the first doc per md5 wins across
+    micro-batches AND across stream restarts (state restored from the
+    checkpoint); later duplicates are never re-emitted."""
+    from kgist_spark.streaming.ingest import PAGES_DDL, run_incremental_dedup
+
+    inp = tmp_path / "in"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    inp.mkdir()
+
+    def page(url, text):
+        return (url, None, None, text, "en")
+
+    spark.createDataFrame(
+        [page("u1", "alpha text"), page("u2", "beta text")], PAGES_DDL
+    ).write.parquet(str(inp / "f1.parquet"))
+    run_incremental_dedup(spark, str(inp) + "/*", out, ckpt)
+    first = {r["text_md5"] for r in spark.read.parquet(out).collect()}
+    assert len(first) == 2
+
+    # new arrivals: one duplicate of an old doc, one genuinely new
+    spark.createDataFrame(
+        [page("u3", "alpha text"), page("u4", "gamma text")], PAGES_DDL
+    ).write.parquet(str(inp / "f2.parquet"))
+    run_incremental_dedup(spark, str(inp) + "/*", out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    md5s = [r["text_md5"] for r in rows]
+    assert len(md5s) == 3 and len(set(md5s)) == 3  # dup NOT re-emitted
+
+    # keep_id is the md5 of 'gamma text' holder only among new rows
+    got_new = set(md5s) - first
+    assert len(got_new) == 1
