@@ -62,7 +62,10 @@ def test_idified_delta_matches_reference_on_full_nell(spark, nell1k):
     """Full-NELL decision-for-decision parity at the reference CLI default:
     delta-mode greedy over the DISTRIBUTED idified vocabulary must select the
     reference's exact 1115-rule model at the exact objective (goldens captured
-    from a live reference run).  ~90 min at local[32]; nightly-marked."""
+    from a live reference run).  1,115 sequential accepts x ~1 s of fixed
+    per-accept job latency ≈ 2.5 h at local[32]; nightly-marked (see
+    BENCH.md "Delta-mode greedy" for why exact mode is the right NELL-scale
+    path and delta mode is the beyond-driver-memory one)."""
     from kgist_spark.plans.greedy_delta import DeltaGreedy
     from kgist_spark.plans.summarizer import graph_stats
     from kgist_spark.sources.edgelist import explode_labels, load_labels, load_triples
