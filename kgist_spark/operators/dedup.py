@@ -129,8 +129,8 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     SimHash (classic rotate-and-block scheme)."""
     fp = simhash64(docs, id_col, text_col)
     width = SIMHASH_BITS // bands
-    # one exploded projection — a per-band union would re-run the SimHash
-    # pandas UDF once per band
+    # one exploded projection — a per-band union of projections would
+    # re-execute the whole SimHash aggregation once per band
     entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -162,7 +162,8 @@ def _pair_schema(embeddings: DataFrame, id_col: str):
 
 def _bucket_pairs_kernel(id_col: str, vec_col: str, threshold: float,
                          max_bucket: int | None, block: int = 2048,
-                         block_col: str | None = None):
+                         block_col: str | None = None,
+                         cell_cols: tuple[str, str] | None = None):
     """applyInPandas kernel: exact pairwise cosine within ONE group, emitted
     as ``(id_a, id_b, cosine)`` with ``id_a < id_b``.  The group matrix is
     multiplied in row blocks (one BLAS GEMM per block) so peak memory is
@@ -170,10 +171,15 @@ def _bucket_pairs_kernel(id_col: str, vec_col: str, threshold: float,
     dropped (degenerate hot buckets; the documented coverage loss of the LSH
     path — ``None`` disables the cap for the exact path).
 
-    :block_col: when set, the group is one cell of a triangle block-pair
-        decomposition; if it holds two distinct blocks only CROSS-block
-        pairs are emitted (same-block pairs belong to the diagonal cell), so
-        every pair is produced exactly once across the grid."""
+    :block_col: + :cell_cols: when set, the group is the (bi, bj) cell of a
+        triangle block-pair decomposition, identified by the GROUP KEY columns
+        ``cell_cols``.  Off-diagonal cells (bi != bj) emit only CROSS-block
+        pairs — same-block pairs belong to the diagonal cell — so every pair
+        is produced exactly once across the grid.  Diagonal-ness MUST come
+        from the key, never from which blocks happen to be present: an
+        off-diagonal cell whose partner block is empty contains rows from one
+        block only, and treating it as a diagonal cell would re-emit that
+        block's internal pairs once per empty partner."""
     import numpy as np
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -188,7 +194,7 @@ def _bucket_pairs_kernel(id_col: str, vec_col: str, threshold: float,
         cross_only = False
         if block_col is not None:
             blks = pdf[block_col].to_numpy()
-            cross_only = len(np.unique(blks)) > 1
+            cross_only = pdf[cell_cols[0]].iat[0] != pdf[cell_cols[1]].iat[0]
         frames = []
         for lo in range(0, n, block):
             hi = min(lo + block, n)
@@ -256,7 +262,8 @@ def _exact_pairs_triangle(embeddings: DataFrame, threshold: float,
         F.greatest("_blk", "_other").alias("_bj"),
     )
     kernel = _bucket_pairs_kernel(id_col, vec_col, threshold,
-                                  max_bucket=None, block_col="_blk")
+                                  max_bucket=None, block_col="_blk",
+                                  cell_cols=("_bi", "_bj"))
     return (
         cells.groupBy("_bi", "_bj")
         .applyInPandas(kernel, _pair_schema(embeddings, id_col))

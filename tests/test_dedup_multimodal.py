@@ -251,6 +251,32 @@ def test_embedding_neardup_string_ids(spark):
     assert dict(df.dtypes)["vec_id"] == "string"
 
 
+def test_embedding_neardup_small_input_no_duplicate_pairs(spark):
+    """Regression (round-2 review): the triangle block-pair kernel decided
+    "cross-block-only" from the blocks PRESENT in the cell, so an off-diagonal
+    cell whose partner block was empty re-emitted the populated block's
+    internal pairs — once per empty partner.  Live repro was 6 vectors /
+    threshold 0.9 -> 14 pair rows where 6 are correct.  The result must be
+    multiset-equal to brute force: exactly len(want) rows, no duplicates."""
+    import numpy as np
+
+    from kgist_spark.operators.dedup import _exact_pairs_triangle
+
+    rng = np.random.RandomState(5)
+    a, b = rng.randn(16), rng.randn(16)
+    mat = np.array([a + 0.001 * rng.randn(16) for _ in range(3)]
+                   + [b + 0.001 * rng.randn(16) for _ in range(3)])
+    ids = np.arange(6)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in ids], ["vec_id", "embedding"]
+    )
+    rows = _exact_pairs_triangle(df, 0.9, "vec_id", "embedding").collect()
+    want = _numpy_exact_pairs(ids, mat, 0.9)
+    assert len(want) == 6  # two 3-cliques
+    assert len(rows) == len(want), f"duplicate pair rows: {len(rows)} for {len(want)}"
+    assert {(r["id_a"], r["id_b"]): r["cosine"] for r in rows} == want
+
+
 def test_ngram_hot_shingle_cap(spark):
     """A ubiquitous boilerplate shingle shared by every doc must not explode
     the candidate self-join; true near-dups (sharing non-hot shingles) are
