@@ -63,13 +63,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 
 def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 5, num_perm: int = 32,
-                          bands: int = 8, threshold: float = 0.4) -> DataFrame:
+                          bands: int = 8, threshold: float = 0.4,
+                          drop_stats=None) -> DataFrame:
     """MinHash-LSH blocking + exact-Jaccard verification (the scale path —
-    candidate pairs come from band buckets, not a full shingle self-join)."""
+    candidate pairs come from band buckets, not a full shingle self-join).
+    ``drop_stats``: optional ``Observation`` counting hot-bucket drops (no
+    silent caps — see :func:`kgist_spark.operators.minhash.candidate_pairs`)."""
     sh = MH.word_shingles(docs.select(id_col, text_col), id_col, text_col, k=k)
     sigs = MH.minhash_signatures(sh, num_perm=num_perm)
     buckets = MH.lsh_buckets(sigs, bands=bands, rows_per_band=num_perm // bands)
-    pairs = MH.candidate_pairs(buckets)
+    pairs = MH.candidate_pairs(buckets, drop_stats=drop_stats)
     return MH.jaccard_verified_pairs(pairs, sh, threshold)
 
 
@@ -124,9 +127,10 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       bands: int = 4) -> DataFrame:
+                       bands: int = 4, drop_stats=None) -> DataFrame:
     """Near-dup candidate pairs: documents sharing any 15-bit band of their
-    SimHash (classic rotate-and-block scheme)."""
+    SimHash (classic rotate-and-block scheme).  ``drop_stats``: optional
+    ``Observation`` counting hot-bucket drops (no silent caps)."""
     fp = simhash64(docs, id_col, text_col)
     width = SIMHASH_BITS // bands
     # one exploded projection — a per-band union of projections would
@@ -144,7 +148,7 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         fp.select(F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("bb"))
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
-    return MH.candidate_pairs(buckets)
+    return MH.candidate_pairs(buckets, drop_stats=drop_stats)
 
 
 def _pair_schema(embeddings: DataFrame, id_col: str):
@@ -186,8 +190,15 @@ def _bucket_pairs_kernel(id_col: str, vec_col: str, threshold: float,
         n = len(pdf)
         empty = pd.DataFrame({"id_a": pdf[id_col][:0], "id_b": pdf[id_col][:0],
                               "cosine": pd.Series([], dtype="float64")})
-        if n < 2 or (max_bucket is not None and n > max_bucket):
+        if n < 2:
             return empty
+        if max_bucket is not None and n > max_bucket:
+            # no silent caps: a dropped hot group emits ONE null-id marker row
+            # carrying its size, which the caller observes (zero extra jobs)
+            # and filters out before returning pairs
+            return pd.DataFrame({"id_a": pd.Series([None], dtype="object"),
+                                 "id_b": pd.Series([None], dtype="object"),
+                                 "cosine": pd.Series([float(n)], dtype="float64")})
         ids = pdf[id_col].to_numpy()
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
@@ -273,7 +284,8 @@ def _exact_pairs_triangle(embeddings: DataFrame, threshold: float,
 def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
                                 id_col: str = "vec_id", vec_col: str = "embedding",
                                 bits_per_band: int = 8, bands: int = 16,
-                                seed: int = 7, max_bucket: int = 4096) -> DataFrame:
+                                seed: int = 7, max_bucket: int = 4096,
+                                drop_stats=None) -> DataFrame:
     """Scale path: exact-cosine pairs within banded hyperplane-LSH buckets.
 
     Each vector lands in ``bands`` buckets (one per band of ``bits_per_band``
@@ -285,7 +297,10 @@ def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     raise ``bands`` (more shuffle volume) or lower ``bits_per_band`` (bigger
     buckets) for recall closer to the decision boundary.  Buckets larger
     than ``max_bucket`` are dropped (hot-bucket cap — same policy as
-    :func:`kgist_spark.operators.minhash.candidate_pairs`).
+    :func:`kgist_spark.operators.minhash.candidate_pairs`); pass an
+    ``Observation`` as ``drop_stats`` to count the loss with no extra job
+    (:func:`kgist_spark.operators.minhash.log_drop_stats` logs it after the
+    first action on the result).
 
     No driver collect and no all-pairs product anywhere: one pandas-UDF
     projection for signatures, one explode (vector duplicated ``bands``
@@ -299,8 +314,20 @@ def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
         bits_per_band=bits_per_band, bands=bands, seed=seed,
     )
     kernel = _bucket_pairs_kernel(id_col, vec_col, threshold, max_bucket=max_bucket)
-    return (
-        bucketed.groupBy("band", "bucket")
-        .applyInPandas(kernel, _pair_schema(embeddings, id_col))
-        .distinct()
+    out = bucketed.groupBy("band", "bucket").applyInPandas(
+        kernel, _pair_schema(embeddings, id_col)
     )
+    # no silent caps: each dropped hot group emitted one null-id marker row
+    # carrying its size; observe them (zero extra jobs — the metrics ride the
+    # rows already flowing past this node), then filter before distinct
+    if drop_stats is not None:
+        dropped = F.col("id_a").isNull()
+        out = out.observe(
+            drop_stats,
+            F.coalesce(F.sum(dropped.cast("long")), F.lit(0)).alias("dropped_buckets"),
+            F.coalesce(
+                F.sum(F.when(dropped, F.col("cosine")).otherwise(0.0)).cast("long"),
+                F.lit(0),
+            ).alias("dropped_ids"),
+        )
+    return out.where(F.col("id_a").isNotNull()).distinct()

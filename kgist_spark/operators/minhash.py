@@ -81,13 +81,30 @@ def lsh_buckets(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFr
     )
 
 
-def candidate_pairs(buckets: DataFrame, max_bucket: int = 64) -> DataFrame:
+def candidate_pairs(buckets: DataFrame, max_bucket: int = 64,
+                    drop_stats=None) -> DataFrame:
     """Distinct unordered id pairs sharing any band bucket.  Buckets larger
-    than ``max_bucket`` are dropped (degenerate hot buckets — callers should
-    log the loss); pairs explode via in-bucket self-join."""
+    than ``max_bucket`` are dropped (degenerate hot buckets).
+
+    No silent caps: pass a ``pyspark.sql.Observation`` as ``drop_stats`` to
+    get ``{"dropped_buckets": n, "dropped_ids": m}`` after the first action
+    on the result — the metrics ride the bucket-size aggregate already in
+    the plan (``observe`` adds NO extra job or shuffle, unlike a second
+    count over ``sized``, which would re-run the whole upstream pipeline
+    at 100 TB).  :func:`log_drop_stats` turns the observation into a log
+    line once the query has run."""
     sized = buckets.groupBy("band", "bucket").agg(
         F.collect_set("id").alias("ids"), F.count("*").alias("n")
     )
+    if drop_stats is not None:
+        hot = F.col("n") > max_bucket
+        sized = sized.observe(
+            drop_stats,
+            F.coalesce(F.sum(hot.cast("long")), F.lit(0)).alias("dropped_buckets"),
+            F.coalesce(F.sum(F.when(hot, F.col("n")).otherwise(0)), F.lit(0)).alias(
+                "dropped_ids"
+            ),
+        )
     ok = sized.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     pairs = ok.select(
         F.explode(
@@ -99,6 +116,22 @@ def candidate_pairs(buckets: DataFrame, max_bucket: int = 64) -> DataFrame:
         ).alias("p")
     ).select("p.a", "p.b")
     return pairs.distinct()
+
+
+def log_drop_stats(observation, context: str) -> dict:
+    """Log (and return) the drop metrics captured by an ``Observation``
+    passed to a capped candidate-generation path.  Call AFTER an action has
+    run on the returned DataFrame (``Observation.get`` blocks until then)."""
+    import logging
+
+    got = dict(observation.get)
+    if got.get("dropped_buckets"):
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d hot buckets (%d id occurrences) over max_bucket — "
+            "pairs confined to those buckets are not reported",
+            context, got["dropped_buckets"], got["dropped_ids"],
+        )
+    return got
 
 
 def jaccard_verified_pairs(pairs: DataFrame, shingles: DataFrame,

@@ -12,9 +12,14 @@ the cluster and the driver holds only O(#candidates) counters:
 The key identity making this exact: when rule r is accepted, the newly
 covered set Δ = edges(r) − covered is disjoint from the old covered set, so
 for every candidate g the overlap increment is |edges(g) ∩ Δ| — additive.
-One broadcast-join + group-by job per ACCEPT (not per trial) maintains every
-counter; trials are pure driver float math.  O(accepted rules) Spark jobs
-total, independent of candidate count (reference semantics from
+Trials are pure driver float math; one broadcast-join + group-by job per
+accepted BATCH (not per accept, not per trial) maintains every counter.
+Accepts are batched as long as each subsequent trial's rule has a predicate
+and child label provably disjoint from every pending accept (different
+predicate ⇒ disjoint edge sets; different child label ⇒ disjoint label
+coverage), which keeps every decision identical to the sequential schedule
+while collapsing the per-accept job chain — O(batches) Spark jobs total,
+independent of candidate count (reference semantics from
 ``searcher.py:168-244`` preserved decision-for-decision).
 
 Float caveat: L(alpha(g)) is computed from the ca-size histogram (count ×
@@ -121,6 +126,7 @@ class DeltaGreedy:
         # coverage state: ONE tagged DataFrame (kind 'e'|'l') so each accept
         # needs a single delta checkpoint and a single covered checkpoint
         self.covered: DataFrame | None = None
+        self._batch_no = 0
         self.n_covered_e = 0
         self.n_covered_l = 0
         self.overlap_e: Dict[tuple, int] = {}
@@ -199,12 +205,35 @@ class DeltaGreedy:
 
         return sorted(self.meta.values(), key=key, reverse=True)
 
-    # -- accept bookkeeping (3 Spark jobs per accepted rule) ---------------
-    def _accept(self, meta: CandidateMeta):
-        k = meta.df_key
-        r_edges = self.cand_edges.where(F.col("key") == k).select("eid").distinct()
+    # -- accept bookkeeping (ONE Spark job per accepted BATCH) -------------
+    def _apply_batch(self, metas: List[CandidateMeta]):
+        """Run the delta/overlap/covered maintenance for a batch of accepted
+        rules whose coverage footprints are pairwise disjoint (guaranteed by
+        the caller: distinct predicates ⇒ disjoint edge sets, distinct child
+        labels ⇒ disjoint label-coverage sets).  Disjointness makes the
+        batched delta Δ = (∪ edges(rᵢ)) − covered the disjoint union of the
+        per-rule deltas, so one pass yields exactly the overlap increments a
+        sequential per-rule application would.  ``n_covered_e/l`` are NOT
+        updated here — the caller already advanced them at accept time from
+        the counter identity |Δᵢ| = n_edges(rᵢ) − overlap_e(rᵢ).
+
+        Physical shape — ONE Spark job per batch: the new covered state
+        ``covered ∪ Δ`` (delta rows tagged with this batch's serial) is a
+        LAZY local checkpoint, and the single overlap-counter action joins
+        the candidate tables against the just-tagged slice of it, so that
+        collect both maintains every counter AND materializes the flat
+        checkpointed coverage as a side effect.  This replaced a 3-job
+        schedule (delta checkpoint, counter collect, covered-union
+        checkpoint); lineage depth stays pinned at 1 and rows never leave
+        the cluster.  (An even earlier design collected each delta and
+        re-broadcast it as a local relation; that caps coverage at driver
+        memory, and the growing union-of-local-relations lineage made accept
+        latency climb 2.8 -> 15 s between periodic checkpoints.)"""
+        keys = [m.df_key for m in metas]
+        in_batch = F.col("key").isin(keys) if len(keys) > 1 else F.col("key") == keys[0]
+        r_edges = self.cand_edges.where(in_batch).select("eid").distinct()
         r_labels = (
-            self.cand_labels.where(F.col("key") == k)
+            self.cand_labels.where(in_batch)
             .select("child_label", "child_node")
             .distinct()
         )
@@ -217,12 +246,8 @@ class DeltaGreedy:
             delta_l = r_labels.join(cov_l, ["child_label", "child_node"], "left_anti")
         else:
             delta_e, delta_l = r_edges, r_labels
-        # Deltas stay DISTRIBUTED — never collected.  (An earlier design
-        # collected each delta and re-broadcast it as a local relation; that
-        # caps coverage at driver memory, and the growing union-of-local-
-        # relations lineage made accept latency climb 2.8 -> 15 s between
-        # periodic checkpoints.)  Both deltas ride ONE tagged checkpoint
-        # (job 1, flat plan); rows never leave the cluster.
+        self._batch_no += 1
+        cur = self._batch_no
         eid_type = dict(self.cand_edges.dtypes)["eid"]
         delta = (
             delta_e.select(
@@ -237,18 +262,22 @@ class DeltaGreedy:
                     "child_label", "child_node",
                 )
             )
-            .localCheckpoint()
+            .select("*", F.lit(cur).alias("batch"))
         )
-        d_e = delta.where(F.col("kind") == "e").select("eid")
-        d_l = delta.where(F.col("kind") == "l").select("child_label", "child_node")
+        new_covered = (
+            delta if self.covered is None else self.covered.unionByName(delta)
+        ).localCheckpoint(eager=False)
+        d_e = new_covered.where(
+            (F.col("batch") == cur) & (F.col("kind") == "e")
+        ).select("eid")
+        d_l = new_covered.where(
+            (F.col("batch") == cur) & (F.col("kind") == "l")
+        ).select("child_label", "child_node")
 
-        # One action (job 2) maintains every overlap counter: per-(key, kind)
-        # match counts against the just-covered deltas.  (key, eid) and
-        # (key, label, node) rows are distinct by construction → count(*).
-        # The accepted rule's OWN key row doubles as the delta size (its
-        # cand rows ∩ delta == delta exactly), so no separate count jobs.
-        # No broadcast hint: AQE picks broadcast while deltas are small and
-        # falls back to shuffle join when they are not.
+        # The ONE action: per-(key, kind) match counts against the tagged
+        # delta slice.  (key, eid) and (key, label, node) rows are distinct
+        # by construction → count(*).  No broadcast hint: AQE picks broadcast
+        # while deltas are small and falls back to shuffle join when not.
         incs = (
             self.cand_edges.join(d_e, "eid")
             .select("key", F.lit("e").alias("kind"))
@@ -262,7 +291,6 @@ class DeltaGreedy:
             .collect()
         )
         by_key = {m.df_key: m.rule for m in self.meta.values()}
-        n_delta_e, n_delta_l = 0, 0
         for r in incs:
             if r["kind"] == "e":
                 target = self.overlap_e
@@ -271,21 +299,11 @@ class DeltaGreedy:
             rule = by_key.get(r["key"])
             if rule is not None:
                 target[rule] = target.get(rule, 0) + r["n"]
-            if r["key"] == k:
-                if r["kind"] == "e":
-                    n_delta_e = r["n"]
-                else:
-                    n_delta_l = r["n"]
 
-        self.n_covered_e += n_delta_e
-        self.n_covered_l += n_delta_l
-        # covered := covered ∪ delta, re-materialized flat every accept
-        # (job 3: a narrow rescan of the covered rows — the O(coverage)
-        # set-cover maintenance cost, with lineage depth pinned at 1)
-        self.covered = (
-            delta if self.covered is None
-            else self.covered.unionByName(delta).localCheckpoint()
-        )
+        # the collect above materialized the lazy checkpoint; dropping the
+        # old `covered` reference lets Spark's ContextCleaner reclaim the
+        # superseded checkpoint blocks
+        self.covered = new_covered
 
     # -- distributed coverage accessors (consumed by the batch anomaly
     # scorer, kgist_spark.operators.anomaly.score_edges_delta) --------------
@@ -336,6 +354,46 @@ class DeltaGreedy:
         best_model_len = mdl.length_model_header(stats)
         best_val = best_model_len + mdl.length_error(0, 0, stats)
 
+        # Batched accepts.  A trial only reads (a) the candidate's two overlap
+        # counters and (b) the global covered counts, so a just-accepted rule
+        # can stay "pending" — its delta job deferred — as long as every
+        # subsequent trial is provably unaffected by the pending deltas:
+        #   * edge sets of candidate rules with different PREDICATES are
+        #     disjoint (every covered edge of (root, p, dir, child) has
+        #     predicate p; the same eid can reappear only under the same p);
+        #   * label-coverage sets with different CHILD LABELS are disjoint
+        #     (covered labels are (child_label, child_node) pairs).
+        # Before trialing a rule (and its reverse) whose predicate or child
+        # label intersects the pending footprint, flush: ONE delta job for
+        # the whole batch (see _apply_batch).  The global covered counts
+        # advance at accept time from the exact counter identity
+        # |Δ| = n_edges − overlap_e, so decisions are identical to the
+        # sequential schedule, job count drops from O(accepts) to O(batches).
+        pending: List[CandidateMeta] = []
+        pending_preds: set = set()
+        pending_labels: set = set()
+        batch_sizes: List[int] = []
+
+        def footprint(meta: CandidateMeta):
+            pred, _dir, child = meta.rule[1][0]
+            return {pred}, set(child[0])
+
+        def flush():
+            if pending:
+                batch_sizes.append(len(pending))
+                self._apply_batch(pending)
+                pending.clear()
+                pending_preds.clear()
+                pending_labels.clear()
+
+        def pend(meta: CandidateMeta):
+            self.n_covered_e += meta.n_edges - self.overlap_e.get(meta.rule, 0)
+            self.n_covered_l += meta.n_labels - self.overlap_l.get(meta.rule, 0)
+            preds, labels = footprint(meta)
+            pending.append(meta)
+            pending_preds.update(preds)
+            pending_labels.update(labels)
+
         def trial_val(meta: CandidateMeta):
             new_e = meta.n_edges - self.overlap_e.get(meta.rule, 0)
             new_l = meta.n_labels - self.overlap_l.get(meta.rule, 0)
@@ -353,28 +411,40 @@ class DeltaGreedy:
                 if rev_meta is not None:
                     if rule in selected or reverse_rule in selected:
                         continue
+                if rev_meta is None and rule in selected:
+                    continue
+                if pending:
+                    preds, labels = footprint(meta)
+                    if rev_meta is not None:
+                        p2, l2 = footprint(rev_meta)
+                        preds |= p2
+                        labels |= l2
+                    if (preds & pending_preds) or (labels & pending_labels):
+                        flush()
+                if rev_meta is not None:
                     val, m_len = trial_val(meta)
                     rev_val, rev_m_len = trial_val(rev_meta)
                     if val <= rev_val and rev_val < best_val:
                         selected[rule] = meta
-                        self._accept(meta)
+                        pend(meta)
                         best_val, best_model_len = val, m_len
                     elif rev_val < best_val:
                         selected[reverse_rule] = rev_meta
-                        self._accept(rev_meta)
+                        pend(rev_meta)
                         best_val, best_model_len = rev_val, rev_m_len
                 else:
-                    if rule in selected:
-                        continue
                     val, m_len = trial_val(meta)
                     if val < best_val:
                         selected[rule] = meta
-                        self._accept(meta)
+                        pend(meta)
                         best_val, best_model_len = val, m_len
+        flush()
         return {
             "rules": list(selected.keys()),
             "objective_bits": best_val,
             "model_bits": best_model_len,
             "covered_edges": self.n_covered_e,
             "covered_labels": self.n_covered_l,
+            "n_delta_jobs": len(batch_sizes),
+            "batch_sizes": batch_sizes,
         }

@@ -46,6 +46,66 @@ def test_minhash_recall_vs_exact(docs):
     assert (3, 4) in approx  # identical docs always collide
 
 
+def test_minhash_drop_stats_reports_hot_buckets(spark):
+    """No silent caps: a boilerplate cluster bigger than max_bucket is
+    dropped from candidate generation, and the Observation passed as
+    drop_stats reports exactly how much was dropped (zero extra Spark jobs —
+    the metrics ride the bucket-size aggregate already in the plan)."""
+    from pyspark.sql import Observation
+
+    from kgist_spark.operators.dedup import minhash_neardup_pairs
+    from kgist_spark.operators.minhash import log_drop_stats
+
+    boiler = "identical boilerplate navigation footer text repeated on every page of the site"
+    rows = [(i, boiler) for i in range(70)] + [
+        (100, "a genuinely unique document about distributed join strategies"),
+        (101, "a genuinely unique document about distributed join strategy"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    obs = Observation("drops")
+    pairs = {(r["a"], r["b"])
+             for r in minhash_neardup_pairs(docs, threshold=0.3, drop_stats=obs).collect()}
+    got = log_drop_stats(obs, "minhash_neardup_pairs")
+    # 70 identical docs land in ONE bucket per band (8 bands, all > 64)
+    assert got["dropped_buckets"] == 8
+    assert got["dropped_ids"] == 8 * 70
+    assert (100, 101) in pairs          # non-hot near-dups still found
+    assert not any(a < 70 and b < 70 for a, b in pairs)  # hot cluster dropped
+
+
+def test_embedding_lsh_drop_stats_reports_hot_buckets(spark):
+    """The LSH embedding path counts dropped hot groups via null-id marker
+    rows observed (then filtered) downstream of the kernel — no second pass
+    over the bucketed data."""
+    import numpy as np
+    from pyspark.sql import Observation
+
+    from kgist_spark.operators.dedup import embedding_neardup_pairs_lsh
+    from kgist_spark.operators.minhash import log_drop_stats
+
+    rng = np.random.RandomState(13)
+    hot = rng.randn(16)
+    uniq = rng.randn(16)
+    rows = [(int(i), [float(x) for x in hot]) for i in range(20)] + [
+        (100, [float(x) for x in uniq]),
+        (101, [float(x) for x in uniq + 0.001 * rng.randn(16)]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    obs = Observation("embdrops")
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_lsh(
+            df, threshold=0.9, max_bucket=10, drop_stats=obs
+        ).collect()
+    }
+    got = log_drop_stats(obs, "embedding_neardup_pairs_lsh")
+    # 20 identical vectors share every band bucket: 16 bands x 20 ids dropped
+    assert got["dropped_buckets"] == 16
+    assert got["dropped_ids"] == 16 * 20
+    assert (100, 101) in got_pairs
+    assert not any(a < 20 and b < 20 for a, b in got_pairs)
+
+
 def test_simhash_deterministic_and_close(docs, spark):
     from kgist_spark.operators.dedup import simhash64, simhash_candidates
 
