@@ -8,6 +8,12 @@ Headline set: the flagship candidate-generation aggregation over the derived
 KG, top-k ranking, text/dedup/similarity operators over documents/embeddings,
 an hourly window aggregation over events, and the stage-1 extraction
 throughput over a generated web corpus (docs/sec recorded under "extra").
+
+Protocol: every timed region runs SPARK_GRAFT_BENCH_REPS times (default 3)
+and the MEDIAN is reported; per-query [min, max] spreads ship under
+extra.spread.  One cold run per round proved noise-dominated on this box
+(±40% run-to-run from GC/idle state — see BENCH.md), so round-over-round
+deltas compare medians, and the spread shows how settled the box was.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -25,6 +32,7 @@ def main():
     # 100k docs: at 20k the timed region is dominated by Python-worker
     # startup and the docs/sec figure swung 1.2k-26k run to run
     n_bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     from kgist_spark.session import get_spark
     from kgist_spark.plans import testdata_queries as Q
@@ -52,27 +60,37 @@ def main():
     # warm up the JVM + parquet footers with one cheap action
     Q.q_pred_freq(spark, sf_dir).count()
 
-    timings = {}
+    timings, spread = {}, {}
+
+    def record(name, runs):
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+
     for name in bench_queries:
         fn = Q.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop write, not count(): a bare count on an aggregate lets Catalyst
-        # prune the aggregate expressions, timing a cheaper plan than the one
-        # the driver's correctness harness actually runs; noop forces every
-        # output column without paying driver-side collection.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop write, not count(): a bare count on an aggregate lets
+            # Catalyst prune the aggregate expressions, timing a cheaper plan
+            # than the one the driver's correctness harness actually runs;
+            # noop forces every output column without driver-side collection.
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        record(name, runs)
 
     # stage-1 extraction throughput over a generated corpus
     world = World(42)
     pages = generate_pages(spark, n_bench_docs, seed=42, world=world).cache()
     pages.count()  # materialize generation outside the timed region
-    t0 = time.perf_counter()
-    n_triples = extract_triples(pages).count()
-    extract_sec = time.perf_counter() - t0
-    timings["extract_triples"] = round(extract_sec, 3)
-    docs_per_sec = round(n_bench_docs / extract_sec, 1)
+    runs, n_triples = [], 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_triples = extract_triples(pages).count()
+        runs.append(time.perf_counter() - t0)
+    record("extract_triples", runs)
+    docs_per_sec = round(n_bench_docs / timings["extract_triples"], 1)
 
     # full 3-stage pipeline (extraction -> canonicalization -> materialized
     # KG tables with lineage manifest) — the north-star headline
@@ -81,14 +99,16 @@ def main():
 
     from kgist_spark.pipeline.run import construct_kg
 
-    out = tempfile.mkdtemp(prefix="bench_kg_")
-    t0 = time.perf_counter()
-    triples, labels = construct_kg(spark, pages, out_dir=out)
-    e2e_sec = time.perf_counter() - t0
-    timings["pipeline_e2e"] = round(e2e_sec, 3)
-    n_kg_triples = triples.count()
-    triples.unpersist(), labels.unpersist()
-    shutil.rmtree(out, ignore_errors=True)
+    runs, n_kg_triples = [], 0
+    for _ in range(reps):
+        out = tempfile.mkdtemp(prefix="bench_kg_")
+        t0 = time.perf_counter()
+        triples, labels = construct_kg(spark, pages, out_dir=out)
+        runs.append(time.perf_counter() - t0)
+        n_kg_triples = triples.count()
+        triples.unpersist(), labels.unpersist()
+        shutil.rmtree(out, ignore_errors=True)
+    record("pipeline_e2e", runs)
     pages.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -102,8 +122,10 @@ def main():
         "sf": sf,
         "extra": {
             "cpus": cpus,
+            "reps": reps,
+            "spread": spread,
             "extract_docs_per_sec": docs_per_sec,
-            "pipeline_docs_per_sec": round(n_bench_docs / e2e_sec, 1),
+            "pipeline_docs_per_sec": round(n_bench_docs / timings["pipeline_e2e"], 1),
             "n_bench_docs": n_bench_docs,
             "n_extracted_triples": n_triples,
             "n_kg_triples": n_kg_triples,

@@ -10,7 +10,9 @@ to the edge-list file.
 By default the summarization runs on the single-node oracle engine (the
 reference is single-node; same results, no JVM startup).  ``--spark`` routes
 candidate generation through the distributed engine instead — identical
-output, tested in ``tests/test_cli.py``.
+output, tested in ``tests/test_cli.py``.  ``--save_candidates PATH`` /
+``--load_candidates PATH`` persist/reload the candidate contribution table
+(S3, reference ``graph.py:166-168``) so repeat runs skip the generation join.
 """
 
 from __future__ import annotations
@@ -49,6 +51,13 @@ def parse_args(argv=None):
     p.add_argument("--data_dir", default="data")
     p.add_argument("--spark", action="store_true",
                    help="run candidate generation on the distributed engine")
+    p.add_argument("--save_candidates", default=None, metavar="PATH",
+                   help="persist the candidate contribution table as parquet "
+                        "after generation (S3; implies --spark)")
+    p.add_argument("--load_candidates", default=None, metavar="PATH",
+                   help="reload a persisted candidate table instead of "
+                        "re-running the candidate-generation join (S3; "
+                        "implies --spark)")
     return p.parse_args(argv)
 
 
@@ -68,10 +77,12 @@ def main(argv=None) -> int:
     edge_path, labels_path = _resolve_paths(args)
     say = print if args.verbosity > 0 else (lambda *a, **k: None)
 
-    if args.spark:
+    if args.spark or args.save_candidates or args.load_candidates:
         from pyspark.sql import SparkSession
 
         from kgist_spark.plans.summarizer import SparkSummarizer
+        from kgist_spark.sources.candidates_io import (
+            load_candidates, save_candidates)
         from kgist_spark.sources.edgelist import load_labels, load_triples
 
         spark = (
@@ -81,10 +92,22 @@ def main(argv=None) -> int:
             .config("spark.sql.shuffle.partitions", "32")
             .getOrCreate()
         )
-        summ = SparkSummarizer(
-            load_triples(spark, edge_path), load_labels(spark, labels_path),
-            idify=args.idify,
-        )
+        triples = load_triples(spark, edge_path)
+        labels = load_labels(spark, labels_path)
+        cand = None
+        if args.load_candidates:
+            cand = load_candidates(spark, args.load_candidates)
+            say(f"Candidates reloaded from {args.load_candidates}.")
+        elif args.save_candidates:
+            from kgist_spark.operators.candidates import candidate_edges
+            from kgist_spark.sources.edgelist import explode_labels
+
+            cand = candidate_edges(triples, explode_labels(labels))
+            save_candidates(cand, args.save_candidates)
+            cand = load_candidates(spark, args.save_candidates)
+            say(f"Candidates saved to {args.save_candidates}.")
+        summ = SparkSummarizer(triples, labels, idify=args.idify,
+                               cand_edges=cand)
         say("Graph loaded (Spark candidate generation).")
         model = summ.fit(passes=args.passes,
                          label_qualify=not args.no_label_qualify)

@@ -134,26 +134,46 @@ def covered_triples_for_model(spark: SparkSession, model: SummaryModel,
     child endpoint carries the child label (the candidate index is built from
     that same pattern scan, reference ``graph.py:127-148``; qualification
     preserves the edge set because all heads share the qualified labels).
-    Only O(|rules|) key rows ship to the cluster — the covered relation
-    itself is computed by joins.  Returns ``None`` for models holding
-    RuleTree rules (Rm/Rn products), whose coverage is not a flat pattern.
+
+    Depth-1 RuleTree rules (Rm merge products) decompose into their atoms
+    (reference ``rule.py:146-151``): ``Rule.merge`` unions the constituent
+    level-0 rules' realized assertions verbatim (``rule.py:65-76`` +
+    ``correct_assertion.py:62-66``), so a merged rule's covered edges are
+    exactly the union of its atoms' full pattern matches — the flat
+    reconstruction applies atom by atom.
+
+    Only O(Σ|atoms|) key rows ship to the cluster — the covered relation
+    itself is computed by joins.  Returns ``None`` only for models holding
+    NESTED rules (depth >= 2 Rn products): ``pin_to_leaf`` + ``filter_errant``
+    restrict coverage to assertion trees that realize the full nested
+    structure and compose leaf assertions in list order (reference
+    ``rule.py:108-119,204-208``), which is not a per-atom pattern.
     """
     index = model.index
     to_label = (lambda l: index.id_to_label[l]) if index.idify else (lambda l: l)
     to_pred = (lambda p: index.id_to_pred[p]) if index.idify else (lambda p: p)
 
     meta_rows, root_rows = [], []
-    for rid, rule in enumerate(model.rules):
+    aid = 0
+    for rule in model.rules:
         if isinstance(rule, RuleTree):
-            return None
-        root, children = rule
-        if len(children) != 1:
-            return None
-        pred, dirv, (child_labels, grand) = children[0]
-        if grand != () or len(child_labels) != 1:
-            return None
-        meta_rows.append((rid, to_pred(pred), dirv, to_label(child_labels[0]), len(root)))
-        root_rows.extend((rid, to_label(l)) for l in root)
+            if rule.max_depth() > 1:
+                return None
+            atoms = rule.atoms()
+        else:
+            atoms = [rule]
+        for atom in atoms:
+            root, children = atom
+            if len(children) != 1:
+                return None
+            pred, dirv, (child_labels, grand) = children[0]
+            if grand != () or len(child_labels) != 1:
+                return None
+            meta_rows.append(
+                (aid, to_pred(pred), dirv, to_label(child_labels[0]), len(root))
+            )
+            root_rows.extend((aid, to_label(l)) for l in root)
+            aid += 1
 
     t = triples.select("subj", "pred", "obj")
     if not meta_rows:
@@ -192,7 +212,10 @@ def covered_triples_for_model(spark: SparkSession, model: SummaryModel,
 def _covered_from_driver_model(spark: SparkSession, model: SummaryModel) -> DataFrame:
     """Fallback covered set materialized from the driver-resident model
     (exact-mode models keep coverage on the driver by construction); only
-    used for RuleTree (Rm/Rn) models, whose coverage is not pattern-flat."""
+    used for NESTED (depth >= 2 Rn) models, whose coverage depends on the
+    realized-assertion composition order (``pin_to_leaf``/``filter_errant``)
+    and is not a per-atom pattern.  Flat AND merged (Rm) models route
+    through :func:`covered_triples_for_model` instead."""
     index = model.index
     to_node = (lambda n: index.id_to_node[n]) if index.idify else (lambda n: n)
     to_pred = (lambda p: index.id_to_pred[p]) if index.idify else (lambda p: p)
@@ -246,10 +269,10 @@ def score_edges(spark: SparkSession, model: SummaryModel, triples: DataFrame,
 
     :covered_triples: optional distributed ``(subj, pred, obj)`` covered set
         (e.g. from :func:`score_edges_delta`'s pipeline).  When absent, the
-        covered set is *reconstructed distributedly* from the rule patterns —
-        the driver never materializes a per-edge relation — except for
-        RuleTree (Rm/Rn) models, which fall back to the driver-resident
-        coverage the exact-mode fit already holds.
+        covered set is *reconstructed distributedly* from the rule (atom)
+        patterns — the driver never materializes a per-edge relation — for
+        flat AND Rm-merged models alike; only nested (depth >= 2 Rn) models
+        fall back to the driver-resident coverage the exact-mode fit holds.
     """
     scorer = AnomalyScorer(model)
     unexplained = scorer.unexplained_edge_bits()

@@ -43,6 +43,25 @@ def test_cli_refinements(tmp_path):
     assert _run_cli(tmp_path, "-Rm", "-Rn") == want
 
 
+@pytest.mark.spark
+def test_cli_candidate_save_load_roundtrip(tmp_path):
+    """S3 via the CLI: --save_candidates persists the contribution table,
+    and a second run with --load_candidates (skipping candidate generation)
+    produces an identical model."""
+    cand_path = tmp_path / "cands.parquet"
+    first = _run_cli(tmp_path, "--save_candidates", str(cand_path))
+    assert cand_path.exists()
+    out2 = tmp_path / "cli_out2"
+    cmd = [
+        sys.executable, "-m", "kgist_spark",
+        "--graph", str(FIXTURES / "test.txt"),
+        "--output_path", str(out2), "-v", "0",
+        "--load_candidates", str(cand_path),
+    ]
+    subprocess.run(cmd, check=True, cwd="/root/repo", timeout=300)
+    assert (out2 / "rules.txt").read_text() == first
+
+
 def test_cli_no_idify(tmp_path):
     kg = fixture_kg("test", idify=False)
     model = GreedySearcher(kg).build_model()

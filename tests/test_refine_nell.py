@@ -71,6 +71,27 @@ def test_full_nell_merge_matches_reference(nell_dir):
     assert abs(AnomalyScorer(merged).score_edge(edge) - live_reference_score) < 1e-6
 
 
+@pytest.mark.spark
+def test_full_nell_merged_model_distributed_readme_edge(nell_dir, spark):
+    """The README edge scores 26.5422 through the DISTRIBUTED batch scorer
+    under the Rm-merged model, with the covered set reconstructed from the
+    merged rules' atom patterns on the cluster (no driver-materialized
+    per-edge relation anywhere in the path)."""
+    from kgist_spark.operators.anomaly import score_edges
+
+    kg = LocalKG.from_files(
+        str(nell_dir / "nell.txt"), str(nell_dir / "nell_labels.txt"), idify=True
+    )
+    model = GreedySearcher(kg).build_model(passes=2, label_qualify=True)
+    merged = merge_rules(model)
+    edge = ("concept:company:limited_brands", "concept:companyceo",
+            "concept:ceo:leslie_wexner")
+    triples = spark.createDataFrame([edge], "subj string, pred string, obj string")
+    got = score_edges(spark, merged, triples).collect()
+    assert len(got) == 1
+    assert abs(got[0]["score"] - 26.542208568396546) < 1e-5
+
+
 def test_nell3k_full_refinement_chain(nell_dir):
     slice_path = nell_dir / "nell3k.txt"
     with open(nell_dir / "nell.txt") as f:

@@ -116,6 +116,52 @@ def test_pattern_covered_set_matches_driver_model(spark, idify):
     assert got == want
 
 
+@pytest.mark.nell
+def test_pattern_covered_set_matches_driver_model_merged(spark):
+    """Rm-merged models route through the SAME distributed pattern path:
+    a depth-1 RuleTree's covered edges are exactly the union of its atoms'
+    pattern matches (merge unions the constituent level-0 assertions), so
+    the driver never ships a per-edge covered relation for merged models."""
+    import zipfile
+    import tempfile
+
+    from kgist_spark.functions.ir import RuleTree
+    from kgist_spark.operators.anomaly import (
+        covered_triples_for_model, node_labels_df)
+    from kgist_spark.oracle import LocalKG
+    from kgist_spark.oracle.refine import merge_rules
+    from tests.conftest import NELL_ZIP
+
+    if not NELL_ZIP.exists():
+        pytest.skip("NELL dataset not available")
+    with tempfile.TemporaryDirectory() as td:
+        with zipfile.ZipFile(NELL_ZIP) as z:
+            z.extractall(td)
+        with open(f"{td}/nell.txt") as f:
+            lines = [next(f) for _ in range(3000)]
+        with open(f"{td}/nell3k.txt", "w") as f:
+            f.write("".join(lines))
+        kg = LocalKG.from_files(f"{td}/nell3k.txt", f"{td}/nell_labels.txt", idify=True)
+    model = GreedySearcher(kg).build_model(passes=2, label_qualify=True)
+    merged = merge_rules(model)
+    assert any(isinstance(r, RuleTree) for r in merged.rules)  # real Rm trees
+
+    to_n, to_p = kg.id_to_node, kg.id_to_pred
+    want = {
+        (to_n[s], to_p[p], to_n[o])
+        for eid in merged.covered_edges
+        for (s, p, o) in [kg.id_to_edge[eid]]
+    }
+    edges = [(to_n[s], to_p[p], to_n[o]) for (s, p, o) in kg.id_to_edge.values()]
+    triples = spark.createDataFrame(edges, "subj string, pred string, obj string")
+    got_df = covered_triples_for_model(
+        spark, merged, triples, node_labels_df(spark, merged)
+    )
+    assert got_df is not None  # no driver fallback for depth-1 trees
+    got = {(r["subj"], r["pred"], r["obj"]) for r in got_df.collect()}
+    assert got == want
+
+
 @pytest.mark.parametrize("name", ["test", "tiny1", "label_qualifier_1"])
 def test_delta_mode_scoring_matches_oracle(spark, name):
     """End-to-end delta-mode pipeline: distributed greedy fit -> distributed
