@@ -29,6 +29,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kgist_spark.plans.testdata_queries import ORACLE_SQL
+    from kgist_spark.plans.testdata_queries import oracle_sql_dict
 
-    return dict(ORACLE_SQL)
+    return oracle_sql_dict()

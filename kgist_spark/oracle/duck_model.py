@@ -87,25 +87,29 @@ def dense_id_order(rows, key_values, n_buckets: int = 64):
     return sorted(rows, key=order_key)
 
 
-def fit_testdata_model(sf_dir: str, passes: int = 1, label_qualify: bool = True):
-    """Replay ``plans.testdata_queries._fit_derived_model`` without a JVM:
-    DuckDB computes the derived KG (same SQL the correctness oracles use),
-    the rows are ordered exactly as the Spark path's ``deterministic_dense_ids``
-    orders them, and the pure-Python engine fits the model.  Returns
-    ``(LocalKG, SummaryModel)``."""
+def fit_testdata_model(sf_dir: str, passes: int = 1, label_qualify: bool = True,
+                       perturbed: bool = False):
+    """Replay ``plans.testdata_queries._fit_derived_model`` (or, with
+    ``perturbed=True``, ``_fit_perturbed_model`` — the anomaly query's KG)
+    without a JVM: DuckDB computes the derived KG (same SQL the correctness
+    oracles use), the rows are ordered exactly as the Spark path's
+    ``deterministic_dense_ids`` orders them, and the pure-Python engine fits
+    the model.  Returns ``(LocalKG, SummaryModel)``."""
     import duckdb
 
     from kgist_spark.oracle.engine import GreedySearcher
     from kgist_spark.oracle.kg import LocalKG
     from kgist_spark.plans.testdata_queries import (
-        DERIVED_LABELS_SQL, DERIVED_TRIPLES_SQL)
+        DERIVED_LABELS_SQL, DERIVED_TRIPLES_SQL, PERTURBED_TRIPLES_SQL)
 
     con = duckdb.connect()
     for t in ("customer", "supplier", "orders", "lineitem", "part", "nation"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    triples = con.execute(DERIVED_TRIPLES_SQL).fetchall()
+    triples = con.execute(
+        PERTURBED_TRIPLES_SQL if perturbed else DERIVED_TRIPLES_SQL
+    ).fetchall()
     label_pairs = con.execute(DERIVED_LABELS_SQL).fetchall()
     con.close()
 

@@ -106,6 +106,64 @@ DERIVED_LABELS_SQL = """
 
 _KG_CTE = f"WITH triples AS ({DERIVED_TRIPLES_SQL}), labels AS ({DERIVED_LABELS_SQL})"
 
+
+# ---------------------------------------------------------------------------
+# perturbed KG for the anomaly query: the clean derived KG is perfectly
+# regular (its 5-rule model covers 100% of the edges with zero exceptions),
+# so every anomaly score degenerates to 0.  Mirroring the reference's
+# corrupted-edge evaluation protocol, the anomaly query fits AND scores over
+# a deterministically perturbed KG instead:
+#   * hold out the placed_by assertions of every 7th customer — those
+#     customers become applicable-but-not-head exceptions of the
+#     (customer, placed_by, in, order) rule, giving the blame term real mass;
+#   * inject a same-pred noise edge from each held-out customer's nation
+#     (the edges that pick the blame up);
+#   * inject a 9-edge ring between unlabeled ghost nodes x0..x24 — no labels
+#     means no candidate rule can ever cover them, so they stay uncovered and
+#     the unexplained-edge constant becomes nonzero.
+# Result: three score levels (unexplained ~28.6 x9, blame ~4.1 x215 at
+# sf0.01, zero for the rest), exercising the covered-set reconstruction, the
+# applicable/culpable blame pipeline and the negative-error constant.
+# ---------------------------------------------------------------------------
+
+PERTURBED_TRIPLES_SQL = f"""
+    SELECT * FROM ({DERIVED_TRIPLES_SQL})
+    WHERE NOT (pred = 'placed_by' AND CAST(substring(obj, 2) AS BIGINT) % 7 = 0)
+    UNION ALL
+    SELECT DISTINCT 'n' || c_nationkey, 'placed_by', 'c' || c_custkey
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT 'x' || n_nationkey, 'linked_to', 'x' || ((n_nationkey + 1) % 25)
+    FROM nation WHERE n_nationkey % 3 = 0
+"""
+
+_PERTURBED_KG_CTE = (
+    f"WITH triples AS ({PERTURBED_TRIPLES_SQL}), labels AS ({DERIVED_LABELS_SQL})"
+)
+
+
+def perturbed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = derived_triples(spark, sf_dir).where(
+        F.expr("NOT (pred = 'placed_by' AND CAST(substring(obj, 2) AS BIGINT) % 7 = 0)")
+    )
+    injected = (
+        customer.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("subj"),
+            F.lit("placed_by").alias("pred"),
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("obj"),
+        )
+        .distinct()
+    )
+    ghosts = nation.where(F.col("n_nationkey") % 3 == 0).select(
+        F.concat(F.lit("x"), F.col("n_nationkey")).alias("subj"),
+        F.lit("linked_to").alias("pred"),
+        F.concat(F.lit("x"), ((F.col("n_nationkey") + 1) % 25).cast("string")).alias("obj"),
+    )
+    return base.unionAll(injected).unionAll(ghosts)
+
 _CAND_CTE = (
     _KG_CTE
     + """,
@@ -241,16 +299,14 @@ def q_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
-def _fit_derived_model(spark, sf_dir):
-    """Exact-mode summarizer over the derived KG (cached per sf_dir)."""
-    if sf_dir in _MODEL_CACHE:
-        return _MODEL_CACHE[sf_dir]
+def _fit_model_over(spark, sf_dir, triples_df, cache_key):
+    """Exact-mode summarizer over a triple set (cached per (sf_dir, kind))."""
+    if cache_key in _MODEL_CACHE:
+        return _MODEL_CACHE[cache_key]
     from kgist_spark.plans.summarizer import SparkSummarizer
     from kgist_spark.pipeline.materialize import deterministic_dense_ids
 
-    triples = deterministic_dense_ids(
-        derived_triples(spark, sf_dir), ["subj", "pred", "obj"], "eid"
-    )
+    triples = deterministic_dense_ids(triples_df, ["subj", "pred", "obj"], "eid")
     labels = (
         derived_labels(spark, sf_dir)
         .groupBy("node")
@@ -259,8 +315,20 @@ def _fit_derived_model(spark, sf_dir):
     labels = deterministic_dense_ids(labels, ["node"], "line_no")
     summ = SparkSummarizer(triples, labels, idify=True)
     model = summ.fit(passes=1, label_qualify=True)
-    _MODEL_CACHE[sf_dir] = (summ, model)
+    _MODEL_CACHE[cache_key] = (summ, model)
     return summ, model
+
+
+def _fit_derived_model(spark, sf_dir):
+    return _fit_model_over(
+        spark, sf_dir, derived_triples(spark, sf_dir), (sf_dir, "clean")
+    )
+
+
+def _fit_perturbed_model(spark, sf_dir):
+    return _fit_model_over(
+        spark, sf_dir, perturbed_triples(spark, sf_dir), (sf_dir, "perturbed")
+    )
 
 
 _MODEL_CACHE: dict = {}
@@ -316,12 +384,16 @@ def q_kg_rules_nested(spark, sf_dir):
 
 
 def q_anomaly_topk(spark, sf_dir):
-    """Q1 batch anomaly ranking over the derived KG (rows-only): the 25 most
-    anomalous edges under the fitted model."""
+    """Q1 batch anomaly ranking: the 25 most anomalous edges of the
+    deterministically perturbed KG (see :data:`PERTURBED_TRIPLES_SQL`) under
+    a model fitted on that same KG — the clean derived KG is fully regular,
+    so the perturbation is what gives the scorer real anomalies to rank
+    (9 uncovered ghost-ring edges at the unexplained-edge constant, then
+    noise edges carrying blame from held-out customer assertions)."""
     from kgist_spark.operators.anomaly import score_edges
 
-    summ, model = _fit_derived_model(spark, sf_dir)
-    triples = derived_triples(spark, sf_dir)
+    summ, model = _fit_perturbed_model(spark, sf_dir)
+    triples = perturbed_triples(spark, sf_dir)
     return (
         score_edges(spark, model, triples)
         .select("subj", "pred", "obj", F.round("score", 5).alias("score"))
@@ -806,3 +878,208 @@ ORACLE_SQL["embedding_ann_lsh"] = rf"""
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# anomaly_topk oracle: the fitted model's side tables as SQL literals
+# ---------------------------------------------------------------------------
+
+def anomaly_topk_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB replay of :func:`q_anomaly_topk`.
+
+    The score formula (reference ``anomaly_detector.py:40-83``) is
+    ``[uncovered]*c + blame(subj, pred) + blame(obj, pred)``; everything
+    data-sized (covered set, rule heads, blame applicability) is replayed as
+    SQL over the derived-KG CTEs, and only the fitted model's O(|rules|)
+    side tables (pred/dir/child pattern keys, root labels, per-exception
+    bits, the unexplained-edge constant) ship as literal VALUES — the same
+    pattern as the LSH hyperplane literals.  The model itself is re-fitted
+    WITHOUT a JVM via :func:`kgist_spark.oracle.duck_model.fit_testdata_model`
+    over the PERTURBED KG the query scores (``PERTURBED_TRIPLES_SQL``); the
+    replay's row orders replicate the Spark fit bit for bit (tested equal at
+    sf0.001 and sf0.01: same rules, same objective bits, same coverage).
+    """
+    from kgist_spark.oracle.anomaly import AnomalyScorer
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    kg, model = _duck_fit(sf_dir, perturbed=True)
+    scorer = AnomalyScorer(model)
+    unexplained = scorer.unexplained_edge_bits()
+
+    def lab(l):
+        return kg.id_to_label[l] if kg.idify else l
+
+    def prd(p):
+        return kg.id_to_pred[p] if kg.idify else p
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    meta_rows, root_rows, stat_rows = [], [], []
+    for rid, rule in enumerate(model.rules):
+        root, children = rule
+        (pred, dirv, (child_labels, _grand)), = children
+        meta_rows.append(
+            f"({rid}, {q(prd(pred))}, {q(dirv)}, {q(lab(child_labels[0]))}, {len(root)})"
+        )
+        for idx, l in enumerate(root):
+            root_rows.append(f"({rid}, {q(lab(l))}, {idx})")
+        _na, _ne, bits = scorer.rule_exception_bits(rule)
+        stat_rows.append(f"({rid}, {bits / _ne if _ne else 0.0!r})")
+
+    return f"""{_PERTURBED_KG_CTE},
+ nld AS (SELECT DISTINCT node, label FROM labels),
+ nl AS (
+   SELECT node, label,
+          row_number() OVER (PARTITION BY node ORDER BY label) - 1 AS pos
+   FROM nld
+ ),
+ meta(rid, pred, dir, child_label, root_size) AS (VALUES {", ".join(meta_rows)}),
+ roots(rid, label, root_idx) AS (VALUES {", ".join(root_rows)}),
+ rstats(rid, bits_per_exception) AS (VALUES {", ".join(stat_rows)}),
+ root_ok AS (
+   SELECT r.rid, n.node
+   FROM nld n JOIN roots r ON n.label = r.label
+   JOIN meta m ON m.rid = r.rid
+   GROUP BY r.rid, n.node, m.root_size
+   HAVING count(*) = m.root_size
+ ),
+ matched AS (
+   -- two equi-join branches (out/in) instead of CASE expressions in join
+   -- conditions, which would defeat hash-join planning
+   SELECT t.subj, t.pred, t.obj, m.rid, t.subj AS rn
+   FROM triples t
+   JOIN meta m ON t.pred = m.pred AND m.dir = 'out'
+   JOIN nld cn ON cn.node = t.obj AND cn.label = m.child_label
+   JOIN root_ok ro ON ro.rid = m.rid AND ro.node = t.subj
+   UNION ALL
+   SELECT t.subj, t.pred, t.obj, m.rid, t.obj AS rn
+   FROM triples t
+   JOIN meta m ON t.pred = m.pred AND m.dir = 'in'
+   JOIN nld cn ON cn.node = t.subj AND cn.label = m.child_label
+   JOIN root_ok ro ON ro.rid = m.rid AND ro.node = t.obj
+ ),
+ covered AS (SELECT DISTINCT subj, pred, obj FROM matched),
+ heads AS (SELECT DISTINCT rid, rn AS node FROM matched),
+ applicable AS (
+   -- ordered-subsequence applicability: the matched root_idx sequence,
+   -- ordered by the node's label-tuple position, must be 0..k-1
+   SELECT nl.node, r.rid
+   FROM nl JOIN roots r ON nl.label = r.label
+   JOIN meta m ON m.rid = r.rid
+   GROUP BY nl.node, r.rid, m.root_size
+   HAVING count(*) = m.root_size
+      AND list(CAST(r.root_idx AS BIGINT) ORDER BY nl.pos)
+          = range(CAST(m.root_size AS BIGINT))
+ ),
+ culpable AS (
+   SELECT a.node, a.rid FROM applicable a
+   LEFT JOIN heads h ON h.rid = a.rid AND h.node = a.node
+   WHERE h.node IS NULL
+ ),
+ blame AS (
+   SELECT c.node, m.pred, sum(s.bits_per_exception) AS blame
+   FROM culpable c
+   JOIN meta m ON m.rid = c.rid
+   JOIN rstats s ON s.rid = c.rid
+   GROUP BY c.node, m.pred
+ )
+SELECT t.subj, t.pred, t.obj,
+       round(CASE WHEN c.subj IS NULL THEN {unexplained!r} ELSE 0.0 END
+             + coalesce(bs.blame, 0.0) + coalesce(bo.blame, 0.0), 5) AS score
+FROM triples t
+LEFT JOIN covered c ON c.subj = t.subj AND c.pred = t.pred AND c.obj = t.obj
+LEFT JOIN blame bs ON bs.node = t.subj AND bs.pred = t.pred
+LEFT JOIN blame bo ON bo.node = t.obj AND bo.pred = t.pred
+ORDER BY score DESC, t.subj, t.pred, t.obj
+LIMIT 25"""
+
+
+# ---------------------------------------------------------------------------
+# model-output oracles: kg_model_rules / kg_rules_merged / kg_rules_nested
+# ---------------------------------------------------------------------------
+
+_DUCK_FIT_CACHE: dict = {}
+
+
+def _duck_fit(sf_dir: str, perturbed: bool = False):
+    from kgist_spark.oracle.duck_model import fit_testdata_model
+
+    key = (sf_dir, perturbed)
+    if key not in _DUCK_FIT_CACHE:
+        _DUCK_FIT_CACHE[key] = fit_testdata_model(sf_dir, perturbed=perturbed)
+    return _DUCK_FIT_CACHE[key]
+
+
+def model_rules_oracle_sql(kind: str, sf_dir: str | None = None) -> str:
+    """DuckDB oracle for the fitted/merged/nested rule-set queries.
+
+    These results are themselves O(|rules|) — the model — so the whole
+    oracle is the literal VALUES serialization of an INDEPENDENT fit: the
+    KG is re-derived by DuckDB and the model re-fitted (and re-refined, for
+    ``merged``/``nested``) by the pure-Python engine
+    (:func:`kgist_spark.oracle.duck_model.fit_testdata_model`), sharing no
+    code path with the distributed Spark fit the query runs.  Row contents
+    replicate :func:`q_kg_model_rules` / :func:`_rule_rows`.
+    """
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    kg, model = _duck_fit(sf_dir)
+    if kind == "merged":
+        from kgist_spark.oracle.refine import merge_rules
+
+        model = merge_rules(model)
+    elif kind == "nested":
+        from kgist_spark.oracle.refine import nest_rules
+
+        model = nest_rules(model, max_rounds=2)
+
+    rows = []
+    for rule, ca in model.rules.items():
+        if hasattr(rule, "tuplify"):  # RuleTree (Rm/Rn product)
+            t = rule.tuplify()
+            n_cas, n_edges = len(rule.assertions), len(rule.edges_covered())
+        else:
+            t, n_cas, n_edges = rule, len(ca), sum(ca)
+        rows.append((repr(kg.tuplify(t)), n_cas, n_edges))
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ", ".join(f"({q(r)}, {c}, {e})" for r, c, e in rows)
+    return f"""
+    SELECT rule, CAST(n_cas AS BIGINT) AS n_cas, CAST(n_edges AS BIGINT) AS n_edges
+    FROM (VALUES {values}) AS t(rule, n_cas, n_edges)
+"""
+
+
+_ORACLE_SQL_FULL: dict | None = None
+
+_MODEL_ORACLE_KINDS = {
+    "kg_model_rules": "flat",
+    "kg_rules_merged": "merged",
+    "kg_rules_nested": "nested",
+}
+
+
+def oracle_sql_keys() -> list:
+    """All oracle-backed query names WITHOUT generating the model-literal
+    SQL (cheap — safe for pytest collection)."""
+    return sorted(set(ORACLE_SQL) | {"anomaly_topk"} | set(_MODEL_ORACLE_KINDS))
+
+
+def oracle_sql_dict() -> dict:
+    """The full oracle map, including entries whose SQL embeds a fitted
+    model's literals (computed once per process — the model fits replay
+    in a few seconds at sf0.01, pure Python, no JVM)."""
+    global _ORACLE_SQL_FULL
+    if _ORACLE_SQL_FULL is None:
+        full = dict(ORACLE_SQL)
+        full["anomaly_topk"] = anomaly_topk_oracle_sql()
+        for name, kind in _MODEL_ORACLE_KINDS.items():
+            full[name] = model_rules_oracle_sql(kind)
+        _ORACLE_SQL_FULL = full
+    return dict(_ORACLE_SQL_FULL)

@@ -52,14 +52,33 @@ def test_entry_smoke(spark):
     }
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def _oracle_sql_at(name, sf_dir):
+    """The oracle SQL for ``name`` with any embedded model literals fitted
+    at ``sf_dir`` (the driver fits at its own gate SF via oracle_sql();
+    locally the literals must match the SF under test)."""
+    from kgist_spark.plans import testdata_queries as tq
+
+    if name == "anomaly_topk":
+        return tq.anomaly_topk_oracle_sql(sf_dir)
+    if name in tq._MODEL_ORACLE_KINDS:
+        return tq.model_rules_oracle_sql(tq._MODEL_ORACLE_KINDS[name], sf_dir)
+    return tq.ORACLE_SQL[name]
+
+
+def _oracle_keys():
+    from kgist_spark.plans.testdata_queries import oracle_sql_keys
+
+    return oracle_sql_keys()
+
+
+@pytest.mark.parametrize("name", _oracle_keys())
 def test_query_matches_oracle(spark, con, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [r.asDict() for r in sdf.collect()]
 
-    odf = con.execute(entry_mod.oracle_sql()[name]).df()
+    odf = con.execute(_oracle_sql_at(name, SF_DIR)).df()
     oracle_cols = list(odf.columns)
     assert sorted(spark_cols) == sorted(oracle_cols), (spark_cols, oracle_cols)
     oracle_rows = odf.to_dict("records")

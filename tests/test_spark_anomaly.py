@@ -188,3 +188,26 @@ def test_delta_mode_scoring_matches_oracle(spark, name):
     for (s, p, o), score in got.items():
         want = scorer.score_edge((s, p, o))
         assert abs(score - want) < 1e-9, (s, p, o, score, want)
+
+
+def test_duck_fit_replays_spark_perturbed_fit(spark):
+    """The JVM-free replay that generates the anomaly_topk oracle literals
+    must reproduce the Spark perturbed-KG fit decision for decision."""
+    from kgist_spark.oracle.duck_model import fit_testdata_model
+    from kgist_spark.plans.testdata_queries import _fit_perturbed_model
+
+    sf_dir = "/root/testdata/sf0.001"
+    kg, duck_model = fit_testdata_model(sf_dir, perturbed=True)
+    summ, spark_model = _fit_perturbed_model(spark, sf_dir)
+
+    def tuplified(index, model):
+        return sorted(repr(index.tuplify(r)) for r in model.rules)
+
+    assert tuplified(kg, duck_model) == tuplified(summ.index, spark_model)
+    assert len(duck_model.covered_edges) == len(spark_model.covered_edges)
+
+    duck_scorer = AnomalyScorer(duck_model)
+    spark_scorer = AnomalyScorer(spark_model)
+    assert abs(
+        duck_scorer.unexplained_edge_bits() - spark_scorer.unexplained_edge_bits()
+    ) < 1e-12
