@@ -118,3 +118,65 @@ def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
     # keep_id is the md5 of 'gamma text' holder only among new rows
     got_new = set(md5s) - first
     assert len(got_new) == 1
+
+
+def test_streaming_dedup_then_pipeline_matches_batch(spark, tmp_path):
+    """e2e: incremental (cross-batch stateful) dedup feeding the batch
+    KG-construction pipeline produces the SAME KG as batch-dedup-then-
+    pipeline.  Keeper choice may differ between the two paths (first-seen
+    micro-batch vs global min doc_id), but duplicate pages carry identical
+    text, so the constructed (subj, pred, obj) and label sets must be
+    identical either way — that is the dedup-is-safe-for-KG invariant."""
+    from kgist_spark.pipeline.run import construct_kg
+    from kgist_spark.streaming.ingest import run_incremental_dedup
+
+    world = World(7)
+    inp = tmp_path / "pages"
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    inp.mkdir()
+
+    pages1 = generate_pages(spark, 40, seed=7, world=world)
+    # re-urled copies of half of batch 1 arrive later (cross-batch dups)
+    dups = pages1.where(F.hash("url") % 2 == 0).withColumn(
+        "url", F.concat(F.lit("dup-"), F.col("url"))
+    )
+    pages2 = generate_pages(spark, 30, seed=99, world=world).unionByName(dups)
+
+    pages1.write.parquet(str(inp / "f1.parquet"))
+    run_incremental_dedup(spark, str(inp) + "/*", out, ckpt)
+    pages2.write.parquet(str(inp / "f2.parquet"))
+    run_incremental_dedup(spark, str(inp) + "/*", out, ckpt)
+
+    kept = spark.read.parquet(out)
+    all_pages = pages1.unionByName(pages2)
+    with_id = all_pages.withColumn(
+        "doc_id", F.abs(F.hash("url")).cast("long")
+    ).withColumn("text_md5", F.md5("text"))
+
+    # the stream kept exactly one doc per distinct text
+    n_distinct = with_id.select("text_md5").distinct().count()
+    assert kept.count() == n_distinct
+    assert kept.count() < all_pages.count()  # something was actually dropped
+
+    stream_kept = with_id.join(
+        kept.withColumnRenamed("keep_id", "doc_id"), ["text_md5", "doc_id"], "semi"
+    )
+    batch_kept = with_id.join(
+        with_id.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id")),
+        ["text_md5", "doc_id"],
+        "semi",
+    )
+    assert stream_kept.count() == batch_kept.count() == n_distinct
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    triples_a, labels_a = construct_kg(spark, stream_kept.select(*cols))
+    triples_b, labels_b = construct_kg(spark, batch_kept.select(*cols))
+
+    set_a = {(r["subj"], r["pred"], r["obj"]) for r in triples_a.collect()}
+    set_b = {(r["subj"], r["pred"], r["obj"]) for r in triples_b.collect()}
+    assert set_a == set_b and set_a
+
+    lab_a = {(r["node"], r["label"]) for r in labels_a.collect()}
+    lab_b = {(r["node"], r["label"]) for r in labels_b.collect()}
+    assert lab_a == lab_b and lab_a
