@@ -92,6 +92,18 @@ def main():
     record("extract_triples", runs)
     docs_per_sec = round(n_bench_docs / timings["extract_triples"], 1)
 
+    # same fused extraction through the all-Catalyst fast path (the
+    # pipeline default) — no Python workers in the timed region
+    from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
+
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        extract_facts_jvm(pages).where("kind = 't'").count()
+        runs.append(time.perf_counter() - t0)
+    record("extract_facts_jvm", runs)
+    jvm_docs_per_sec = round(n_bench_docs / timings["extract_facts_jvm"], 1)
+
     # full 3-stage pipeline (extraction -> canonicalization -> materialized
     # KG tables with lineage manifest) — the north-star headline
     import shutil
@@ -125,6 +137,7 @@ def main():
             "reps": reps,
             "spread": spread,
             "extract_docs_per_sec": docs_per_sec,
+            "extract_jvm_docs_per_sec": jvm_docs_per_sec,
             "pipeline_docs_per_sec": round(n_bench_docs / timings["pipeline_e2e"], 1),
             "n_bench_docs": n_bench_docs,
             "n_extracted_triples": n_triples,

@@ -19,11 +19,13 @@ from kgist_spark.pipeline.canonicalize import (
     entity_vocabulary,
 )
 from kgist_spark.pipeline.extract import extract_facts
+from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
 from kgist_spark.pipeline.materialize import materialize_kg, with_eids
 
 
 def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = None,
-                 n_buckets: int = 8, canonicalize: bool = True):
+                 n_buckets: int = 8, canonicalize: bool = True,
+                 extract_engine: str = "jvm"):
     """Stages 1-3.  Returns ``(triples, labels)``:
 
     * triples — (subj, pred, obj, url[, eid])
@@ -41,7 +43,11 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
     # distinct: every downstream stage (vocabulary, canonical map, apply,
     # 3-table materialization, the caller's summarizer) re-reads these, and
     # the persisted sets are |facts|, far smaller than |pages|.
-    facts = extract_facts(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    # Default engine is the all-Catalyst fast path (extract_jvm) — row-
+    # identical to the Python spec path (pinned in tests) with no Python
+    # workers in stage 1; "python" selects the mapInPandas spec twin.
+    extractor = extract_facts_jvm if extract_engine == "jvm" else extract_facts
+    facts = extractor(pages).persist(StorageLevel.MEMORY_AND_DISK)
     raw_triples = (
         facts.where(F.col("kind") == "t")
         .groupBy("subj", "pred", "obj")
