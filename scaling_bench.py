@@ -14,7 +14,8 @@ pure C compute (single-threaded BLAS matmuls under multiprocessing) shows
 this machine sustains only ~3.0x throughput from 8->32 processes (~0.74
 efficiency ceiling from frequency/memory-bandwidth effects), while 4->16
 stays below the saturation knee.  Override with SPARK_GRAFT_SCALING_N /
-SPARK_GRAFT_SCALING_DOCS.
+SPARK_GRAFT_SCALING_DOCS; SPARK_GRAFT_SCALING_ENGINE=jvm times the
+all-Catalyst extractor (no Python workers) instead of the Arrow/pandas one.
 """
 
 from __future__ import annotations
@@ -38,23 +39,30 @@ spark.stop()
 """
 
 WORKER = """
-import json, sys, time
+import json, os, sys, time
 cpus = int(sys.argv[1]); corpus = sys.argv[2]
+engine = os.environ.get("SPARK_GRAFT_SCALING_ENGINE", "python")
 from kgist_spark.session import get_spark
-from kgist_spark.pipeline.extract import extract_triples
+if engine == "jvm":
+    from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
+    def extract(df):
+        return extract_facts_jvm(df).where("kind = 't'")
+else:
+    from kgist_spark.pipeline.extract import extract_triples as extract
 spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus,
                   shuffle_partitions=max(2 * cpus, 16))
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(corpus)
 n_docs = pages.count()
-extract_triples(pages.limit(20000)).count()   # warm-up
+extract(pages.limit(20000)).count()   # warm-up
 runs = []
 for _ in range(3):
     t0 = time.perf_counter()
-    n = extract_triples(pages).count()
+    n = extract(pages).count()
     runs.append(time.perf_counter() - t0)
 best = min(runs)
-print(json.dumps({"cpus": cpus, "n_docs": n_docs, "sec": round(best, 3),
+print(json.dumps({"cpus": cpus, "engine": engine, "n_docs": n_docs,
+                  "sec": round(best, 3),
                   "docs_per_sec": round(n_docs / best, 1), "n_triples": n,
                   "runs": [round(r, 3) for r in runs]}))
 spark.stop()
