@@ -32,17 +32,37 @@ def entity_vocabulary(raw_triples: DataFrame) -> DataFrame:
 def canonical_map(entities: DataFrame, k: int = 3, num_perm: int = 32,
                   bands: int = 8, rows_per_band: int = 4,
                   threshold: float = 0.70) -> DataFrame:
-    """``(node, canonical)`` for every entity (identity rows included)."""
-    shingles = MH.char_shingles(entities, "node", "node", k=k)
-    sigs = MH.minhash_signatures(shingles, num_perm=num_perm)
-    buckets = MH.lsh_buckets(sigs, bands=bands, rows_per_band=rows_per_band)
-    pairs = MH.candidate_pairs(buckets)
-    # same etype only: ids are "{etype}:{surface}"
-    same_type = pairs.where(
-        F.substring_index(F.col("a"), ":", 1) == F.substring_index(F.col("b"), ":", 1)
-    )
-    verified = MH.jaccard_verified_pairs(same_type, shingles, threshold)
-    comp = connected_components(verified.select("a", "b"))
+    """``(node, canonical)`` for every entity (identity rows included).
+
+    Materialization points: ``connected_components`` issues several actions
+    (convergence probes / the driver-path collect), and the final identity
+    join re-reads ``entities`` — without a cut, EACH action would re-run the
+    whole vocabulary-distinct → shingle → minhash → LSH → verify chain (and
+    ``jaccard_verified_pairs`` scans the shingle lineage twice per job on its
+    own).  ``localCheckpoint`` the two small frontier sets — the vocabulary
+    (one row per distinct entity) and the verified pair list — so every
+    downstream action reads materialized partitions; the shingle set is
+    persisted only across the single checkpoint job that reads it 3x.
+    """
+    entities = entities.localCheckpoint()
+    shingles = MH.char_shingles(entities, "node", "node", k=k).persist()
+    try:
+        sigs = MH.minhash_signatures(shingles, num_perm=num_perm)
+        buckets = MH.lsh_buckets(sigs, bands=bands, rows_per_band=rows_per_band)
+        pairs = MH.candidate_pairs(buckets)
+        # same etype only: ids are "{etype}:{surface}"
+        same_type = pairs.where(
+            F.substring_index(F.col("a"), ":", 1)
+            == F.substring_index(F.col("b"), ":", 1)
+        )
+        verified = (
+            MH.jaccard_verified_pairs(same_type, shingles, threshold)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    finally:
+        shingles.unpersist()
+    comp = connected_components(verified)
     canon = comp.select("node", F.col("component").alias("canonical"))
     return (
         entities.join(canon, "node", "left")
