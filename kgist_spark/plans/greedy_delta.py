@@ -24,9 +24,18 @@ independent of candidate count (reference semantics from
 
 Float caveat: L(alpha(g)) is computed from the ca-size histogram (count ×
 term) rather than the reference's per-head summation order; the two differ
-by < 1e-9 bits, which can only matter on exact MDL ties.  The exact-mode
-path remains the bit-parity reference; tests assert both modes select the
-same model on the fixtures.
+by < 1e-9 bits, which can only matter on exact MDL ties.  Such a tie is
+real, not hypothetical: a symmetric predicate yields an out-rule and an
+in-rule with IDENTICAL edges, label coverage and ca-size multisets (full
+NELL has one — (24, 73, 24) — where the reference's pick is decided by a
+6.5e-10-bit difference between the two per-head summation orders).  When a
+rule/reverse trial ties exactly on the histogram values, the loop therefore
+re-runs the comparison with the reference's own float shape: the per-head
+size sequences in candidate insertion order (ascending first-seen eid —
+one tiny filtered aggregate per tied pair, the only per-head data that
+ever reaches the driver) summed head-by-head exactly as
+``evaluator.py:226-232`` does.  The exact-mode path remains the bit-parity
+reference; tests assert both modes select the same model on the fixtures.
 """
 
 from __future__ import annotations
@@ -132,6 +141,7 @@ class DeltaGreedy:
         self.overlap_e: Dict[tuple, int] = {}
         self.overlap_l: Dict[tuple, int] = {}
         self._assert_len_cache: Dict[tuple, float] = {}
+        self._assert_len_ordered_cache: Dict[tuple, float] = {}
 
     # -- MDL terms ---------------------------------------------------------
     def _num_assertions(self, meta: CandidateMeta) -> int:
@@ -154,6 +164,33 @@ class DeltaGreedy:
 
     def _rule_len(self, rule) -> float:
         return mdl.length_rule(rule, self.stats)
+
+    def _assert_len_ordered(self, meta: CandidateMeta, peer: CandidateMeta) -> float:
+        """L(alpha(g)) summed per-head in the reference's insertion order
+        (reference ``evaluator.py:226-232``; ``ca_to_size`` inserts a head at
+        its first contributing edge, ``graph.py:140,148``, so ascending
+        first-seen eid reproduces the order).  Only called on an exact
+        rule-vs-reverse histogram tie, where the reference's decision is the
+        float difference between the two summation orders; fetches the tied
+        PAIR's per-head sizes in one filtered aggregate (``peer`` rides along
+        so the reverse's lookup is a cache hit, not a second job)."""
+        if meta.rule in self._assert_len_ordered_cache:
+            return self._assert_len_ordered_cache[meta.rule]
+        by_key = {m.df_key: m for m in (meta, peer)}
+        rows = (
+            self.cand_edges.where(F.col("key").isin(list(by_key)))
+            .groupBy("key", "root_node")
+            .agg(F.count("*").alias("ca_size"), F.min("eid").alias("first_eid"))
+            .collect()
+        )
+        sizes: Dict[str, list] = {k: [] for k in by_key}
+        for r in sorted(rows, key=lambda r: r["first_eid"]):
+            sizes[r["key"]].append(r["ca_size"])
+        for k, m in by_key.items():
+            self._assert_len_ordered_cache[m.rule] = mdl.length_assertions_flat(
+                self._num_assertions(m), sizes[k], self.stats
+            )
+        return self._assert_len_ordered_cache[meta.rule]
 
     # -- qualification (A5 distributed) ------------------------------------
     def label_qualify(self) -> int:
@@ -424,14 +461,31 @@ class DeltaGreedy:
                 if rev_meta is not None:
                     val, m_len = trial_val(meta)
                     rev_val, rev_m_len = trial_val(rev_meta)
-                    if val <= rev_val and rev_val < best_val:
-                        selected[rule] = meta
-                        pend(meta)
-                        best_val, best_model_len = val, m_len
-                    elif rev_val < best_val:
-                        selected[reverse_rule] = rev_meta
-                        pend(rev_meta)
-                        best_val, best_model_len = rev_val, rev_m_len
+                    take_rule = val <= rev_val
+                    if val == rev_val and rev_val < best_val:
+                        # exact histogram tie (symmetric predicate): replay
+                        # the reference's `val <= rev_val` with the per-head
+                        # summation ORDER it actually uses — see module
+                        # docstring "Float caveat"
+                        a = self._assert_len_ordered(meta, rev_meta)
+                        b = self._assert_len_ordered(rev_meta, meta)
+                        # re-add at full objective magnitude so the compare
+                        # rounds where the reference's does (val and the
+                        # subtracted histogram terms are equal floats on a
+                        # tie, so both sides share one base)
+                        take_rule = (
+                            val - self._assert_len(meta) + a
+                            <= rev_val - self._assert_len(rev_meta) + b
+                        )
+                    if rev_val < best_val:
+                        if take_rule:
+                            selected[rule] = meta
+                            pend(meta)
+                            best_val, best_model_len = val, m_len
+                        else:
+                            selected[reverse_rule] = rev_meta
+                            pend(rev_meta)
+                            best_val, best_model_len = rev_val, rev_m_len
                 else:
                     val, m_len = trial_val(meta)
                     if val < best_val:

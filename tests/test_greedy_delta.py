@@ -33,6 +33,7 @@ def build_delta(spark, name):
     ("tiny1", 2, True),
     ("repeated", 2, True),
     ("label_qualifier_1", 2, True),
+    ("symmetric_tie", 2, True),
 ])
 def test_delta_matches_exact(spark, name, passes, qualify):
     delta = build_delta(spark, name)
@@ -47,3 +48,16 @@ def test_delta_matches_exact(spark, name, passes, qualify):
     assert result["covered_edges"] == len(model.covered_edges)
     assert result["covered_labels"] == len(model.covered_labels)
     assert abs(result["objective_bits"] - want_val) < 1e-6
+
+
+def test_symmetric_tie_resolved_by_per_head_order(spark):
+    """The symmetric predicate's out/in candidate pair ties EXACTLY on every
+    histogram-level quantity (same edges, labels covered, ca-size multiset);
+    the reference's pick — the IN variant here, like full NELL's (24, 73, 24)
+    — is decided by the per-head float summation order, which delta mode must
+    replay (greedy_delta module docstring, "Float caveat").  Regression for
+    the full-NELL nightly divergence: a histogram-only tie-break selects OUT."""
+    delta = build_delta(spark, "symmetric_tie")
+    result = delta.fit(passes=2, label_qualify=True)
+    in_rule = (("A",), (("p", "in", (("A",), ())),))
+    assert in_rule in set(result["rules"])
