@@ -215,7 +215,20 @@ def _covered_from_driver_model(spark: SparkSession, model: SummaryModel) -> Data
     used for NESTED (depth >= 2 Rn) models, whose coverage depends on the
     realized-assertion composition order (``pin_to_leaf``/``filter_errant``)
     and is not a per-atom pattern.  Flat AND merged (Rm) models route
-    through :func:`covered_triples_for_model` instead."""
+    through :func:`covered_triples_for_model` instead.
+
+    Scale note: this is NOT a new driver-memory ceiling.  A nested rule's
+    coverage is order-dependent — ``pin_to_leaf`` composes leaf assertions
+    sequentially (reference ``rule.py:86-103``), so a leaf assertion whose
+    root was itself added by an EARLIER composition composes transitively,
+    and ``filter_errant`` then prunes whole assertion trees
+    (``rule.py:204-208``) — which is why nesting is a driver-side algorithm
+    in the reference AND in this engine (``oracle/refine.py:nest_rules``).
+    Any Rn model therefore already had its coverage materialized on the
+    driver when it was built; replaying those edge ids back to the cluster
+    adds no memory bound that nesting itself did not.  Making Rn models
+    cluster-scale would mean distributing the nesting closure, which is
+    beyond the reference's semantics surface."""
     index = model.index
     to_node = (lambda n: index.id_to_node[n]) if index.idify else (lambda n: n)
     to_pred = (lambda p: index.id_to_pred[p]) if index.idify else (lambda p: p)
