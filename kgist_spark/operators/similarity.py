@@ -33,6 +33,11 @@ def cosine_to_query(embeddings: DataFrame, query: Sequence[float],
     qn = float(np.sqrt(np.dot(q, q)))
     qcol = F.array(*[F.lit(x).cast("double") for x in q])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # round(…, 5): Spark's F.aggregate and DuckDB's list_dot_product fold the
+    # products in different orders, so the raw doubles differ in the last few
+    # ulps; 5 decimals masks that while staying far above any real score gap
+    # at dim 64.  At much higher dims (more accumulated error, tighter score
+    # spacing) revisit the precision before trusting cross-engine compares.
     return embeddings.select(
         F.col(id_col),
         F.round(_dot(v, qcol) / (_norm(v) * F.lit(qn)), 5).alias("cosine"),
