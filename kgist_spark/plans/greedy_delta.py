@@ -24,18 +24,23 @@ independent of candidate count (reference semantics from
 
 Float caveat: L(alpha(g)) is computed from the ca-size histogram (count ×
 term) rather than the reference's per-head summation order; the two differ
-by < 1e-9 bits, which can only matter on exact MDL ties.  Such a tie is
-real, not hypothetical: a symmetric predicate yields an out-rule and an
+by < 1e-9 bits, which can only matter on knife-edge MDL comparisons.  Those
+are real, not hypothetical: a symmetric predicate yields an out-rule and an
 in-rule with IDENTICAL edges, label coverage and ca-size multisets (full
 NELL has one — (24, 73, 24) — where the reference's pick is decided by a
-6.5e-10-bit difference between the two per-head summation orders).  When a
-rule/reverse trial ties exactly on the histogram values, the loop therefore
-re-runs the comparison with the reference's own float shape: the per-head
-size sequences in candidate insertion order (ascending first-seen eid —
-one tiny filtered aggregate per tied pair, the only per-head data that
-ever reaches the driver) summed head-by-head exactly as
-``evaluator.py:226-232`` does.  The exact-mode path remains the bit-parity
-reference; tests assert both modes select the same model on the fixtures.
+6.5e-10-bit difference between the two per-head summation orders).  Every
+decision therefore runs on cheap histogram counters UNLESS its margin falls
+under ``_EDGE_TOL``, in which case it is re-run on the reference's floats
+reconstructed bitwise: per-head size sequences in candidate insertion order
+(ascending first-seen eid — fetched only for the rules the knife-edge
+touches, the only per-head data that ever reaches the driver), summed
+head-by-head (``evaluator.py:226-232``), with the accumulated model length
+refolded over the accept log in the reference's own association order
+(``evaluate_change``).  Guarded sites: rule-vs-reverse choice, the accept
+threshold, and qualification cost comparison.  The exact-mode path remains
+the bit-parity reference; tests assert both modes select the same model on
+the fixtures, a seeded fuzz sweeps random KG-shaped graphs, and the nightly
+pins full NELL (1,115 rules, one decided at 6.5e-10 bits).
 """
 
 from __future__ import annotations
@@ -142,6 +147,10 @@ class DeltaGreedy:
         self.overlap_l: Dict[tuple, int] = {}
         self._assert_len_cache: Dict[tuple, float] = {}
         self._assert_len_ordered_cache: Dict[tuple, float] = {}
+        self._ordered_sizes_cache: Dict[str, List[int]] = {}
+        # (meta, covered_e after accept, covered_l after accept), in accept
+        # order — enough to refold the reference's exact float state
+        self._accept_log: List[tuple] = []
 
     # -- MDL terms ---------------------------------------------------------
     def _num_assertions(self, meta: CandidateMeta) -> int:
@@ -165,32 +174,79 @@ class DeltaGreedy:
     def _rule_len(self, rule) -> float:
         return mdl.length_rule(rule, self.stats)
 
-    def _assert_len_ordered(self, meta: CandidateMeta, peer: CandidateMeta) -> float:
-        """L(alpha(g)) summed per-head in the reference's insertion order
-        (reference ``evaluator.py:226-232``; ``ca_to_size`` inserts a head at
-        its first contributing edge, ``graph.py:140,148``, so ascending
-        first-seen eid reproduces the order).  Only called on an exact
-        rule-vs-reverse histogram tie, where the reference's decision is the
-        float difference between the two summation orders; fetches the tied
-        PAIR's per-head sizes in one filtered aggregate (``peer`` rides along
-        so the reverse's lookup is a cache hit, not a second job)."""
-        if meta.rule in self._assert_len_ordered_cache:
-            return self._assert_len_ordered_cache[meta.rule]
-        by_key = {m.df_key: m for m in (meta, peer)}
+    # -- knife-edge decisions: the reference's floats, reconstructed --------
+    #
+    # All regular decisions run on histogram-based driver math (see module
+    # docstring "Float caveat").  Whenever a decision margin falls under
+    # ``_EDGE_TOL`` — within the histogram-vs-per-head-order drift — the
+    # decision is re-run with the reference's floats reconstructed BITWISE:
+    # per-head size sequences in candidate insertion order (ascending
+    # first-seen eid ≡ ``ca_to_size`` insertion, ``graph.py:140,148``),
+    # summed head-by-head (``evaluator.py:226-232``), accumulated over the
+    # accept log in the reference's own ``prev + L(g) + L(alpha) + A- + L-``
+    # association order (``evaluator.py:evaluate_change``).  Per-head sizes
+    # ship to the driver only for the rules a knife-edge actually touches.
+
+    _EDGE_TOL = 1e-6  # >> accumulated drift (~1e-9/rule), << any real gap
+
+    def _ordered_sizes(self, metas: List[CandidateMeta]) -> None:
+        """Fetch per-head ca-size sequences in first-seen order for every
+        rule in ``metas`` not already cached — ONE filtered aggregate for
+        the lot (sizes are qualification-invariant, so keyed by df_key)."""
+        missing = {m.df_key for m in metas} - set(self._ordered_sizes_cache)
+        if not missing:
+            return
         rows = (
-            self.cand_edges.where(F.col("key").isin(list(by_key)))
+            self.cand_edges.where(F.col("key").isin(list(missing)))
             .groupBy("key", "root_node")
             .agg(F.count("*").alias("ca_size"), F.min("eid").alias("first_eid"))
             .collect()
         )
-        sizes: Dict[str, list] = {k: [] for k in by_key}
+        for k in missing:
+            self._ordered_sizes_cache[k] = []
         for r in sorted(rows, key=lambda r: r["first_eid"]):
-            sizes[r["key"]].append(r["ca_size"])
-        for k, m in by_key.items():
-            self._assert_len_ordered_cache[m.rule] = mdl.length_assertions_flat(
-                self._num_assertions(m), sizes[k], self.stats
-            )
-        return self._assert_len_ordered_cache[meta.rule]
+            self._ordered_sizes_cache[r["key"]].append(r["ca_size"])
+
+    def _assert_len_ordered(self, meta: CandidateMeta) -> float:
+        """L(alpha(g)) summed per-head in the reference's insertion order
+        (requires :meth:`_ordered_sizes` to have fetched ``meta``)."""
+        if meta.rule in self._assert_len_ordered_cache:
+            return self._assert_len_ordered_cache[meta.rule]
+        bits = mdl.length_assertions_flat(
+            self._num_assertions(meta),
+            self._ordered_sizes_cache[meta.df_key],
+            self.stats,
+        )
+        self._assert_len_ordered_cache[meta.rule] = bits
+        return bits
+
+    def _exact_state(self) -> tuple:
+        """(model_len, objective) exactly as the reference holds them after
+        this fit's accept log: fold ``prev = prev + L(g) + L(alpha(g))`` with
+        ordered assertion sums, objective = ``prev + A- + L-`` at the logged
+        post-accept covered counts (``searcher.py:204-222`` +
+        ``evaluator.py:evaluate_change``)."""
+        self._ordered_sizes([m for m, _, _ in self._accept_log])
+        prev = mdl.length_model_header(self.stats)
+        ne = mdl.length_negative_edge_error(0, self.stats)
+        nn = mdl.length_negative_label_error(0, self.stats)
+        best = prev + ne + nn
+        for m, n_e, n_l in self._accept_log:
+            prev = prev + self._rule_len(m.rule) + self._assert_len_ordered(m)
+            ne = mdl.length_negative_edge_error(n_e, self.stats)
+            nn = mdl.length_negative_label_error(n_l, self.stats)
+            best = prev + ne + nn
+        return prev, best
+
+    def _exact_trial(self, meta: CandidateMeta, prev_ref: float) -> float:
+        """The reference's ``evaluate_change`` float for trialing ``meta``
+        on top of the exact accumulated model length."""
+        new_e = meta.n_edges - self.overlap_e.get(meta.rule, 0)
+        new_l = meta.n_labels - self.overlap_l.get(meta.rule, 0)
+        model_len = prev_ref + self._rule_len(meta.rule) + self._assert_len_ordered(meta)
+        ne = mdl.length_negative_edge_error(self.n_covered_e + new_e, self.stats)
+        nn = mdl.length_negative_label_error(self.n_covered_l + new_l, self.stats)
+        return model_len + ne + nn
 
     # -- qualification (A5 distributed) ------------------------------------
     def label_qualify(self) -> int:
@@ -223,6 +279,17 @@ class DeltaGreedy:
             new_rule = (new_labels, old_rule[1])
             old_cost = cost(old_rule, self._num_assertions(m), m.ca_hist)
             new_cost = cost(new_rule, new_counts[new_labels], m.ca_hist)
+            if abs(new_cost - old_cost) < self._EDGE_TOL:
+                # knife-edge: the reference compares per-head-order sums
+                # (``searcher.py:109-118``); replay its exact floats
+                self._ordered_sizes([m])
+                sizes = self._ordered_sizes_cache[m.df_key]
+                old_cost = self._rule_len(old_rule) + mdl.length_assertions_flat(
+                    self._num_assertions(m), sizes, self.stats
+                )
+                new_cost = self._rule_len(new_rule) + mdl.length_assertions_flat(
+                    new_counts[new_labels], sizes, self.stats
+                )
             if new_cost < old_cost:
                 # rekey: dict-overwrite semantics (existing key keeps position)
                 del self.meta[old_rule]
@@ -426,6 +493,7 @@ class DeltaGreedy:
         def pend(meta: CandidateMeta):
             self.n_covered_e += meta.n_edges - self.overlap_e.get(meta.rule, 0)
             self.n_covered_l += meta.n_labels - self.overlap_l.get(meta.rule, 0)
+            self._accept_log.append((meta, self.n_covered_e, self.n_covered_l))
             preds, labels = footprint(meta)
             pending.append(meta)
             pending_preds.update(preds)
@@ -462,22 +530,22 @@ class DeltaGreedy:
                     val, m_len = trial_val(meta)
                     rev_val, rev_m_len = trial_val(rev_meta)
                     take_rule = val <= rev_val
-                    if val == rev_val and rev_val < best_val:
-                        # exact histogram tie (symmetric predicate): replay
-                        # the reference's `val <= rev_val` with the per-head
-                        # summation ORDER it actually uses — see module
-                        # docstring "Float caveat"
-                        a = self._assert_len_ordered(meta, rev_meta)
-                        b = self._assert_len_ordered(rev_meta, meta)
-                        # re-add at full objective magnitude so the compare
-                        # rounds where the reference's does (val and the
-                        # subtracted histogram terms are equal floats on a
-                        # tie, so both sides share one base)
-                        take_rule = (
-                            val - self._assert_len(meta) + a
-                            <= rev_val - self._assert_len(rev_meta) + b
-                        )
-                    if rev_val < best_val:
+                    accept = rev_val < best_val  # reference's quirk: BOTH
+                    # branches gate on rev_val (`searcher.py:211,217`)
+                    if (
+                        abs(val - rev_val) < self._EDGE_TOL
+                        or abs(rev_val - best_val) < self._EDGE_TOL
+                    ):
+                        # knife-edge: decide with the reference's exact
+                        # floats (symmetric predicates tie val/rev_val down
+                        # to per-head summation-order noise)
+                        self._ordered_sizes([meta, rev_meta])
+                        prev_ref, best_ref = self._exact_state()
+                        va = self._exact_trial(meta, prev_ref)
+                        vb = self._exact_trial(rev_meta, prev_ref)
+                        take_rule = va <= vb
+                        accept = vb < best_ref
+                    if accept:
                         if take_rule:
                             selected[rule] = meta
                             pend(meta)
@@ -488,7 +556,12 @@ class DeltaGreedy:
                             best_val, best_model_len = rev_val, rev_m_len
                 else:
                     val, m_len = trial_val(meta)
-                    if val < best_val:
+                    accept = val < best_val
+                    if abs(val - best_val) < self._EDGE_TOL:
+                        self._ordered_sizes([meta])
+                        prev_ref, best_ref = self._exact_state()
+                        accept = self._exact_trial(meta, prev_ref) < best_ref
+                    if accept:
                         selected[rule] = meta
                         pend(meta)
                         best_val, best_model_len = val, m_len

@@ -20,7 +20,10 @@ from kgist_spark.oracle.kg import LocalKG
 
 pytestmark = pytest.mark.spark
 
-SEEDS = list(range(10))
+# 0-9: broad sweep; 23 and 30: regressions — both diverged under a naive
+# tie replay that reassembled floats in a different order than the
+# reference's evaluate_change (caught by the offline 50-seed sweep)
+SEEDS = list(range(10)) + [23, 30]
 
 
 def gen_graph(seed):
