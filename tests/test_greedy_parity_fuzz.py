@@ -120,3 +120,54 @@ def test_delta_matches_exact_on_seeded_random_graphs(spark, tmp_path):
                  result["objective_bits"] - want)
             )
     assert not failures, f"delta != exact on seeds: {failures}"
+
+
+def test_delta_matches_exact_idified(spark, tmp_path):
+    """Same parity sweep over the idified (integer) vocabulary — the
+    reference CLI's default — on a subset of seeds including the symmetric
+    knife-edge ones, so the exact-replay machinery is exercised end-to-end
+    over integer keys too."""
+    from kgist_spark.plans.greedy_delta import DeltaGreedy
+    from kgist_spark.plans.summarizer import graph_stats
+    from kgist_spark.sources.edgelist import explode_labels, load_labels, load_triples
+    from kgist_spark.sources.idify import idify_tables
+
+    failures = []
+    for seed in [3, 8, 23, 30]:
+        labels, edges = gen_graph(seed)
+        epath = tmp_path / f"g{seed}.txt"
+        lpath = tmp_path / f"g{seed}_labels.txt"
+        epath.write_text("\n".join(" ".join(e) for e in edges) + "\n")
+        lpath.write_text(
+            "\n".join(n + " " + " ".join(ls) for n, ls in labels) + "\n"
+        )
+
+        triples = load_triples(spark, str(epath))
+        lab = load_labels(spark, str(lpath))
+        lf = explode_labels(lab)
+        t_id, lf_id, _ = idify_tables(triples, lab, lf)
+        t_id, lf_id = t_id.persist(), lf_id.persist()
+        stats = graph_stats(t_id, lf_id)
+        lnc = {
+            r["label"]: r["n"]
+            for r in lf_id.groupBy("label")
+            .agg(F.countDistinct("node").alias("n"))
+            .collect()
+        }
+        result = DeltaGreedy(t_id, lf_id, stats, lnc).fit(
+            passes=2, label_qualify=True
+        )
+
+        kg = LocalKG.from_files(str(epath), str(lpath), idify=True)
+        model = GreedySearcher(kg).build_model(passes=2, label_qualify=True)
+        want = ModelEvaluator(kg).evaluate(model)
+
+        if (
+            set(result["rules"]) != set(model.rules.keys())
+            or abs(result["objective_bits"] - want) > 1e-6
+        ):
+            failures.append(
+                (seed, set(result["rules"]) ^ set(model.rules.keys()),
+                 result["objective_bits"] - want)
+            )
+    assert not failures, f"idified delta != exact on seeds: {failures}"
