@@ -185,7 +185,9 @@ class DeltaGreedy:
     # summed head-by-head (``evaluator.py:226-232``), accumulated over the
     # accept log in the reference's own ``prev + L(g) + L(alpha) + A- + L-``
     # association order (``evaluator.py:evaluate_change``).  Per-head sizes
-    # ship to the driver only for the rules a knife-edge actually touches.
+    # ship to the driver only when a knife-edge fires, and only for the
+    # trialed pair plus the ACCEPTED rules (the summary — small by
+    # definition), never for the full candidate set.
 
     _EDGE_TOL = 1e-6  # >> accumulated drift (~1e-9/rule), << any real gap
 
