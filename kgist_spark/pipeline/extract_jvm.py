@@ -71,7 +71,11 @@ _PHRASE_ALT = "|".join(re.escape(p) for p in spec.RELATION_PHRASES)
 #: it is the next match)
 J_FUSED = _WORD_GUARD + _MENTION_BODY + f"(?:(?:{_PHRASE_ALT})(?=[A-Z][a-z]))?"
 
-_NULL_S = F.lit(None).cast("string")
+# Column builders, not module constants: F.lit needs an active SparkContext
+# in classic mode, and this module must be importable before the session
+# exists (spark-submit workers, the scaling bench's fresh subprocesses)
+def _null_s() -> Column:
+    return F.lit(None).cast("string")
 
 
 def normalize_text_col(text: Column) -> Column:
@@ -108,9 +112,10 @@ def _entity_id(surface: Column, etype: Column) -> Column:
     return F.concat(etype, F.lit(":"), F.translate(F.lower(surface), " ", "_"))
 
 
-_PRED_MAP = F.create_map(
-    *[F.lit(x) for kv in spec.RELATION_PHRASES.items() for x in kv]
-)
+def _pred_map() -> Column:
+    return F.create_map(
+        *[F.lit(x) for kv in spec.RELATION_PHRASES.items() for x in kv]
+    )
 
 
 def _phrase_of(col: Column) -> Column:
@@ -118,7 +123,7 @@ def _phrase_of(col: Column) -> Column:
     Unambiguous: phrase-carrying elements end in the phrase's trailing
     space, pure mentions end in ``[a-z]``, and no phrase is a suffix of
     another phrase."""
-    ph = _NULL_S
+    ph = _null_s()
     for p in spec.RELATION_PHRASES:
         ph = F.when(col.endswith(p), F.lit(p)).otherwise(ph)
     return ph
@@ -149,7 +154,7 @@ def extract_facts_jvm(pages: DataFrame) -> DataFrame:
     # element i pairs with element i+1 (its relation object, when phrased)
     nxt = F.concat(
         F.slice(F.col("a"), 2, F.greatest(F.size("a") - F.lit(1), F.lit(0))),
-        F.array(_NULL_S),
+        F.array(_null_s()),
     )
     flat = (
         base.select(
@@ -181,17 +186,17 @@ def extract_facts_jvm(pages: DataFrame) -> DataFrame:
             F.concat(F.lit("org_"), F.lower(F.element_at(F.split("m", " "), -1))),
         ).alias("lab1"),
         F.when(both, _entity_id(F.col("m"), F.col("em"))).alias("subj_id"),
-        F.element_at(_PRED_MAP, F.col("ph")).alias("pred_id"),
+        F.element_at(_pred_map(), F.col("ph")).alias("pred_id"),
         F.when(both, _entity_id(F.col("o"), F.col("eo"))).alias("obj_id"),
     )
     NI = F.lit(None).cast("int")
     facts = F.array(
-        _fact_struct(F.lit("l"), _NULL_S, _NULL_S, _NULL_S,
+        _fact_struct(F.lit("l"), _null_s(), _null_s(), _null_s(),
                      F.col("node_id"), F.col("lab0"), F.lit(0)),
-        _fact_struct(F.lit("l"), _NULL_S, _NULL_S, _NULL_S,
+        _fact_struct(F.lit("l"), _null_s(), _null_s(), _null_s(),
                      F.col("node_id"), F.col("lab1"), F.lit(1)),
         _fact_struct(F.lit("t"), F.col("subj_id"), F.col("pred_id"),
-                     F.col("obj_id"), _NULL_S, _NULL_S, NI),
+                     F.col("obj_id"), _null_s(), _null_s(), NI),
     )
     rows = flat.select("url", F.explode(facts).alias("f"))
     keep = (
