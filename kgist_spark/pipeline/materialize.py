@@ -27,6 +27,8 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import List
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -121,13 +123,24 @@ def materialize_kg(spark: SparkSession, triples: DataFrame, labels: DataFrame,
         adjacency(tables["kg_triples"].drop("bucket")), "node", n_buckets
     ).persist()
 
-    written, skipped = 0, 0
-    for name, df in tables.items():
+    manifest_lock = threading.Lock()
+
+    def _write_table(name: str, df: DataFrame) -> int:
         missing = [b for b in range(n_buckets) if (name, b) not in done]
-        skipped += n_buckets - len(missing)
         if not missing:
-            continue
-        part = df.where(F.col("bucket").isin(missing))
+            return 0
+        # Cluster by the bucket column before the partitioned write: without
+        # it every upstream task writes a file per bucket it holds
+        # (tasks × buckets files — a small-file explosion at scale and slow
+        # commits even locally).  After the repartition each task holds
+        # O(1) buckets, so files-per-bucket is bounded.  If single buckets
+        # outgrow a task at extreme scale, salt the repartition key with
+        # pmod(hash(<row key>), files_per_bucket) — the write layout is
+        # unchanged, only the file count per bucket directory grows.
+        part = (
+            df.where(F.col("bucket").isin(missing))
+            .repartition(len(missing), F.col("bucket"))
+        )
         # one write job for all missing buckets (dynamic partition overwrite
         # touches only those directories), one count job for their lineage
         part.write.mode("overwrite") \
@@ -139,18 +152,35 @@ def materialize_kg(spark: SparkSession, triples: DataFrame, labels: DataFrame,
             for r in part.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         }
         now = _dt.datetime.now(_dt.timezone.utc).isoformat()
-        for b in missing:
-            _append_manifest(
-                out_dir,
-                {
-                    "table": name,
-                    "bucket": b,
-                    "n_rows": counts.get(b, 0),
-                    "status": "done",
-                    "wrote_at": now,
-                },
-            )
-            written += 1
+        with manifest_lock:
+            for b in missing:
+                _append_manifest(
+                    out_dir,
+                    {
+                        "table": name,
+                        "bucket": b,
+                        "n_rows": counts.get(b, 0),
+                        "status": "done",
+                        "wrote_at": now,
+                    },
+                )
+        return len(missing)
+
+    # kg_triples and kg_labels are independent — submit them as concurrent
+    # Spark jobs (the scheduler interleaves their stages; tiny stages no
+    # longer serialize on driver latency, and on a cluster the executors
+    # stay busy).  kg_adjacency reads the persisted kg_triples (eids), so
+    # it runs after kg_triples' write has materialized that persist.
+    written = 0
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            name: pool.submit(_write_table, name, tables[name])
+            for name in ("kg_triples", "kg_labels")
+        }
+        written += futs["kg_triples"].result()
+        adj_fut = pool.submit(_write_table, "kg_adjacency", tables["kg_adjacency"])
+        written += futs["kg_labels"].result() + adj_fut.result()
+    skipped = 3 * n_buckets - written
     for df in tables.values():
         df.unpersist()
     return {"written": written, "skipped": skipped, "n_buckets": n_buckets}
