@@ -1,0 +1,284 @@
+"""Incremental KG construction — the streaming twin of
+:func:`kgist_spark.pipeline.run.construct_kg`.
+
+The batch pipeline rebuilds the whole KG from the whole corpus; this module
+maintains a KG as page batches ARRIVE (Structured Streaming file source,
+``Trigger.AvailableNow`` so the same code runs as a scheduled incremental
+job).  Per micro-batch:
+
+1. **Extract** — the all-Catalyst stage-1 extractor (pure expressions, so it
+   runs unchanged on the micro-batch DataFrame; no Python workers).
+2. **Link** — batch entities are resolved against a **grow-only canonical
+   dictionary** persisted with the KG: exact surface hits map directly; new
+   surfaces are LSH-blocked + trigram-jaccard-scored against the known
+   surfaces (the same JVM join the batch canonicalizer uses) and adopt the
+   best match's canonical id; still-unmatched surfaces are canonicalized
+   among themselves (the batch ``canonical_map``) and appended to the
+   dictionary.
+3. **Append** — only triples/labels NOT already in the KG (anti-join on the
+   natural keys) are written, into ``batch=<id>/bucket=<b>`` partitions.
+   Edge ids continue the existing sequence (max eid + dense ids within the
+   batch).
+
+**Exactly-once**: the file-source checkpoint makes batch replay the failure
+mode; every write uses dynamic partition overwrite of the batch's own
+``batch=<id>`` partitions, and all existing-state reads (dictionary, KG
+anti-joins, eid offset) EXCLUDE the replayed batch's own partitions — so a
+replayed batch recomputes exactly the original output and overwrites its
+own partitions with it.  A manifest row per (table, batch, bucket) records
+lineage + row counts, and a batch whose manifest rows are already present
+is skipped wholesale (fast resume).
+
+**Grow-only contract** (the documented divergence from batch rebuild): a
+new surface that bridges TWO existing canonical groups links to its single
+best-scoring match; the groups are not retroactively merged (merging would
+rewrite already-materialized batches — the standard incremental-linking
+trade-off).  A periodic batch rebuild reconciles.  On corpora without such
+bridges the incremental KG's canonical partition is IDENTICAL to the batch
+pipeline's (pinned in tests/test_streaming.py up to canonical-representative
+renaming — incremental picks representatives by arrival order, batch by
+global minimum).
+
+100 TB shape: the dictionary is read once per batch and only its NEW rows
+are written; the anti-join against existing triples is an equi-join on the
+natural key (shuffle bounded by batch size on the probe side); all
+extraction and scoring is JVM-side.  The LSH re-shingles the known-surface
+set each batch — persisting dictionary signatures alongside the dictionary
+is the next optimization if batches are small relative to it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgist_spark.pipeline.canonicalize import (
+    apply_canonical_labels,
+    apply_canonical_triples,
+    canonical_map,
+    entity_vocabulary,
+    link_mentions,
+)
+from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
+from kgist_spark.pipeline.materialize import (
+    _append_manifest,
+    adjacency,
+    bucketed,
+    deterministic_dense_ids,
+    read_manifest,
+)
+from kgist_spark.streaming.ingest import stream_pages
+
+DICT_DIR = "canon_dict"
+
+
+def _has_batches(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        e.startswith("batch=") for e in os.listdir(path)
+    )
+
+
+def read_incremental_kg(spark: SparkSession, out_dir: str):
+    """Load the incremental KG (all batches); ``batch`` comes back as a
+    lineage column.  ``(None, None)`` before the first non-empty batch."""
+    t_path = os.path.join(out_dir, "kg_triples")
+    l_path = os.path.join(out_dir, "kg_labels")
+    if not (_has_batches(t_path) and _has_batches(l_path)):
+        return None, None
+    triples = spark.read.option("basePath", t_path).parquet(
+        os.path.join(t_path, "batch=*", "bucket=*")
+    )
+    labels = spark.read.option("basePath", l_path).parquet(
+        os.path.join(l_path, "batch=*", "bucket=*")
+    )
+    return triples, labels
+
+
+def read_dictionary(spark: SparkSession, out_dir: str,
+                    exclude_batch: int | None = None) -> DataFrame | None:
+    """``(surface, canonical)`` over all batches, or None before batch 0.
+    ``exclude_batch`` drops one batch's rows — the replay path must see the
+    dictionary exactly as the original run did, not its own output."""
+    path = os.path.join(out_dir, DICT_DIR)
+    if not _has_batches(path):
+        return None
+    df = spark.read.option("basePath", path).parquet(
+        os.path.join(path, "batch=*")
+    )
+    if exclude_batch is not None:
+        df = df.where(F.col("batch") != exclude_batch)
+    return df.select("surface", "canonical")
+
+
+def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | None,
+                                threshold: float = 0.70) -> DataFrame:
+    """``(node, canonical, is_new)`` for every batch entity.
+
+    Exact dictionary hits keep their canonical; near-matches (trigram
+    jaccard >= threshold against any KNOWN surface) adopt that surface's
+    canonical; the rest form new intra-batch groups via the batch
+    canonicalizer.  ``is_new`` marks rows that must be appended to the
+    dictionary (every previously-unseen surface, whatever it linked to).
+    """
+    if dictionary is None:
+        return canonical_map(entities, threshold=threshold).withColumn(
+            "is_new", F.lit(True)
+        )
+    d = F.broadcast(dictionary)
+    exact = (
+        entities.join(d.withColumnRenamed("surface", "node"), "node")
+        .select("node", "canonical", F.lit(False).alias("is_new"))
+    )
+    unknown = entities.join(
+        d.select(F.col("surface").alias("node")), "node", "left_anti"
+    ).localCheckpoint()
+    linked = (
+        link_mentions(
+            unknown.select(F.col("node").alias("mention")),
+            dictionary.select(F.col("surface").alias("entity")),
+            threshold=threshold,
+        )
+        .join(d.withColumnRenamed("surface", "linked"), "linked")
+        .select(
+            F.col("mention").alias("node"), "canonical", F.lit(True).alias("is_new")
+        )
+        .localCheckpoint()
+    )
+    leftover = unknown.join(linked.select("node"), "node", "left_anti")
+    intra = canonical_map(leftover, threshold=threshold).withColumn(
+        "is_new", F.lit(True)
+    )
+    return exact.unionByName(linked).unionByName(intra)
+
+
+def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
+                                out_dir: str, batch_id: int,
+                                n_buckets: int = 8,
+                                threshold: float = 0.70) -> dict:
+    """Fold one page batch into the KG at ``out_dir`` (see module doc)."""
+    from pyspark import StorageLevel
+
+    done = {
+        (e["table"], e.get("batch"))
+        for e in read_manifest(out_dir)
+        if e["status"] == "done"
+    }
+    if {("kg_triples", batch_id), ("kg_labels", batch_id),
+            ("kg_adjacency", batch_id)} <= done:
+        return {"batch": batch_id, "skipped": True}
+
+    facts = extract_facts_jvm(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    raw_triples = (
+        facts.where(F.col("kind") == "t")
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min("url").alias("url"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    raw_labels = (
+        facts.where(F.col("kind") == "l")
+        .groupBy("node", "label")
+        .agg(F.min("pos").alias("pos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    raw_triples.count(), raw_labels.count()
+    facts.unpersist()
+
+    # every "existing state" read excludes THIS batch's own partitions: a
+    # replayed batch (crash between table writes and the stream commit) must
+    # see the KG exactly as the original attempt did, or the anti-join
+    # would cancel its own half-written output and drop rows for good
+    dictionary = read_dictionary(spark, out_dir, exclude_batch=batch_id)
+    canon = link_entities_to_dictionary(
+        entity_vocabulary(raw_triples), dictionary, threshold=threshold
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    triples = apply_canonical_triples(raw_triples, canon.select("node", "canonical"))
+    labels = apply_canonical_labels(raw_labels, canon.select("node", "canonical"))
+
+    existing_triples, existing_labels = read_incremental_kg(spark, out_dir)
+    if existing_triples is not None:
+        existing_triples = existing_triples.where(F.col("batch") != batch_id)
+        existing_labels = existing_labels.where(F.col("batch") != batch_id)
+        triples = triples.join(
+            existing_triples.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"], "left_anti",
+        )
+        labels = labels.join(
+            existing_labels.select("node", "label"), ["node", "label"], "left_anti"
+        )
+        max_eid = existing_triples.agg(F.max("eid").alias("m")).collect()[0]["m"]
+        eid_offset = (max_eid if max_eid is not None else -1) + 1
+    else:
+        eid_offset = 0
+    triples = (
+        deterministic_dense_ids(triples, ["subj", "pred", "obj", "url"], "eid")
+        .withColumn("eid", F.col("eid") + F.lit(eid_offset))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = {}
+    outputs = {
+        "kg_triples": bucketed(triples, "subj", n_buckets),
+        "kg_labels": bucketed(labels, "node", n_buckets),
+        "kg_adjacency": bucketed(adjacency(triples), "node", n_buckets),
+    }
+    for name, df in outputs.items():
+        part = df.withColumn("batch", F.lit(batch_id)).repartition(
+            n_buckets, F.col("bucket")
+        )
+        part.write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("batch", "bucket") \
+            .parquet(os.path.join(out_dir, name))
+        counts[name] = {
+            r["bucket"]: r["n"]
+            for r in part.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+    new_dict = canon.where("is_new").select(
+        F.col("node").alias("surface"), "canonical"
+    ).withColumn("batch", F.lit(batch_id)).coalesce(1)
+    new_dict.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("batch") \
+        .parquet(os.path.join(out_dir, DICT_DIR))
+
+    for name in outputs:
+        for b in range(n_buckets):
+            _append_manifest(out_dir, {
+                "table": name, "bucket": b, "batch": batch_id,
+                "n_rows": counts[name].get(b, 0), "status": "done",
+            })
+    n_new = sum(counts["kg_triples"].values())
+    for df in (raw_triples, raw_labels, canon, triples, labels):
+        df.unpersist()
+    return {"batch": batch_id, "skipped": False, "new_triples": n_new}
+
+
+def run_incremental_construct(spark: SparkSession, input_dir: str, out_dir: str,
+                              checkpoint_dir: str, n_buckets: int = 8,
+                              threshold: float = 0.70,
+                              max_files_per_trigger: int | None = None) -> list:
+    """Fold all NEW page files into the KG once (AvailableNow) and stop.
+    Returns the per-batch summaries."""
+    results = []
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        results.append(
+            construct_batch_incremental(
+                spark, batch_df, out_dir, int(batch_id),
+                n_buckets=n_buckets, threshold=threshold,
+            )
+        )
+
+    q = (
+        stream_pages(spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return results

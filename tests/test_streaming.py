@@ -180,3 +180,157 @@ def test_streaming_dedup_then_pipeline_matches_batch(spark, tmp_path):
     lab_a = {(r["node"], r["label"]) for r in labels_a.collect()}
     lab_b = {(r["node"], r["label"]) for r in labels_b.collect()}
     assert lab_a == lab_b and lab_a
+
+
+# ---------------------------------------------------------------------------
+# incremental KG construction (streaming/construct.py)
+# ---------------------------------------------------------------------------
+
+def _write_page_batches(spark, batches, stream_in):
+    """Each element of ``batches`` is a list of (url, text) pages; written
+    as ONE parquet file each so maxFilesPerTrigger=1 maps file -> batch."""
+    import datetime as dt
+
+    for pages in batches:
+        rows = [
+            (url, dt.datetime(2024, 1, 1), b"", text, "en")
+            for url, text in pages
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        df.coalesce(1).write.mode("append").parquet(stream_in)
+
+
+def test_incremental_construct_matches_batch(spark, tmp_path):
+    """3 arrival batches over the generated corpus produce the same KG as
+    one batch rebuild (canonical groupings compared as partitions; triples
+    compared after normalizing each group to its min representative)."""
+    from kgist_spark.pipeline.run import construct_kg
+    from kgist_spark.sources.webpages import generate_pages
+    from kgist_spark.streaming.construct import (
+        read_dictionary,
+        read_incremental_kg,
+        run_incremental_construct,
+    )
+
+    stream_in = str(tmp_path / "in")
+    out = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    pages = generate_pages(spark, 1500, seed=42).cache()
+    pages.count()
+    docnum = F.regexp_extract("url", r"page/(\d+)$", 1).cast("int")
+    for lo, hi in [(0, 500), (500, 1000), (1000, 1500)]:
+        pages.where((docnum >= lo) & (docnum < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_in)
+
+    res = run_incremental_construct(
+        spark, stream_in, out, ckpt, n_buckets=4, max_files_per_trigger=1
+    )
+    assert len(res) == 3 and not any(r["skipped"] for r in res)
+
+    it, il = read_incremental_kg(spark, out)
+    bt, bl = construct_kg(spark, pages, out_dir=None)
+    assert it.count() == bt.count()
+    assert il.count() == bl.count()
+
+    # canonical partitions agree (set of member-sets)
+    groups = {}
+    for r in read_dictionary(spark, out).collect():
+        groups.setdefault(r["canonical"], set()).add(r["surface"])
+    rep = {c: min(m) for c, m in groups.items()}
+    iset = {
+        (rep.get(r["subj"], r["subj"]), r["pred"], rep.get(r["obj"], r["obj"]))
+        for r in it.collect()
+    }
+    bset = {(r["subj"], r["pred"], r["obj"]) for r in bt.collect()}
+    # batch canonicals are already min-of-group representatives
+    assert iset == bset and iset
+
+    # eids stayed unique and dense-from-zero across batches
+    eids = sorted(r["eid"] for r in it.select("eid").collect())
+    assert eids == list(range(len(eids)))
+
+    # resume: nothing new arrives -> no batches run, KG unchanged
+    res2 = run_incremental_construct(
+        spark, stream_in, out, ckpt, n_buckets=4, max_files_per_trigger=1
+    )
+    assert res2 == []
+    it2, _ = read_incremental_kg(spark, out)
+    assert it2.count() == it.count()
+
+
+def test_incremental_linking_and_grow_only_contract(spark, tmp_path):
+    """Surface variants arriving in later batches link into the existing
+    canonical group via the LSH dictionary path (no group ever splits), and
+    a replayed batch reproduces its own output (exactly-once)."""
+    from kgist_spark.streaming.construct import (
+        construct_batch_incremental,
+        read_dictionary,
+        read_incremental_kg,
+    )
+
+    out = str(tmp_path / "kg")
+
+    def pages_df(rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, 1), b"", t, "en") for u, t in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    b0 = pages_df([("u://0", "Quantum Dynamics Inc is located in Berlin.")])
+    b1 = pages_df([("u://1", "Alice Smith works for Quantum Dynamics Corp.")])
+    b2 = pages_df([("u://2", "Bob Jones founded Quantum Dynamics Labs.")])
+
+    construct_batch_incremental(spark, b0, out, batch_id=0, n_buckets=2)
+    construct_batch_incremental(spark, b1, out, batch_id=1, n_buckets=2)
+
+    # true replay recompute (crash AFTER batch 1's table writes but BEFORE
+    # its manifest append; the stream replays batch 1 before batch 2 can
+    # start — batches commit serially): drop batch 1's manifest rows and
+    # re-run — the exclude-own-batch reads must reproduce the identical
+    # rows AND eids, not anti-join them away against batch 1's own
+    # half-committed partitions
+    import json
+
+    from kgist_spark.pipeline.materialize import read_manifest
+
+    it, _ = read_incremental_kg(spark, out)
+    before = sorted(map(tuple, it.select("subj", "pred", "obj", "eid").collect()))
+    entries = [e for e in read_manifest(out) if e.get("batch") != 1]
+    with open(f"{out}/_manifest.json", "w") as f:
+        f.writelines(json.dumps(e) + "\n" for e in entries)
+    res = construct_batch_incremental(spark, b1, out, batch_id=1, n_buckets=2)
+    assert not res["skipped"]
+    it2, _ = read_incremental_kg(spark, out)
+    after = sorted(map(tuple, it2.select("subj", "pred", "obj", "eid").collect()))
+    assert after == before
+
+    construct_batch_incremental(spark, b2, out, batch_id=2, n_buckets=2)
+
+    groups = {}
+    for r in read_dictionary(spark, out).collect():
+        groups.setdefault(r["canonical"], set()).add(r["surface"])
+    variants = {
+        "org:quantum_dynamics_inc",
+        "org:quantum_dynamics_corp",
+        "org:quantum_dynamics_labs",
+    }
+    # all three variants share ONE canonical: the first-arrival group root
+    assert groups["org:quantum_dynamics_inc"] >= variants
+
+    it, _ = read_incremental_kg(spark, out)
+    triples = {(r["subj"], r["pred"], r["obj"]) for r in it.collect()}
+    assert ("org:quantum_dynamics_inc", "located_in", "place:berlin") in triples
+    assert ("person:alice_smith", "works_for", "org:quantum_dynamics_inc") in triples
+    assert ("person:bob_jones", "founded", "org:quantum_dynamics_inc") in triples
+
+    # fast-resume replay: manifest rows present -> skipped wholesale
+    n_before = it.count()
+    res = construct_batch_incremental(spark, b1, out, batch_id=1, n_buckets=2)
+    assert res["skipped"]
+    it3, _ = read_incremental_kg(spark, out)
+    assert it3.count() == n_before
