@@ -23,7 +23,7 @@ import sys
 import time
 
 
-def main(argv=None):
+def main(argv=None, spark=None):
     ap = argparse.ArgumentParser()
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="web-pages parquet path or table (url, warc_ts, html, text, lang)")
@@ -37,21 +37,81 @@ def main(argv=None):
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--score-anomalies", action="store_true",
                     help="write per-edge anomaly scores (implies --summarize)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="fold NEW page files under --input into the KG at --out "
+                         "(AvailableNow stream; exactly-once per batch, grow-only "
+                         "canonical dictionary, per-batch lineage)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint dir (default <out>/_checkpoint)")
     args = ap.parse_args(argv)
+    if args.incremental and not args.input:
+        ap.error("--incremental requires --input (a directory new page files land in)")
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("kgist-pipeline").getOrCreate()
-    if spark.sparkContext.master.startswith("local"):
-        spark.stop()
-        from kgist_spark.session import get_spark
+    owns_session = spark is None
+    if owns_session:
+        spark = SparkSession.builder.appName("kgist-pipeline").getOrCreate()
+        if spark.sparkContext.master.startswith("local"):
+            spark.stop()
+            from kgist_spark.session import get_spark
 
-        spark = get_spark(app_name="kgist-pipeline")
-    spark.sparkContext.setLogLevel("WARN")
+            spark = get_spark(app_name="kgist-pipeline")
+        spark.sparkContext.setLogLevel("WARN")
 
     from kgist_spark.pipeline.run import construct_kg, summarize_constructed_kg
 
+    def maybe_summarize(report, triples, labels):
+        if not (args.summarize or args.score_anomalies):
+            return
+        t1 = time.time()
+        summ, model = summarize_constructed_kg(triples, labels, passes=args.passes)
+        from kgist_spark.sources.model_io import save_model
+
+        meta = save_model(model, f"{args.out}/model", spark=spark)
+        report.update(
+            n_rules=meta["n_rules"],
+            objective_bits=round(meta["objective_bits"], 2),
+            pct_edges_explained=round(meta["pct_edges_explained"], 2),
+            summarize_sec=round(time.time() - t1, 2),
+        )
+        if args.score_anomalies:
+            from kgist_spark.operators.anomaly import score_edges
+            from kgist_spark.pipeline.run import kg_to_summarizer_inputs
+
+            t2 = time.time()
+            t, _ = kg_to_summarizer_inputs(triples, labels)
+            scored = score_edges(spark, model, t.select("subj", "pred", "obj"))
+            scored.write.mode("overwrite").parquet(f"{args.out}/anomaly_scores")
+            report["score_sec"] = round(time.time() - t2, 2)
+
     t0 = time.time()
+    if args.incremental:
+        from kgist_spark.streaming.construct import (
+            read_incremental_kg,
+            run_incremental_construct,
+        )
+
+        batches = run_incremental_construct(
+            spark, args.input, args.out,
+            args.checkpoint or f"{args.out}/_checkpoint",
+            n_buckets=args.buckets,
+        )
+        triples, labels = read_incremental_kg(spark, args.out)
+        n_triples = triples.count() if triples is not None else 0
+        report = {
+            "mode": "incremental",
+            "batches": batches,
+            "n_triples": n_triples,
+            "construct_sec": round(time.time() - t0, 2),
+            "out": args.out,
+        }
+        if triples is not None:
+            maybe_summarize(report, triples, labels)
+        print(json.dumps(report))
+        if owns_session:
+            spark.stop()
+        return
     if args.generate:
         from kgist_spark.sources.webpages import generate_pages
 
@@ -75,30 +135,11 @@ def main(argv=None):
         "out": args.out,
     }
 
-    if args.summarize or args.score_anomalies:
-        t1 = time.time()
-        summ, model = summarize_constructed_kg(triples, labels, passes=args.passes)
-        from kgist_spark.sources.model_io import save_model
-
-        meta = save_model(model, f"{args.out}/model", spark=spark)
-        report.update(
-            n_rules=meta["n_rules"],
-            objective_bits=round(meta["objective_bits"], 2),
-            pct_edges_explained=round(meta["pct_edges_explained"], 2),
-            summarize_sec=round(time.time() - t1, 2),
-        )
-        if args.score_anomalies:
-            from kgist_spark.operators.anomaly import score_edges
-            from kgist_spark.pipeline.run import kg_to_summarizer_inputs
-
-            t2 = time.time()
-            t, _ = kg_to_summarizer_inputs(triples, labels)
-            scored = score_edges(spark, model, t.select("subj", "pred", "obj"))
-            scored.write.mode("overwrite").parquet(f"{args.out}/anomaly_scores")
-            report["score_sec"] = round(time.time() - t2, 2)
+    maybe_summarize(report, triples, labels)
 
     print(json.dumps(report))
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

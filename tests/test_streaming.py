@@ -186,22 +186,6 @@ def test_streaming_dedup_then_pipeline_matches_batch(spark, tmp_path):
 # incremental KG construction (streaming/construct.py)
 # ---------------------------------------------------------------------------
 
-def _write_page_batches(spark, batches, stream_in):
-    """Each element of ``batches`` is a list of (url, text) pages; written
-    as ONE parquet file each so maxFilesPerTrigger=1 maps file -> batch."""
-    import datetime as dt
-
-    for pages in batches:
-        rows = [
-            (url, dt.datetime(2024, 1, 1), b"", text, "en")
-            for url, text in pages
-        ]
-        df = spark.createDataFrame(
-            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
-        )
-        df.coalesce(1).write.mode("append").parquet(stream_in)
-
-
 def test_incremental_construct_matches_batch(spark, tmp_path):
     """3 arrival batches over the generated corpus produce the same KG as
     one batch rebuild (canonical groupings compared as partitions; triples
@@ -334,3 +318,38 @@ def test_incremental_linking_and_grow_only_contract(spark, tmp_path):
     assert res["skipped"]
     it3, _ = read_incremental_kg(spark, out)
     assert it3.count() == n_before
+
+
+def test_run_pipeline_incremental_cli(spark, tmp_path, capsys):
+    """`run_pipeline.py --incremental` folds new files into the KG and is a
+    no-op when nothing new arrived (stream checkpoint)."""
+    import json as _json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import run_pipeline
+
+    from kgist_spark.sources.webpages import generate_pages
+
+    stream_in = str(tmp_path / "in")
+    out = str(tmp_path / "kg")
+    pages = generate_pages(spark, 300, seed=9)
+    pages.coalesce(1).write.parquet(stream_in)
+
+    run_pipeline.main(
+        ["--incremental", "--input", stream_in, "--out", out, "--buckets", "2"],
+        spark=spark,
+    )
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "incremental"
+    assert rep["n_triples"] > 0
+    assert len(rep["batches"]) == 1 and not rep["batches"][0]["skipped"]
+
+    run_pipeline.main(
+        ["--incremental", "--input", stream_in, "--out", out, "--buckets", "2"],
+        spark=spark,
+    )
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["batches"] == []
+    assert rep2["n_triples"] == rep["n_triples"]
