@@ -78,6 +78,17 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
 
     if out_dir:
         materialize_kg(spark, triples, labels, out_dir, n_buckets=n_buckets)
+    elif canonicalize:
+        # force the output persists off the intermediate lineage (the
+        # materialize writes do this when out_dir is set)
+        triples.count(), labels.count()
+    if canonicalize:
+        # free the intermediates: Spark's cache is keyed by plan equality,
+        # so leaving them persisted makes every LATER identical construct
+        # silently reuse them — a session-lifetime memory leak and a bench
+        # distortion (a "cold" rerun that isn't)
+        for df in (raw_triples, raw_labels, canon):
+            df.unpersist()
     return triples, labels
 
 
