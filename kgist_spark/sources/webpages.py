@@ -80,10 +80,27 @@ _TEMPLATES = {
 EPOCH = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
 
 
-class World:
-    """The deterministic entity/fact universe behind the corpus."""
+def _trigram_jaccard(a: str, b: str) -> float:
+    ta = {a[i:i + 3] for i in range(len(a) - 2)}
+    tb = {b[i:i + 3] for i in range(len(b) - 2)}
+    return len(ta & tb) / len(ta | tb) if ta | tb else 0.0
 
-    def __init__(self, seed: int = 42, n_persons: int = 200, n_orgs: int = 80):
+
+class World:
+    """The deterministic entity/fact universe behind the corpus.
+
+    ``alias_rate > 0`` gives each eligible org a near-duplicate surface
+    (same core, different suffix — kept only when the two entity ids'
+    trigram jaccard clears the canonicalizer's 0.70 threshold with margin,
+    and the variant doesn't collide with a real org), and mentions render
+    as the alias with that probability.  The default 0.0 leaves the RNG
+    stream and every published golden untouched; with aliasing on, the
+    canonicalization stage has REAL merge work and ``world.aliases`` is its
+    ground truth.
+    """
+
+    def __init__(self, seed: int = 42, n_persons: int = 200, n_orgs: int = 80,
+                 alias_rate: float = 0.0):
         rng = np.random.RandomState(seed)
         self.persons: List[tuple] = []
         seen = set()
@@ -95,10 +112,12 @@ class World:
         self.orgs: List[tuple] = []
         seen = set()
         while len(self.orgs) < n_orgs:
-            name = (
-                f"{ORG_CORES[rng.randint(len(ORG_CORES))]} "
-                f"{spec.ORG_SUFFIXES[rng.randint(len(spec.ORG_SUFFIXES))]}"
-            )
+            core = ORG_CORES[rng.randint(len(ORG_CORES))]
+            if alias_rate > 0:
+                # two-word cores: long enough that a suffix-swapped alias
+                # clears the canonicalizer's trigram-jaccard threshold
+                core = f"{core} {ORG_CORES[rng.randint(len(ORG_CORES))]}"
+            name = f"{core} {spec.ORG_SUFFIXES[rng.randint(len(spec.ORG_SUFFIXES))]}"
             if name not in seen:
                 seen.add(name)
                 self.orgs.append((name, "org"))
@@ -131,6 +150,22 @@ class World:
             if rng.rand() < 0.3:
                 add(person, "founded", self.orgs[rng.randint(len(self.orgs))])
 
+        self.alias_rate = alias_rate
+        self.aliases = {}
+        if alias_rate > 0:
+            org_names = {name for name, _ in self.orgs}
+            for name, _ in self.orgs:
+                core = name.rsplit(" ", 1)[0]
+                for alt in spec.ORG_SUFFIXES:
+                    variant = f"{core} {alt}"
+                    if variant == name or variant in org_names:
+                        continue
+                    if _trigram_jaccard(
+                        spec.entity_id(name, "org"), spec.entity_id(variant, "org")
+                    ) >= 0.72:
+                        self.aliases[name] = variant
+                        break
+
         self.subjects = self.persons + self.orgs
         # zipfian popularity over subjects (head skew)
         ranks = np.arange(1, len(self.subjects) + 1, dtype=np.float64)
@@ -160,8 +195,22 @@ def render_page(world: World, doc_id: int, seed: int = 42) -> dict:
             if not facts:
                 continue
             pred, obj = facts[rng.randint(len(facts))]
-            sentences.append(_TEMPLATES[pred].format(s=ent[0], o=obj[0]))
-            truth.append((spec.entity_id(*ent), pred, spec.entity_id(*obj)))
+
+            def surf(e):
+                # alias_rate == 0 must not touch rng (stream-compatible)
+                if (
+                    e[1] == "org" and world.alias_rate
+                    and e[0] in world.aliases
+                    and rng.rand() < world.alias_rate
+                ):
+                    return world.aliases[e[0]]
+                return e[0]
+
+            s_surf, o_surf = surf(ent), surf(obj)
+            sentences.append(_TEMPLATES[pred].format(s=s_surf, o=o_surf))
+            truth.append(
+                (spec.entity_id(s_surf, ent[1]), pred, spec.entity_id(o_surf, obj[1]))
+            )
             if obj[1] != "place" and len(mentioned) < 4:
                 mentioned.append(obj)
         n_noise = rng.randint(1, 5)

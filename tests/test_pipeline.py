@@ -330,3 +330,59 @@ def test_auto_switch_keeps_selfloop_only_nodes(spark):
                                          switch_after=2).collect()}
     assert got["iso"] == "iso"
     assert got["n30"] == "n0"
+
+
+def test_alias_corpus_canonicalization_ground_truth(spark):
+    """With alias_rate on, the generator gives orgs near-duplicate surfaces
+    (its own merge ground truth): canonicalization must merge EXACTLY the
+    alias pairs — no misses, no false merges — and the constructed KG must
+    contain only the group representatives."""
+    from pyspark.sql import functions as F
+
+    from kgist_spark.pipeline.canonicalize import canonical_map, entity_vocabulary
+    from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
+    from kgist_spark.pipeline.run import construct_kg
+
+    world = W.World(42, alias_rate=0.5)
+    pages = W.generate_pages(spark, 2000, seed=42, world=world).cache()
+
+    raw_triples = (
+        extract_facts_jvm(pages).where("kind = 't'")
+        .groupBy("subj", "pred", "obj").agg(F.min("url").alias("url"))
+        .cache()
+    )
+    vocab = {r["node"] for r in entity_vocabulary(raw_triples).collect()}
+    expected = {
+        frozenset({spec.entity_id(o, "org"), spec.entity_id(a, "org")})
+        for o, a in world.aliases.items()
+        if spec.entity_id(o, "org") in vocab and spec.entity_id(a, "org") in vocab
+    }
+    assert len(expected) >= 5  # the corpus genuinely contains merge work
+
+    groups = {}
+    for r in canonical_map(entity_vocabulary(raw_triples)).collect():
+        groups.setdefault(r["canonical"], set()).add(r["node"])
+    merged = {frozenset(v) for v in groups.values() if len(v) > 1}
+    assert merged == expected
+
+    # constructed KG carries only the representatives (min of each group)
+    triples, _ = construct_kg(spark, pages, out_dir=None)
+    kg_ids = {r["subj"] for r in triples.collect()} | {
+        r["obj"] for r in triples.collect()
+    }
+    for pair in expected:
+        assert min(pair) in kg_ids or not (pair & vocab)
+        assert max(pair) not in kg_ids
+
+    # ground truth tracks RENDERED surfaces: raw extraction equals it exactly
+    truth = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in W.ground_truth(spark, 2000, seed=42, world=world).collect()
+    }
+    got = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in extract_facts_jvm(pages).where("kind = 't'")
+        .select("url", "subj", "pred", "obj").collect()
+    }
+    assert got == truth
+    pages.unpersist(), raw_triples.unpersist()

@@ -353,3 +353,63 @@ def test_run_pipeline_incremental_cli(spark, tmp_path, capsys):
     rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["batches"] == []
     assert rep2["n_triples"] == rep["n_triples"]
+
+
+def test_incremental_matches_batch_on_alias_corpus(spark, tmp_path):
+    """On a corpus with REAL merge work (alias_rate surfaces), incremental
+    construction — including cross-batch linking of late-arriving variants
+    through the LSH dictionary path — produces the same canonical partition
+    and the same normalized KG as one batch rebuild."""
+    from kgist_spark.pipeline.run import construct_kg
+    from kgist_spark.sources.webpages import World, generate_pages
+    from kgist_spark.streaming.construct import (
+        read_dictionary,
+        read_incremental_kg,
+        run_incremental_construct,
+    )
+
+    stream_in = str(tmp_path / "in")
+    out = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    world = World(42, alias_rate=0.5)
+    pages = generate_pages(spark, 2000, seed=42, world=world).cache()
+    pages.count()
+    docnum = F.regexp_extract("url", r"page/(\d+)$", 1).cast("int")
+    for lo, hi in [(0, 1000), (1000, 2000)]:
+        pages.where((docnum >= lo) & (docnum < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_in)
+
+    run_incremental_construct(
+        spark, stream_in, out, ckpt, n_buckets=4, max_files_per_trigger=1
+    )
+
+    igroups = {}
+    for r in read_dictionary(spark, out).collect():
+        igroups.setdefault(r["canonical"], set()).add(r["surface"])
+    imerged = {frozenset(v) for v in igroups.values() if len(v) > 1}
+
+    from kgist_spark.pipeline.canonicalize import canonical_map, entity_vocabulary
+    from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
+
+    raw = (
+        extract_facts_jvm(pages).where("kind = 't'")
+        .groupBy("subj", "pred", "obj").agg(F.min("url").alias("url"))
+    )
+    bgroups = {}
+    for r in canonical_map(entity_vocabulary(raw)).collect():
+        bgroups.setdefault(r["canonical"], set()).add(r["node"])
+    bmerged = {frozenset(v) for v in bgroups.values() if len(v) > 1}
+    assert imerged == bmerged and len(imerged) >= 5
+
+    # normalized triples equal (representative = min of group on both sides)
+    irep = {c: min(m) for c, m in igroups.items()}
+    it, _ = read_incremental_kg(spark, out)
+    iset = {
+        (irep.get(r["subj"], r["subj"]), r["pred"], irep.get(r["obj"], r["obj"]))
+        for r in it.collect()
+    }
+    bt, _ = construct_kg(spark, pages, out_dir=None)
+    bset = {(r["subj"], r["pred"], r["obj"]) for r in bt.collect()}
+    assert iset == bset and iset
+    pages.unpersist()
