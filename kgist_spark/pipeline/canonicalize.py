@@ -45,6 +45,16 @@ def canonical_map(entities: DataFrame, k: int = 3, num_perm: int = 32,
     persisted only across the single checkpoint job that reads it 3x.
     """
     entities = entities.localCheckpoint()
+    # size-aware shuffle width for the LSH chain: its ~10 shuffle stages
+    # over a small vocabulary are pure task-scheduling overhead at the
+    # session width (measured 6-8 s for 320 entities at width 32, ~1.5 s at
+    # width 1); a large vocabulary keeps the session width.  The count is
+    # free — entities is checkpointed one line up.
+    n_entities = entities.count()
+    spark = entities.sparkSession
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    scoped_width = max(1, min(int(old_width), n_entities // 50_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(scoped_width))
     shingles = MH.char_shingles(entities, "node", "node", k=k).persist()
     try:
         sigs = MH.minhash_signatures(shingles, num_perm=num_perm)
@@ -62,6 +72,7 @@ def canonical_map(entities: DataFrame, k: int = 3, num_perm: int = 32,
         )
     finally:
         shingles.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
     comp = connected_components(verified)
     canon = comp.select("node", F.col("component").alias("canonical"))
     return (
