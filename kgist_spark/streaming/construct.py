@@ -134,18 +134,33 @@ def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | Non
     unknown = entities.join(
         d.select(F.col("surface").alias("node")), "node", "left_anti"
     ).localCheckpoint()
-    linked = (
-        link_mentions(
-            unknown.select(F.col("node").alias("mention")),
-            dictionary.select(F.col("surface").alias("entity")),
-            threshold=threshold,
-        )
-        .join(d.withColumnRenamed("surface", "linked"), "linked")
-        .select(
-            F.col("mention").alias("node"), "canonical", F.lit(True).alias("is_new")
-        )
-        .localCheckpoint()
+    # the linking LSH chain gets the same size-aware shuffle width as
+    # canonical_map: per-batch linking over a small dictionary is stage-
+    # scheduling latency at the session width (the counts are cheap —
+    # unknown is checkpointed, the dictionary is a small parquet read)
+    spark = entities.sparkSession
+    n_small = unknown.count() + dictionary.count()
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, min(int(old_width), n_small // 50_000))),
     )
+    try:
+        linked = (
+            link_mentions(
+                unknown.select(F.col("node").alias("mention")),
+                dictionary.select(F.col("surface").alias("entity")),
+                threshold=threshold,
+            )
+            .join(d.withColumnRenamed("surface", "linked"), "linked")
+            .select(
+                F.col("mention").alias("node"), "canonical",
+                F.lit(True).alias("is_new")
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
     leftover = unknown.join(linked.select("node"), "node", "left_anti")
     intra = canonical_map(leftover, threshold=threshold).withColumn(
         "is_new", F.lit(True)
