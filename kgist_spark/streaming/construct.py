@@ -42,9 +42,13 @@ global minimum).
 100 TB shape: the dictionary is read once per batch and only its NEW rows
 are written; the anti-join against existing triples is an equi-join on the
 natural key (shuffle bounded by batch size on the probe side); all
-extraction and scoring is JVM-side.  The LSH re-shingles the known-surface
-set each batch — persisting dictionary signatures alongside the dictionary
-is the next optimization if batches are small relative to it.
+extraction and scoring is JVM-side.  Dictionary LSH band hashes are
+PERSISTED as an index (``canon_index``, batch-partitioned like the
+dictionary): per-batch linking joins the batch's band hashes against it —
+the tiny batch side broadcasts, the index is scanned but never shuffled or
+re-hashed, and dictionary shingles are recomputed only for matched
+candidate surfaces.  Per-batch linking cost is O(batch + matches),
+independent of dictionary size.
 """
 
 from __future__ import annotations
@@ -69,9 +73,39 @@ from kgist_spark.pipeline.materialize import (
     deterministic_dense_ids,
     read_manifest,
 )
+from kgist_spark.operators import minhash as MH
 from kgist_spark.streaming.ingest import stream_pages
 
 DICT_DIR = "canon_dict"
+INDEX_DIR = "canon_index"
+#: LSH family shared with canonical_map / link_mentions defaults — the
+#: index MUST use the same hashes so indexed and unindexed linking see the
+#: same candidate pairs
+_NUM_PERM, _BANDS, _ROWS_PER_BAND = 32, 8, 4
+
+
+def _surface_lsh(surfaces: DataFrame):
+    """``(shingles, buckets)`` for a one-column ``surface`` DataFrame, with
+    the shared LSH family: shingles ``(id, shingle)``, buckets
+    ``(id, band, bucket)``."""
+    sh = MH.char_shingles(surfaces, "surface", "surface", k=3)
+    sigs = MH.minhash_signatures(sh, num_perm=_NUM_PERM)
+    return sh, MH.lsh_buckets(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
+
+
+def read_index(spark: SparkSession, out_dir: str,
+               exclude_batch: int | None = None) -> DataFrame | None:
+    """The persisted dictionary LSH index ``(surface, band, bucket)``, or
+    None if absent (pre-index KGs fall back to unindexed linking)."""
+    path = os.path.join(out_dir, INDEX_DIR)
+    if not _has_batches(path):
+        return None
+    df = spark.read.option("basePath", path).parquet(
+        os.path.join(path, "batch=*")
+    )
+    if exclude_batch is not None:
+        df = df.where(F.col("batch") != exclude_batch)
+    return df.select("surface", "band", "bucket")
 
 
 def _has_batches(path: str) -> bool:
@@ -112,8 +146,66 @@ def read_dictionary(spark: SparkSession, out_dir: str,
     return df.select("surface", "canonical")
 
 
+def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
+                  threshold: float) -> DataFrame:
+    """``(mention, linked)`` best dictionary match per unknown surface via
+    the persisted index.  The batch side is tiny, so the (band, bucket)
+    equi-join broadcasts it and the index is never shuffled; dictionary
+    shingles are recomputed only for candidate surfaces.  Dict-side hot
+    buckets (> 64 ids) are dropped with a logged count — one small
+    aggregate job over the index; precompute bucket sizes alongside the
+    index if that scan ever matters.  (The unindexed path caps on combined
+    mention+dictionary bucket size instead; identical on non-degenerate
+    data.)"""
+    import logging
+
+    m_sh, m_buckets = _surface_lsh(unknown.select(F.col("node").alias("surface")))
+    hot = (
+        dict_index.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n")).where(F.col("n") > 64)
+    )
+    n_hot = hot.count()
+    if n_hot:
+        logging.getLogger(__name__).warning(
+            "indexed_link: dropping %d hot index buckets (> 64 ids) — "
+            "their members can only exact-match or form new groups", n_hot
+        )
+    cand = (
+        m_buckets.select(F.col("id").alias("mention"), "band", "bucket")
+        .join(hot.select("band", "bucket"), ["band", "bucket"], "left_anti")
+        .join(
+            dict_index.withColumnRenamed("surface", "dsurf"), ["band", "bucket"]
+        )
+        .select("mention", "dsurf")
+        .distinct()
+    )
+    d_sh = MH.char_shingles(
+        cand.select(F.col("dsurf").alias("surface")).distinct(),
+        "surface", "surface", k=3,
+    )
+    scored = MH.jaccard_verified_pairs(
+        cand.select(F.col("mention").alias("a"), F.col("dsurf").alias("b")),
+        m_sh.unionByName(d_sh),
+        threshold,
+    )
+    return (
+        scored.select(
+            F.col("a").alias("mention"),
+            F.col("b").alias("linked_entity"),
+            F.col("jaccard").alias("score"),
+        )
+        .groupBy("mention")
+        .agg(
+            F.max_by(
+                "linked_entity", F.struct("score", "linked_entity")
+            ).alias("linked")
+        )
+    )
+
+
 def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | None,
-                                threshold: float = 0.70) -> DataFrame:
+                                threshold: float = 0.70,
+                                dict_index: DataFrame | None = None) -> DataFrame:
     """``(node, canonical, is_new)`` for every batch entity.
 
     Exact dictionary hits keep their canonical; near-matches (trigram
@@ -121,6 +213,15 @@ def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | Non
     canonical; the rest form new intra-batch groups via the batch
     canonicalizer.  ``is_new`` marks rows that must be appended to the
     dictionary (every previously-unseen surface, whatever it linked to).
+
+    With ``dict_index`` (the persisted ``(surface, band, bucket)`` LSH
+    index), candidate pairs come from joining the BATCH's band hashes
+    against the index — per-batch cost is O(batch + matches), independent
+    of dictionary size, and dictionary shingles are recomputed only for
+    the matched candidate surfaces (semi-join-bounded).  The index uses
+    the same hash family as the unindexed path, so both produce identical
+    links.  Hot index buckets past ``max_bucket=64`` ids are dropped with
+    a logged count, mirroring :func:`operators.minhash.candidate_pairs`.
     """
     if dictionary is None:
         return canonical_map(entities, threshold=threshold).withColumn(
@@ -146,13 +247,16 @@ def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | Non
         str(max(1, min(int(old_width), n_small // 50_000))),
     )
     try:
-        linked = (
-            link_mentions(
+        if dict_index is not None:
+            best = _indexed_link(unknown, dict_index, threshold)
+        else:
+            best = link_mentions(
                 unknown.select(F.col("node").alias("mention")),
                 dictionary.select(F.col("surface").alias("entity")),
                 threshold=threshold,
             )
-            .join(d.withColumnRenamed("surface", "linked"), "linked")
+        linked = (
+            best.join(d.withColumnRenamed("surface", "linked"), "linked")
             .select(
                 F.col("mention").alias("node"), "canonical",
                 F.lit(True).alias("is_new")
@@ -205,8 +309,10 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
     # see the KG exactly as the original attempt did, or the anti-join
     # would cancel its own half-written output and drop rows for good
     dictionary = read_dictionary(spark, out_dir, exclude_batch=batch_id)
+    dict_index = read_index(spark, out_dir, exclude_batch=batch_id)
     canon = link_entities_to_dictionary(
-        entity_vocabulary(raw_triples), dictionary, threshold=threshold
+        entity_vocabulary(raw_triples), dictionary, threshold=threshold,
+        dict_index=dict_index,
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     triples = apply_canonical_triples(raw_triples, canon.select("node", "canonical"))
@@ -259,6 +365,18 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
         .option("partitionOverwriteMode", "dynamic") \
         .partitionBy("batch") \
         .parquet(os.path.join(out_dir, DICT_DIR))
+    # extend the LSH index with the batch's new surfaces (same family),
+    # so the NEXT batch's linking joins against it instead of re-hashing
+    # the whole dictionary
+    _, new_buckets = _surface_lsh(
+        canon.where("is_new").select(F.col("node").alias("surface"))
+    )
+    new_buckets.select(F.col("id").alias("surface"), "band", "bucket") \
+        .withColumn("batch", F.lit(batch_id)).coalesce(1) \
+        .write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("batch") \
+        .parquet(os.path.join(out_dir, INDEX_DIR))
 
     for name in outputs:
         for b in range(n_buckets):

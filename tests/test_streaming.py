@@ -413,3 +413,54 @@ def test_incremental_matches_batch_on_alias_corpus(spark, tmp_path):
     bset = {(r["subj"], r["pred"], r["obj"]) for r in bt.collect()}
     assert iset == bset and iset
     pages.unpersist()
+
+
+def test_indexed_linking_matches_unindexed(spark, tmp_path):
+    """The persisted LSH index path and the unindexed link_mentions path
+    produce the same links (same hash family -> same candidates), the
+    index covers every dictionary surface, and the alias flow works
+    through the index across 3 batches."""
+    from kgist_spark.sources.webpages import World, generate_pages
+    from kgist_spark.streaming.construct import (
+        construct_batch_incremental,
+        link_entities_to_dictionary,
+        read_dictionary,
+        read_index,
+    )
+
+    out = str(tmp_path / "kg")
+    world = World(42, alias_rate=0.5)
+    pages = generate_pages(spark, 1200, seed=42, world=world).cache()
+    docnum = F.regexp_extract("url", r"page/(\d+)$", 1).cast("int")
+    for i, (lo, hi) in enumerate([(0, 400), (400, 800), (800, 1200)]):
+        construct_batch_incremental(
+            spark, pages.where((docnum >= lo) & (docnum < hi)), out,
+            batch_id=i, n_buckets=2,
+        )
+
+    d = read_dictionary(spark, out)
+    idx = read_index(spark, out)
+    # index covers exactly the dictionary's surfaces
+    assert {r["surface"] for r in idx.select("surface").distinct().collect()} \
+        == {r["surface"] for r in d.select("surface").collect()}
+
+    # a fresh batch linked with and without the index gives identical maps
+    last = pages.where(docnum >= 800)
+    from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
+    from kgist_spark.pipeline.canonicalize import entity_vocabulary
+
+    raw = (
+        extract_facts_jvm(last).where("kind = 't'")
+        .groupBy("subj", "pred", "obj").agg(F.min("url").alias("url"))
+    )
+    ents = entity_vocabulary(raw)
+    with_idx = {
+        (r["node"], r["canonical"])
+        for r in link_entities_to_dictionary(ents, d, dict_index=idx).collect()
+    }
+    without = {
+        (r["node"], r["canonical"])
+        for r in link_entities_to_dictionary(ents, d, dict_index=None).collect()
+    }
+    assert with_idx == without and with_idx
+    pages.unpersist()
