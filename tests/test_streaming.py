@@ -464,3 +464,37 @@ def test_indexed_linking_matches_unindexed(spark, tmp_path):
     }
     assert with_idx == without and with_idx
     pages.unpersist()
+
+
+def test_summarize_incremental_kg_matches_batch(spark, tmp_path):
+    """KGist MDL summarization over an incrementally-built KG equals
+    summarization over the batch rebuild (same corpus, same groupings ->
+    identical rules and bits)."""
+    from kgist_spark.pipeline.run import construct_kg, summarize_constructed_kg
+    from kgist_spark.sources.webpages import generate_pages
+    from kgist_spark.streaming.construct import (
+        read_incremental_kg,
+        run_incremental_construct,
+    )
+
+    stream_in = str(tmp_path / "in")
+    out = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    pages = generate_pages(spark, 1000, seed=42).cache()
+    pages.count()
+    docnum = F.regexp_extract("url", r"page/(\d+)$", 1).cast("int")
+    for lo, hi in [(0, 500), (500, 1000)]:
+        pages.where((docnum >= lo) & (docnum < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_in)
+    run_incremental_construct(
+        spark, stream_in, out, ckpt, n_buckets=4, max_files_per_trigger=1
+    )
+    it, il = read_incremental_kg(spark, out)
+    _, m_incr = summarize_constructed_kg(it, il)
+
+    bt, bl = construct_kg(spark, pages, out_dir=None)
+    _, m_batch = summarize_constructed_kg(bt, bl)
+
+    assert set(m_incr.rules) == set(m_batch.rules) and m_incr.rules
+    pages.unpersist()
