@@ -498,3 +498,53 @@ def test_summarize_incremental_kg_matches_batch(spark, tmp_path):
 
     assert set(m_incr.rules) == set(m_batch.rules) and m_incr.rules
     pages.unpersist()
+
+
+@pytest.mark.nightly
+def test_incremental_vs_batch_fuzz(spark, tmp_path):
+    """Seeded sweep: random corpora (with and without alias surfaces) split
+    into random batch counts must produce normalized-identical KGs through
+    the incremental path.  Nightly: ~8 constructs."""
+    from kgist_spark.pipeline.run import construct_kg
+    from kgist_spark.sources.webpages import World, generate_pages
+    from kgist_spark.streaming.construct import (
+        read_dictionary,
+        read_incremental_kg,
+        run_incremental_construct,
+    )
+
+    cases = [
+        (101, 0.0, 2), (202, 0.0, 3), (303, 0.5, 2), (404, 0.5, 4),
+    ]
+    for seed, alias_rate, n_batches in cases:
+        base = tmp_path / f"s{seed}"
+        world = World(seed, alias_rate=alias_rate)
+        n_docs = 900
+        pages = generate_pages(spark, n_docs, seed=seed, world=world).cache()
+        pages.count()
+        docnum = F.regexp_extract("url", r"page/(\d+)$", 1).cast("int")
+        step = n_docs // n_batches
+        for i in range(n_batches):
+            hi = n_docs if i == n_batches - 1 else (i + 1) * step
+            pages.where((docnum >= i * step) & (docnum < hi)).coalesce(1) \
+                .write.mode("append").parquet(str(base / "in"))
+        run_incremental_construct(
+            spark, str(base / "in"), str(base / "kg"), str(base / "ckpt"),
+            n_buckets=4, max_files_per_trigger=1,
+        )
+        groups = {}
+        for r in read_dictionary(spark, str(base / "kg")).collect():
+            groups.setdefault(r["canonical"], set()).add(r["surface"])
+        rep = {c: min(m) for c, m in groups.items()}
+        it, il = read_incremental_kg(spark, str(base / "kg"))
+        iset = {
+            (rep.get(r["subj"], r["subj"]), r["pred"], rep.get(r["obj"], r["obj"]))
+            for r in it.collect()
+        }
+        ilabs = {(rep.get(r["node"], r["node"]), r["label"]) for r in il.collect()}
+        bt, bl = construct_kg(spark, pages, out_dir=None)
+        bset = {(r["subj"], r["pred"], r["obj"]) for r in bt.collect()}
+        blabs = {(r["node"], r["label"]) for r in bl.collect()}
+        assert iset == bset and iset, f"seed={seed} triples diverged"
+        assert ilabs == blabs, f"seed={seed} labels diverged"
+        pages.unpersist()
