@@ -147,7 +147,9 @@ def read_dictionary(spark: SparkSession, out_dir: str,
 
 
 def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
-                  threshold: float) -> DataFrame:
+                  threshold: float,
+                  dictionary: DataFrame | None = None,
+                  stats: dict | None = None) -> DataFrame:
     """``(mention, linked)`` best dictionary match per unknown surface via
     the persisted index.  The batch side is tiny, so the (band, bucket)
     equi-join broadcasts it and the index is never shuffled; dictionary
@@ -156,7 +158,15 @@ def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
     aggregate job over the index; precompute bucket sizes alongside the
     index if that scan ever matters.  (The unindexed path caps on combined
     mention+dictionary bucket size instead; identical on non-degenerate
-    data.)"""
+    data.)
+
+    With ``dictionary`` and a ``stats`` dict, records
+    ``stats["n_bridges"]``: the number of batch surfaces whose verified
+    matches span MORE THAN ONE existing canonical group — exactly the
+    cases where the grow-only contract diverges from a batch rebuild
+    (the bridge links to its best-scoring group; the groups are not
+    merged).  A climbing bridge count is the operational signal to
+    schedule a periodic batch rebuild."""
     import logging
 
     m_sh, m_buckets = _surface_lsh(unknown.select(F.col("node").alias("surface")))
@@ -188,6 +198,24 @@ def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
         m_sh.unionByName(d_sh),
         threshold,
     )
+    if dictionary is not None and stats is not None:
+        n_bridges = (
+            scored.join(
+                F.broadcast(dictionary).withColumnRenamed("surface", "b"), "b"
+            )
+            .groupBy("a")
+            .agg(F.countDistinct("canonical").alias("k"))
+            .where(F.col("k") > 1)
+            .count()
+        )
+        stats["n_bridges"] = n_bridges
+        if n_bridges:
+            logging.getLogger(__name__).warning(
+                "indexed_link: %d batch surface(s) bridge multiple existing "
+                "canonical groups — each linked to its best-scoring group "
+                "only (grow-only contract); schedule a batch rebuild to "
+                "reconcile if this keeps climbing", n_bridges
+            )
     return (
         scored.select(
             F.col("a").alias("mention"),
@@ -205,7 +233,8 @@ def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
 
 def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | None,
                                 threshold: float = 0.70,
-                                dict_index: DataFrame | None = None) -> DataFrame:
+                                dict_index: DataFrame | None = None,
+                                stats: dict | None = None) -> DataFrame:
     """``(node, canonical, is_new)`` for every batch entity.
 
     Exact dictionary hits keep their canonical; near-matches (trigram
@@ -248,7 +277,8 @@ def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | Non
     )
     try:
         if dict_index is not None:
-            best = _indexed_link(unknown, dict_index, threshold)
+            best = _indexed_link(unknown, dict_index, threshold,
+                                 dictionary=dictionary, stats=stats)
         else:
             best = link_mentions(
                 unknown.select(F.col("node").alias("mention")),
@@ -310,9 +340,10 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
     # would cancel its own half-written output and drop rows for good
     dictionary = read_dictionary(spark, out_dir, exclude_batch=batch_id)
     dict_index = read_index(spark, out_dir, exclude_batch=batch_id)
+    link_stats: dict = {}
     canon = link_entities_to_dictionary(
         entity_vocabulary(raw_triples), dictionary, threshold=threshold,
-        dict_index=dict_index,
+        dict_index=dict_index, stats=link_stats,
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     triples = apply_canonical_triples(raw_triples, canon.select("node", "canonical"))
@@ -387,7 +418,8 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
     n_new = sum(counts["kg_triples"].values())
     for df in (raw_triples, raw_labels, canon, triples, labels):
         df.unpersist()
-    return {"batch": batch_id, "skipped": False, "new_triples": n_new}
+    return {"batch": batch_id, "skipped": False, "new_triples": n_new,
+            "n_bridges": link_stats.get("n_bridges", 0)}
 
 
 def run_incremental_construct(spark: SparkSession, input_dir: str, out_dir: str,

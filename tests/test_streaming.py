@@ -548,3 +548,54 @@ def test_incremental_vs_batch_fuzz(spark, tmp_path):
         assert iset == bset and iset, f"seed={seed} triples diverged"
         assert ilabs == blabs, f"seed={seed} labels diverged"
         pages.unpersist()
+
+
+def test_bridge_detection_and_grow_only_linking(spark, tmp_path):
+    """A new surface similar to TWO existing (mutually dissimilar) canonical
+    groups is a 'bridge': it must link to its single best-scoring group,
+    the existing groups must NOT merge, and the batch summary must report
+    n_bridges — the operational signal for a periodic batch rebuild."""
+    import datetime as dt
+
+    from kgist_spark.streaming.construct import (
+        construct_batch_incremental,
+        read_dictionary,
+    )
+
+    out = str(tmp_path / "kg")
+
+    def pages_df(rows):
+        return spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, 1), b"", t, "en") for u, t in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    # batch 0: two org groups whose ids are mutually dissimilar (J=0.46)
+    a = "Stellar Quantum Dynamics Inc"
+    b = "Quantum Dynamics Cascade Inc"
+    c = "Stellar Quantum Dynamics Cascade Inc"  # J(a,c)=0.74, J(b,c)=0.70
+    r0 = construct_batch_incremental(
+        spark,
+        pages_df([("u://0", f"{a} is located in Berlin."),
+                  ("u://1", f"{b} is located in Oslo.")]),
+        out, batch_id=0, n_buckets=2, threshold=0.69,
+    )
+    assert r0["n_bridges"] == 0
+    groups0 = {r["surface"]: r["canonical"]
+               for r in read_dictionary(spark, out).collect()}
+    ida, idb = "org:stellar_quantum_dynamics_inc", "org:quantum_dynamics_cascade_inc"
+    assert groups0[ida] != groups0[idb]  # two distinct groups
+
+    # batch 1: the bridge arrives
+    r1 = construct_batch_incremental(
+        spark,
+        pages_df([("u://2", f"Alice Smith works for {c}.")]),
+        out, batch_id=1, n_buckets=2, threshold=0.69,
+    )
+    assert r1["n_bridges"] == 1
+    groups1 = {r["surface"]: r["canonical"]
+               for r in read_dictionary(spark, out).collect()}
+    idc = "org:stellar_quantum_dynamics_cascade_inc"
+    # grow-only: existing groups unchanged, bridge joined the best match (a)
+    assert groups1[ida] == groups0[ida] and groups1[idb] == groups0[idb]
+    assert groups1[idc] == groups0[ida]
