@@ -86,26 +86,47 @@ def candidate_pairs(buckets: DataFrame, max_bucket: int = 64,
     """Distinct unordered id pairs sharing any band bucket.  Buckets larger
     than ``max_bucket`` are dropped (degenerate hot buckets).
 
+    Hot buckets are sized and dropped BEFORE any per-bucket collection: a
+    spill-safe window count over (band, bucket) tags every row with its
+    bucket size (``WindowExec`` buffers partitions in a spillable row array),
+    and only rows of surviving buckets reach ``collect_set`` — a
+    ``collect_set``-then-filter would materialize a degenerate bucket's
+    entire id set in one aggregation buffer first, which is exactly the
+    executor-OOM this cap exists to prevent.  The window and the follow-up
+    group-by share one hash partitioning on (band, bucket), so this is still
+    a single shuffle.
+
     No silent caps: pass a ``pyspark.sql.Observation`` as ``drop_stats`` to
     get ``{"dropped_buckets": n, "dropped_ids": m}`` after the first action
-    on the result — the metrics ride the bucket-size aggregate already in
-    the plan (``observe`` adds NO extra job or shuffle, unlike a second
-    count over ``sized``, which would re-run the whole upstream pipeline
-    at 100 TB).  :func:`log_drop_stats` turns the observation into a log
-    line once the query has run."""
-    sized = buckets.groupBy("band", "bucket").agg(
-        F.collect_set("id").alias("ids"), F.count("*").alias("n")
+    on the result — the metrics ride the rows already flowing through the
+    plan (``observe`` adds NO extra job or shuffle, unlike a second count,
+    which would re-run the whole upstream pipeline at 100 TB).
+    :func:`log_drop_stats` turns the observation into a log line once the
+    query has run."""
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("band", "bucket").orderBy("id")
+    sized = buckets.select(
+        "id", "band", "bucket",
+        F.count("*").over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+        F.row_number().over(wp).alias("rn"),
     )
     if drop_stats is not None:
         hot = F.col("n") > max_bucket
         sized = sized.observe(
             drop_stats,
-            F.coalesce(F.sum(hot.cast("long")), F.lit(0)).alias("dropped_buckets"),
-            F.coalesce(F.sum(F.when(hot, F.col("n")).otherwise(0)), F.lit(0)).alias(
-                "dropped_ids"
-            ),
+            F.coalesce(
+                F.sum((hot & (F.col("rn") == 1)).cast("long")), F.lit(0)
+            ).alias("dropped_buckets"),
+            F.coalesce(F.sum(hot.cast("long")), F.lit(0)).alias("dropped_ids"),
         )
-    ok = sized.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    ok = (
+        sized.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .groupBy("band", "bucket")
+        .agg(F.collect_set("id").alias("ids"))
+    )
     pairs = ok.select(
         F.explode(
             F.expr(

@@ -115,22 +115,33 @@ def apply_canonical_labels(labels: DataFrame, canon: DataFrame) -> DataFrame:
 
 def link_mentions(mentions: DataFrame, dictionary: DataFrame,
                   threshold: float = 0.5, num_perm: int = 32,
-                  bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+                  bands: int = 8, rows_per_band: int = 4,
+                  same_prefix: bool = False) -> DataFrame:
     """``(mention, linked, score)``: exact dictionary hits score 1.0; misses
     are blocked via LSH against the dictionary and scored by the JVM-side
     exact trigram-jaccard join; best candidate above threshold wins.
 
+    No broadcast hint on either side: mention-vs-dictionary relative size
+    depends on the caller (batch X5 links a big mention table against a
+    small dictionary; incremental linking the reverse, against a grow-only
+    dictionary) — AQE broadcasts whichever side is small at runtime and
+    falls back to shuffle join when neither is.
+
     :mentions: one column ``mention`` (canonical-form surface ids)
     :dictionary: one column ``entity``
+    :same_prefix: restrict near-matches to pairs with equal etype prefixes
+        (``substring_index(id, ':', 1)``), mirroring ``canonical_map`` —
+        incremental linking passes True so a new surface can never adopt a
+        different-etype surface's canonical.
     """
     exact = (
         mentions.join(
-            F.broadcast(dictionary).withColumnRenamed("entity", "mention"), "mention"
+            dictionary.withColumnRenamed("entity", "mention"), "mention"
         )
         .select("mention", F.col("mention").alias("linked"), F.lit(1.0).alias("score"))
     )
     misses = mentions.join(
-        F.broadcast(dictionary).withColumnRenamed("entity", "mention"),
+        dictionary.withColumnRenamed("entity", "mention"),
         "mention",
         "left_anti",
     )
@@ -154,6 +165,11 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
         .where(F.col("m").startswith("m|") & F.col("d").startswith("d|"))
         .select(F.col("m").alias("a"), F.col("d").alias("b"))
     )
+    if same_prefix:
+        cand = cand.where(
+            F.substring_index(F.expr("substring(a, 3)"), ":", 1)
+            == F.substring_index(F.expr("substring(b, 3)"), ":", 1)
+        )
 
     # score with the SAME JVM-side exact-jaccard join the dedup path uses —
     # the trigram sets are already materialized in `shingles`, so a pandas

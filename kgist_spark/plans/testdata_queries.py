@@ -930,6 +930,7 @@ def anomaly_topk_oracle_sql(sf_dir: str | None = None) -> str:
         stat_rows.append(f"({rid}, {bits / _ne if _ne else 0.0!r})")
 
     return f"""{_PERTURBED_KG_CTE},
+ {_sf_guard_cte(sf_dir)},
  nld AS (SELECT DISTINCT node, label FROM labels),
  nl AS (
    SELECT node, label,
@@ -993,6 +994,7 @@ FROM triples t
 LEFT JOIN covered c ON c.subj = t.subj AND c.pred = t.pred AND c.obj = t.obj
 LEFT JOIN blame bs ON bs.node = t.subj AND bs.pred = t.pred
 LEFT JOIN blame bo ON bo.node = t.obj AND bo.pred = t.pred
+WHERE (SELECT ok FROM sf_guard) = 1
 ORDER BY score DESC, t.subj, t.pred, t.obj
 LIMIT 25"""
 
@@ -1002,6 +1004,37 @@ LIMIT 25"""
 # ---------------------------------------------------------------------------
 
 _DUCK_FIT_CACHE: dict = {}
+_SF_CARD_CACHE: dict = {}
+
+
+def _sf_guard_cte(sf_dir: str) -> str:
+    """A ``sf_guard`` CTE that makes a model-literal oracle FAIL LOUDLY when
+    the harness attaches tables from a different scale factor than the one
+    the embedded literals were fitted on (the fit reads ``sf_dir`` directly;
+    the surrounding CTEs read whatever the harness attached — a silent
+    mismatch would fail every model-backed query with an opaque hash diff).
+    Reference the CTE as ``WHERE (SELECT ok FROM sf_guard) = 1`` so the
+    check cannot be pruned."""
+    if sf_dir not in _SF_CARD_CACHE:
+        import duckdb
+
+        _SF_CARD_CACHE[sf_dir] = tuple(
+            duckdb.sql(
+                f"SELECT count(*) FROM '{sf_dir}/{t}.parquet'"
+            ).fetchone()[0]
+            for t in ("customer", "orders")
+        )
+    n_cust, n_ord = _SF_CARD_CACHE[sf_dir]
+    msg = (
+        f"model oracle literals were fitted on {sf_dir} "
+        f"(customer={n_cust}, orders={n_ord}) but the attached tables "
+        f"differ -- set SPARK_GRAFT_ORACLE_SF_DIR to the harness sf dir"
+    ).replace("'", "''")
+    return (
+        f"sf_guard AS (SELECT CASE WHEN (SELECT count(*) FROM customer) = {n_cust} "
+        f"AND (SELECT count(*) FROM orders) = {n_ord} "
+        f"THEN 1 ELSE error('{msg}') END AS ok)"
+    )
 
 
 def _duck_fit(sf_dir: str, perturbed: bool = False):
@@ -1051,8 +1084,10 @@ def model_rules_oracle_sql(kind: str, sf_dir: str | None = None) -> str:
 
     values = ", ".join(f"({q(r)}, {c}, {e})" for r, c, e in rows)
     return f"""
+    WITH {_sf_guard_cte(sf_dir)}
     SELECT rule, CAST(n_cas AS BIGINT) AS n_cas, CAST(n_edges AS BIGINT) AS n_edges
     FROM (VALUES {values}) AS t(rule, n_cas, n_edges)
+    WHERE (SELECT ok FROM sf_guard) = 1
 """
 
 

@@ -44,11 +44,20 @@ are written; the anti-join against existing triples is an equi-join on the
 natural key (shuffle bounded by batch size on the probe side); all
 extraction and scoring is JVM-side.  Dictionary LSH band hashes are
 PERSISTED as an index (``canon_index``, batch-partitioned like the
-dictionary): per-batch linking joins the batch's band hashes against it —
-the tiny batch side broadcasts, the index is scanned but never shuffled or
-re-hashed, and dictionary shingles are recomputed only for matched
-candidate surfaces.  Per-batch linking cost is O(batch + matches),
-independent of dictionary size.
+dictionary) with a per-bucket size side table (``canon_index_sizes``, a few
+rows per batch): per-batch linking joins the batch's band hashes against
+the index — the index is scanned but never shuffled or re-hashed, and
+dictionary shingles are recomputed only for matched candidate surfaces.
+NO join in this module carries a dictionary-side broadcast hint: the
+dictionary grows without bound with the corpus, so the small BATCH side is
+hinted where a side is known-small (the post-link canonical adoption, the
+bridge count) and everything else is left to AQE (broadcast while the
+dictionary is small, shuffle join once it isn't).  Per-batch linking work
+is the index scan plus O(batch + matches) shuffles; the exact-hit and
+anti-joins against the dictionary/KG are equi-joins whose shuffle AQE
+plans from runtime sizes.  Hot-bucket detection and the dictionary-size
+probe read only the size side table (and the lineage manifest), not the
+index — no per-batch O(dictionary) aggregate.
 """
 
 from __future__ import annotations
@@ -78,6 +87,7 @@ from kgist_spark.streaming.ingest import stream_pages
 
 DICT_DIR = "canon_dict"
 INDEX_DIR = "canon_index"
+SIZES_DIR = "canon_index_sizes"
 #: LSH family shared with canonical_map / link_mentions defaults — the
 #: index MUST use the same hashes so indexed and unindexed linking see the
 #: same candidate pairs
@@ -112,6 +122,24 @@ def _has_batches(path: str) -> bool:
     return os.path.isdir(path) and any(
         e.startswith("batch=") for e in os.listdir(path)
     )
+
+
+def read_index_sizes(spark: SparkSession, out_dir: str,
+                     exclude_batch: int | None = None) -> DataFrame | None:
+    """Aggregated per-bucket index sizes ``(band, bucket, n)`` from the
+    ``canon_index_sizes`` side table (written per batch alongside the
+    index), or None for pre-sizes KGs (callers fall back to sizing the
+    index itself).  Reading this is O(distinct touched buckets), never
+    O(dictionary) — each batch contributes a single tiny partial file."""
+    path = os.path.join(out_dir, SIZES_DIR)
+    if not _has_batches(path):
+        return None
+    df = spark.read.option("basePath", path).parquet(
+        os.path.join(path, "batch=*")
+    )
+    if exclude_batch is not None:
+        df = df.where(F.col("batch") != exclude_batch)
+    return df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
 
 
 def read_incremental_kg(spark: SparkSession, out_dir: str):
@@ -149,16 +177,21 @@ def read_dictionary(spark: SparkSession, out_dir: str,
 def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
                   threshold: float,
                   dictionary: DataFrame | None = None,
-                  stats: dict | None = None) -> DataFrame:
+                  stats: dict | None = None,
+                  index_sizes: DataFrame | None = None) -> DataFrame:
     """``(mention, linked)`` best dictionary match per unknown surface via
-    the persisted index.  The batch side is tiny, so the (band, bucket)
-    equi-join broadcasts it and the index is never shuffled; dictionary
-    shingles are recomputed only for candidate surfaces.  Dict-side hot
-    buckets (> 64 ids) are dropped with a logged count — one small
-    aggregate job over the index; precompute bucket sizes alongside the
-    index if that scan ever matters.  (The unindexed path caps on combined
-    mention+dictionary bucket size instead; identical on non-degenerate
-    data.)
+    the persisted index: the (band, bucket) equi-join never shuffles or
+    re-hashes the index (AQE broadcasts the tiny batch side), and
+    dictionary shingles are recomputed only for candidate surfaces.
+    Candidate pairs are restricted to equal etype prefixes
+    (``substring_index(id, ':', 1)``), mirroring ``canonical_map`` — a new
+    surface never adopts a different-etype group's canonical.
+
+    Dict-side hot buckets (> 64 ids) are dropped with a logged count, sized
+    from the ``index_sizes`` side table when given — O(touched buckets),
+    not O(dictionary); the full-index group-by is only the fallback for
+    pre-sizes KGs.  (The unindexed path caps on combined mention+dictionary
+    bucket size instead; identical on non-degenerate data.)
 
     With ``dictionary`` and a ``stats`` dict, records
     ``stats["n_bridges"]``: the number of batch surfaces whose verified
@@ -170,10 +203,12 @@ def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
     import logging
 
     m_sh, m_buckets = _surface_lsh(unknown.select(F.col("node").alias("surface")))
-    hot = (
-        dict_index.groupBy("band", "bucket")
-        .agg(F.count("*").alias("n")).where(F.col("n") > 64)
+    sized = (
+        index_sizes
+        if index_sizes is not None
+        else dict_index.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     )
+    hot = sized.where(F.col("n") > 64)
     n_hot = hot.count()
     if n_hot:
         logging.getLogger(__name__).warning(
@@ -185,6 +220,10 @@ def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
         .join(hot.select("band", "bucket"), ["band", "bucket"], "left_anti")
         .join(
             dict_index.withColumnRenamed("surface", "dsurf"), ["band", "bucket"]
+        )
+        .where(
+            F.substring_index(F.col("mention"), ":", 1)
+            == F.substring_index(F.col("dsurf"), ":", 1)
         )
         .select("mention", "dsurf")
         .distinct()
@@ -200,9 +239,8 @@ def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
     )
     if dictionary is not None and stats is not None:
         n_bridges = (
-            scored.join(
-                F.broadcast(dictionary).withColumnRenamed("surface", "b"), "b"
-            )
+            F.broadcast(scored)
+            .join(dictionary.withColumnRenamed("surface", "b"), "b")
             .groupBy("a")
             .agg(F.countDistinct("canonical").alias("k"))
             .where(F.col("k") > 1)
@@ -234,29 +272,42 @@ def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
 def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | None,
                                 threshold: float = 0.70,
                                 dict_index: DataFrame | None = None,
-                                stats: dict | None = None) -> DataFrame:
+                                stats: dict | None = None,
+                                index_sizes: DataFrame | None = None,
+                                dict_size: int | None = None) -> DataFrame:
     """``(node, canonical, is_new)`` for every batch entity.
 
     Exact dictionary hits keep their canonical; near-matches (trigram
-    jaccard >= threshold against any KNOWN surface) adopt that surface's
-    canonical; the rest form new intra-batch groups via the batch
-    canonicalizer.  ``is_new`` marks rows that must be appended to the
-    dictionary (every previously-unseen surface, whatever it linked to).
+    jaccard >= threshold against any KNOWN surface of the SAME etype
+    prefix, mirroring ``canonical_map``) adopt that surface's canonical;
+    the rest form new intra-batch groups via the batch canonicalizer.
+    ``is_new`` marks rows that must be appended to the dictionary (every
+    previously-unseen surface, whatever it linked to).
+
+    The dictionary side carries NO broadcast hint anywhere — it grows
+    without bound, so forcing a broadcast would cap the module at the
+    broadcast size limit.  The known-small sides (the per-batch ``best``
+    link table) are hinted; the exact-hit join and the anti-join are left
+    to AQE, which broadcasts the dictionary only while it actually fits
+    and shuffle-joins once it doesn't.
 
     With ``dict_index`` (the persisted ``(surface, band, bucket)`` LSH
     index), candidate pairs come from joining the BATCH's band hashes
-    against the index — per-batch cost is O(batch + matches), independent
-    of dictionary size, and dictionary shingles are recomputed only for
-    the matched candidate surfaces (semi-join-bounded).  The index uses
-    the same hash family as the unindexed path, so both produce identical
-    links.  Hot index buckets past ``max_bucket=64`` ids are dropped with
-    a logged count, mirroring :func:`operators.minhash.candidate_pairs`.
+    against the index — per-batch shuffle work is O(batch + matches), and
+    dictionary shingles are recomputed only for the matched candidate
+    surfaces (semi-join-bounded).  The index uses the same hash family as
+    the unindexed path, so both produce identical links.  Hot index
+    buckets past ``max_bucket=64`` ids are dropped with a logged count,
+    sized from ``index_sizes`` when given (no O(dictionary) aggregate),
+    mirroring :func:`operators.minhash.candidate_pairs`.  ``dict_size``
+    (from the manifest / size side table) skips the per-batch
+    ``dictionary.count()`` job.
     """
     if dictionary is None:
         return canonical_map(entities, threshold=threshold).withColumn(
             "is_new", F.lit(True)
         )
-    d = F.broadcast(dictionary)
+    d = dictionary
     exact = (
         entities.join(d.withColumnRenamed("surface", "node"), "node")
         .select("node", "canonical", F.lit(False).alias("is_new"))
@@ -267,9 +318,12 @@ def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | Non
     # the linking LSH chain gets the same size-aware shuffle width as
     # canonical_map: per-batch linking over a small dictionary is stage-
     # scheduling latency at the session width (the counts are cheap —
-    # unknown is checkpointed, the dictionary is a small parquet read)
+    # unknown is checkpointed, and the dictionary size comes from the size
+    # side table when available instead of a per-batch count job)
     spark = entities.sparkSession
-    n_small = unknown.count() + dictionary.count()
+    if dict_size is None:
+        dict_size = dictionary.count()
+    n_small = unknown.count() + dict_size
     old_width = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -278,15 +332,18 @@ def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | Non
     try:
         if dict_index is not None:
             best = _indexed_link(unknown, dict_index, threshold,
-                                 dictionary=dictionary, stats=stats)
+                                 dictionary=dictionary, stats=stats,
+                                 index_sizes=index_sizes)
         else:
             best = link_mentions(
                 unknown.select(F.col("node").alias("mention")),
                 dictionary.select(F.col("surface").alias("entity")),
                 threshold=threshold,
+                same_prefix=True,
             )
         linked = (
-            best.join(d.withColumnRenamed("surface", "linked"), "linked")
+            F.broadcast(best)
+            .join(d.withColumnRenamed("surface", "linked"), "linked")
             .select(
                 F.col("mention").alias("node"), "canonical",
                 F.lit(True).alias("is_new")
@@ -318,108 +375,142 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
             ("kg_adjacency", batch_id)} <= done:
         return {"batch": batch_id, "skipped": True}
 
-    facts = extract_facts_jvm(pages).persist(StorageLevel.MEMORY_AND_DISK)
-    raw_triples = (
-        facts.where(F.col("kind") == "t")
-        .groupBy("subj", "pred", "obj")
-        .agg(F.min("url").alias("url"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    raw_labels = (
-        facts.where(F.col("kind") == "l")
-        .groupBy("node", "label")
-        .agg(F.min("pos").alias("pos"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    raw_triples.count(), raw_labels.count()
-    facts.unpersist()
+    # every persist is registered here and released in the finally block —
+    # a mid-batch failure (e.g. a failed write before the stream retries)
+    # must not leak cached blocks for the session, or replay retries
+    # compound the leak
+    persisted: list = []
 
-    # every "existing state" read excludes THIS batch's own partitions: a
-    # replayed batch (crash between table writes and the stream commit) must
-    # see the KG exactly as the original attempt did, or the anti-join
-    # would cancel its own half-written output and drop rows for good
-    dictionary = read_dictionary(spark, out_dir, exclude_batch=batch_id)
-    dict_index = read_index(spark, out_dir, exclude_batch=batch_id)
-    link_stats: dict = {}
-    canon = link_entities_to_dictionary(
-        entity_vocabulary(raw_triples), dictionary, threshold=threshold,
-        dict_index=dict_index, stats=link_stats,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(df)
+        return df
 
-    triples = apply_canonical_triples(raw_triples, canon.select("node", "canonical"))
-    labels = apply_canonical_labels(raw_labels, canon.select("node", "canonical"))
-
-    existing_triples, existing_labels = read_incremental_kg(spark, out_dir)
-    if existing_triples is not None:
-        existing_triples = existing_triples.where(F.col("batch") != batch_id)
-        existing_labels = existing_labels.where(F.col("batch") != batch_id)
-        triples = triples.join(
-            existing_triples.select("subj", "pred", "obj"),
-            ["subj", "pred", "obj"], "left_anti",
+    try:
+        facts = _persist(extract_facts_jvm(pages))
+        raw_triples = _persist(
+            facts.where(F.col("kind") == "t")
+            .groupBy("subj", "pred", "obj")
+            .agg(F.min("url").alias("url"))
         )
-        labels = labels.join(
-            existing_labels.select("node", "label"), ["node", "label"], "left_anti"
+        raw_labels = _persist(
+            facts.where(F.col("kind") == "l")
+            .groupBy("node", "label")
+            .agg(F.min("pos").alias("pos"))
         )
-        max_eid = existing_triples.agg(F.max("eid").alias("m")).collect()[0]["m"]
-        eid_offset = (max_eid if max_eid is not None else -1) + 1
-    else:
-        eid_offset = 0
-    triples = (
-        deterministic_dense_ids(triples, ["subj", "pred", "obj", "url"], "eid")
-        .withColumn("eid", F.col("eid") + F.lit(eid_offset))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        raw_triples.count(), raw_labels.count()
+        facts.unpersist()
 
-    counts = {}
-    outputs = {
-        "kg_triples": bucketed(triples, "subj", n_buckets),
-        "kg_labels": bucketed(labels, "node", n_buckets),
-        "kg_adjacency": bucketed(adjacency(triples), "node", n_buckets),
-    }
-    for name, df in outputs.items():
-        part = df.withColumn("batch", F.lit(batch_id)).repartition(
-            n_buckets, F.col("bucket")
+        # every "existing state" read excludes THIS batch's own partitions: a
+        # replayed batch (crash between table writes and the stream commit)
+        # must see the KG exactly as the original attempt did, or the
+        # anti-join would cancel its own half-written output and drop rows
+        # for good
+        dictionary = read_dictionary(spark, out_dir, exclude_batch=batch_id)
+        dict_index = read_index(spark, out_dir, exclude_batch=batch_id)
+        index_sizes = read_index_sizes(spark, out_dir, exclude_batch=batch_id)
+        dict_size = None
+        if index_sizes is not None:
+            # reused twice (hot-bucket filter + this sum) and tiny —
+            # materialize once; total index rows = _BANDS per surface, so
+            # the sum also yields the dictionary size with no scan of the
+            # dictionary itself
+            index_sizes = index_sizes.localCheckpoint()
+            total = index_sizes.agg(F.sum("n").alias("t")).collect()[0]["t"]
+            dict_size = int(total or 0) // _BANDS
+        link_stats: dict = {}
+        canon = _persist(
+            link_entities_to_dictionary(
+                entity_vocabulary(raw_triples), dictionary, threshold=threshold,
+                dict_index=dict_index, stats=link_stats,
+                index_sizes=index_sizes, dict_size=dict_size,
+            )
         )
-        part.write.mode("overwrite") \
-            .option("partitionOverwriteMode", "dynamic") \
-            .partitionBy("batch", "bucket") \
-            .parquet(os.path.join(out_dir, name))
-        counts[name] = {
-            r["bucket"]: r["n"]
-            for r in part.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+
+        triples = apply_canonical_triples(raw_triples, canon.select("node", "canonical"))
+        labels = apply_canonical_labels(raw_labels, canon.select("node", "canonical"))
+
+        existing_triples, existing_labels = read_incremental_kg(spark, out_dir)
+        if existing_triples is not None:
+            existing_triples = existing_triples.where(F.col("batch") != batch_id)
+            existing_labels = existing_labels.where(F.col("batch") != batch_id)
+            triples = triples.join(
+                existing_triples.select("subj", "pred", "obj"),
+                ["subj", "pred", "obj"], "left_anti",
+            )
+            labels = labels.join(
+                existing_labels.select("node", "label"), ["node", "label"], "left_anti"
+            )
+            max_eid = existing_triples.agg(F.max("eid").alias("m")).collect()[0]["m"]
+            eid_offset = (max_eid if max_eid is not None else -1) + 1
+        else:
+            eid_offset = 0
+        triples = _persist(
+            deterministic_dense_ids(triples, ["subj", "pred", "obj", "url"], "eid")
+            .withColumn("eid", F.col("eid") + F.lit(eid_offset))
+        )
+        labels = _persist(labels)
+
+        counts = {}
+        outputs = {
+            "kg_triples": bucketed(triples, "subj", n_buckets),
+            "kg_labels": bucketed(labels, "node", n_buckets),
+            "kg_adjacency": bucketed(adjacency(triples), "node", n_buckets),
         }
-    new_dict = canon.where("is_new").select(
-        F.col("node").alias("surface"), "canonical"
-    ).withColumn("batch", F.lit(batch_id)).coalesce(1)
-    new_dict.write.mode("overwrite") \
-        .option("partitionOverwriteMode", "dynamic") \
-        .partitionBy("batch") \
-        .parquet(os.path.join(out_dir, DICT_DIR))
-    # extend the LSH index with the batch's new surfaces (same family),
-    # so the NEXT batch's linking joins against it instead of re-hashing
-    # the whole dictionary
-    _, new_buckets = _surface_lsh(
-        canon.where("is_new").select(F.col("node").alias("surface"))
-    )
-    new_buckets.select(F.col("id").alias("surface"), "band", "bucket") \
-        .withColumn("batch", F.lit(batch_id)).coalesce(1) \
-        .write.mode("overwrite") \
-        .option("partitionOverwriteMode", "dynamic") \
-        .partitionBy("batch") \
-        .parquet(os.path.join(out_dir, INDEX_DIR))
+        for name, df in outputs.items():
+            part = df.withColumn("batch", F.lit(batch_id)).repartition(
+                n_buckets, F.col("bucket")
+            )
+            part.write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy("batch", "bucket") \
+                .parquet(os.path.join(out_dir, name))
+            counts[name] = {
+                r["bucket"]: r["n"]
+                for r in part.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            }
+        new_dict = canon.where("is_new").select(
+            F.col("node").alias("surface"), "canonical"
+        ).withColumn("batch", F.lit(batch_id)).coalesce(1)
+        new_dict.write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("batch") \
+            .parquet(os.path.join(out_dir, DICT_DIR))
+        # extend the LSH index with the batch's new surfaces (same family),
+        # so the NEXT batch's linking joins against it instead of re-hashing
+        # the whole dictionary; the per-bucket size partials ride along so
+        # later batches can size hot buckets (and the dictionary) without
+        # scanning the index
+        _, new_buckets = _surface_lsh(
+            canon.where("is_new").select(F.col("node").alias("surface"))
+        )
+        new_buckets = _persist(
+            new_buckets.select(F.col("id").alias("surface"), "band", "bucket")
+        )
+        new_buckets.withColumn("batch", F.lit(batch_id)).coalesce(1) \
+            .write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("batch") \
+            .parquet(os.path.join(out_dir, INDEX_DIR))
+        new_buckets.groupBy("band", "bucket").agg(F.count("*").alias("n")) \
+            .withColumn("batch", F.lit(batch_id)).coalesce(1) \
+            .write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("batch") \
+            .parquet(os.path.join(out_dir, SIZES_DIR))
 
-    for name in outputs:
-        for b in range(n_buckets):
-            _append_manifest(out_dir, {
-                "table": name, "bucket": b, "batch": batch_id,
-                "n_rows": counts[name].get(b, 0), "status": "done",
-            })
-    n_new = sum(counts["kg_triples"].values())
-    for df in (raw_triples, raw_labels, canon, triples, labels):
-        df.unpersist()
-    return {"batch": batch_id, "skipped": False, "new_triples": n_new,
-            "n_bridges": link_stats.get("n_bridges", 0)}
+        for name in outputs:
+            for b in range(n_buckets):
+                _append_manifest(out_dir, {
+                    "table": name, "bucket": b, "batch": batch_id,
+                    "n_rows": counts[name].get(b, 0), "status": "done",
+                })
+        n_new = sum(counts["kg_triples"].values())
+        return {"batch": batch_id, "skipped": False, "new_triples": n_new,
+                "n_bridges": link_stats.get("n_bridges", 0)}
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def run_incremental_construct(spark: SparkSession, input_dir: str, out_dir: str,
