@@ -33,23 +33,20 @@ from pyspark.sql import functions as F
 KEY = ["root_label", "pred", "dir", "child_label"]
 
 
-def candidate_edges(triples: DataFrame, labels_flat: DataFrame,
-                    broadcast_labels: bool = True) -> DataFrame:
-    """Per-contribution rows for every candidate rule.
+def _labeled_edge_pairs(triples: DataFrame, labels_flat: DataFrame,
+                        broadcast_labels: bool = True) -> DataFrame:
+    """triples ⋈ labels(subj) ⋈ labels(obj): one row per
+    (edge, subject-label, object-label) combination, columns
+    ``(subj, pred, obj, eid, sl, sl_pos, ol, ol_pos)``.
 
-    :triples: ``(subj, pred, obj, eid)``
-    :labels_flat: ``(node, label, pos)`` exploded label assignments
-    :return: ``(root_label, pred, dir, child_label, eid, root_node,
-        child_node, ord)`` where ``ord`` is the packed first-seen sort key
-        ``(eid, subj-label pos, obj-label pos, dir_rank)``.
+    Dedupes (node, label) on the SMALL side (first-seen position kept).  This
+    makes every (rule-key, eid) pair structurally unique downstream —
+    each edge contributes exactly one row per (subject-label, object-label,
+    direction) — which is what lets candidate_stats/ca_sizes use count(*)
+    instead of countDistinct(eid).  A distinct over (key, eid) would shuffle
+    one group per contribution row (~|cand_edges| groups); at web scale that
+    is the classic distinct-on-a-unique-column anti-pattern.
     """
-    # Dedupe (node, label) on the SMALL side (first-seen position kept).  This
-    # makes every (rule-key, eid) pair structurally unique in the output —
-    # each edge contributes exactly one row per (subject-label, object-label,
-    # direction) — which is what lets candidate_stats/ca_sizes use count(*)
-    # instead of countDistinct(eid).  A distinct over (key, eid) would shuffle
-    # one group per contribution row (~|cand_edges| groups); at web scale that
-    # is the classic distinct-on-a-unique-column anti-pattern.
     lab = (
         labels_flat.select("node", "label", "pos")
         .groupBy("node", "label")
@@ -63,7 +60,28 @@ def candidate_edges(triples: DataFrame, labels_flat: DataFrame,
     lab_o = lab.select(
         F.col("node").alias("obj"), F.col("label").alias("ol"), F.col("pos").alias("ol_pos")
     )
-    joined = triples.join(lab_s, "subj").join(lab_o, "obj")
+    return triples.join(lab_s, "subj").join(lab_o, "obj")
+
+
+#: first-seen packing shared by candidate_edges / candidate_rule_stats:
+#: base = (eid·1024 + sl_pos)·1024 + ol_pos, ord = base·2 + dir-bit.
+def _first_seen_base():
+    sl = F.least(F.col("sl_pos"), F.lit(1023))
+    ol = F.least(F.col("ol_pos"), F.lit(1023))
+    return ((F.col("eid") * 1024 + sl) * 1024 + ol).cast("long")
+
+
+def candidate_edges(triples: DataFrame, labels_flat: DataFrame,
+                    broadcast_labels: bool = True) -> DataFrame:
+    """Per-contribution rows for every candidate rule.
+
+    :triples: ``(subj, pred, obj, eid)``
+    :labels_flat: ``(node, label, pos)`` exploded label assignments
+    :return: ``(root_label, pred, dir, child_label, eid, root_node,
+        child_node, ord)`` where ``ord`` is the packed first-seen sort key
+        ``(eid, subj-label pos, obj-label pos, dir_rank)``.
+    """
+    joined = _labeled_edge_pairs(triples, labels_flat, broadcast_labels)
 
     def side(root_l, dirv, child_l, root_n, child_n):
         return F.struct(
@@ -87,10 +105,8 @@ def candidate_edges(triples: DataFrame, labels_flat: DataFrame,
     # at 1023; eid must be < 2^42 (~4.4e12 edges).  Kept a TOP-LEVEL column
     # (not a struct field) so Catalyst prunes it — and its eid cast — when a
     # consumer drops first_seen.
-    sl = F.least(F.col("sl_pos"), F.lit(1023))
-    ol = F.least(F.col("ol_pos"), F.lit(1023))
     ord_col = (
-        ((F.col("eid") * 1024 + sl) * 1024 + ol) * 2
+        _first_seen_base() * 2
         + F.when(F.col("c.dir") == "in", 1).otherwise(0)
     ).cast("long").alias("ord")
     return flat.select(
@@ -117,6 +133,74 @@ def candidate_stats(cand_edges: DataFrame) -> DataFrame:
         F.countDistinct("root_node").alias("n_cas"),
         F.countDistinct("child_node").alias("n_labels_cov"),
         F.min("ord").alias("first_seen"),
+    )
+
+
+def candidate_rule_stats(triples: DataFrame, labels_flat: DataFrame,
+                         broadcast_labels: bool = True) -> DataFrame:
+    """``candidate_stats(candidate_edges(...))`` computed WITHOUT
+    materializing the per-direction contribution rows.
+
+    The out-rooted rule (sl, pred, out, ol) and the in-rooted rule
+    (ol, pred, in, sl) aggregate the SAME set of joined rows — their stats
+    are mirror images: n_edges is shared, n_cas(out) = n_labels_cov(in) =
+    distinct subjects, n_cas(in) = n_labels_cov(out) = distinct objects.
+    So one groupBy over the UN-exploded join output computes both
+    directions, halving the aggregation input (the dominant cost of the
+    flagship query — the multi-distinct Expand triples whatever flows in),
+    and the direction rows explode AFTER aggregation, at O(|rules|) size.
+    first_seen is exact: ord = base·2 + dir-bit (see ``candidate_edges``),
+    so per direction min(ord) = 2·min(base) (+1 for 'in') over the same
+    rows.  Same single shuffle on the rule key; identical output."""
+    joined = _labeled_edge_pairs(triples, labels_flat, broadcast_labels)
+    # first_seen needs a numeric eid to pack; with string eids (e.g. the
+    # testdata natural-key eids) emit null instead of relying on Catalyst
+    # pruning the cast away through the explode (ANSI mode would error)
+    numeric_eid = dict(triples.dtypes).get("eid") in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    base = _first_seen_base() if numeric_eid else F.lit(None).cast("long")
+    per_pair = (
+        joined.select("subj", "pred", "obj", "sl", "ol",
+                      base.alias("base"))
+        .groupBy("sl", "pred", "ol")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("subj").alias("n_subj"),
+            F.countDistinct("obj").alias("n_obj"),
+            F.min("base").alias("min_base"),
+        )
+    )
+
+    def side(root_l, dirv, child_l, n_cas, n_cov, fs):
+        return F.struct(
+            F.col(root_l).alias("root_label"),
+            F.lit(dirv).alias("dir"),
+            F.col(child_l).alias("child_label"),
+            F.col(n_cas).alias("n_cas"),
+            F.col(n_cov).alias("n_labels_cov"),
+            fs.alias("first_seen"),
+        )
+
+    mb = F.col("min_base")
+    return (
+        per_pair.select(
+            "pred", "n_edges",
+            F.explode(F.array(
+                side("sl", "out", "ol", "n_subj", "n_obj", mb * 2),
+                side("ol", "in", "sl", "n_obj", "n_subj", mb * 2 + 1),
+            )).alias("c"),
+        )
+        .select(
+            F.col("c.root_label").alias("root_label"),
+            "pred",
+            F.col("c.dir").alias("dir"),
+            F.col("c.child_label").alias("child_label"),
+            "n_edges",
+            F.col("c.n_cas").alias("n_cas"),
+            F.col("c.n_labels_cov").alias("n_labels_cov"),
+            F.col("c.first_seen").alias("first_seen"),
+        )
     )
 
 

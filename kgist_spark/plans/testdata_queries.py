@@ -42,18 +42,40 @@ def derived_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
 
     def tr(df, s_prefix, s_col, pred, o_prefix, o_col):
+        # no .distinct(): the subject key is the table's primary key, so the
+        # branch is duplicate-free by construction — a distinct here is a
+        # pure extra shuffle of the branch
         return df.select(
             F.concat(F.lit(s_prefix), F.col(s_col)).alias("subj"),
             F.lit(pred).alias("pred"),
             F.concat(F.lit(o_prefix), F.col(o_col)).alias("obj"),
-        ).distinct()
+        )
+
+    # the lineitem branches are the only ones that can hold duplicates
+    # ((orderkey, partkey) / (partkey, suppkey) repeat across lineitems);
+    # their dedup runs over the RAW int key pairs — hashing and shuffling
+    # (int, int) instead of ~15-char concatenated strings — and the string
+    # node ids are built after the dedup, on roughly half the rows.  Each
+    # branch keeps its LITERAL pred so a pred-filtered consumer
+    # (coverage_anti, the perturbed-KG queries) constant-folds non-matching
+    # branches away and never scans their source tables.
+    def tr_dedup(df, s_prefix, s_col, pred, o_prefix, o_col):
+        return (
+            df.select(F.col(s_col).alias("a"), F.col(o_col).alias("b"))
+            .distinct()
+            .select(
+                F.concat(F.lit(s_prefix), F.col("a")).alias("subj"),
+                F.lit(pred).alias("pred"),
+                F.concat(F.lit(o_prefix), F.col("b")).alias("obj"),
+            )
+        )
 
     return (
         tr(customer, "c", "c_custkey", "in_nation", "n", "c_nationkey")
         .unionAll(tr(supplier, "s", "s_suppkey", "in_nation", "n", "s_nationkey"))
         .unionAll(tr(orders, "o", "o_orderkey", "placed_by", "c", "o_custkey"))
-        .unionAll(tr(lineitem, "o", "l_orderkey", "contains_part", "p", "l_partkey"))
-        .unionAll(tr(lineitem, "p", "l_partkey", "supplied_by", "s", "l_suppkey"))
+        .unionAll(tr_dedup(lineitem, "o", "l_orderkey", "contains_part", "p", "l_partkey"))
+        .unionAll(tr_dedup(lineitem, "p", "l_partkey", "supplied_by", "s", "l_suppkey"))
     )
 
 
@@ -202,8 +224,13 @@ def q_kg_labels(spark, sf_dir):
 
 
 def q_candidate_stats(spark, sf_dir):
-    """A1 — the flagship candidate-generation aggregation."""
-    return C.candidate_stats(_cand_edges(spark, sf_dir)).select(
+    """A1 — the flagship candidate-generation aggregation (folded form:
+    both directions from one un-exploded aggregate, half the shuffle-input
+    of aggregating ``candidate_edges`` — see
+    :func:`kgist_spark.operators.candidates.candidate_rule_stats`)."""
+    return C.candidate_rule_stats(
+        derived_triples(spark, sf_dir), _labels_flat(spark, sf_dir)
+    ).select(
         "root_label", "pred", "dir", "child_label", "n_edges", "n_cas", "n_labels_cov"
     )
 
@@ -246,8 +273,21 @@ def q_topk_rules_by_cas(spark, sf_dir):
 
 def q_ca_size_histogram(spark, sf_dir):
     """A2 — assertion-size histogram for the rule
-    (nation <-in_nation- customer)."""
-    hist = C.ca_size_histogram(_cand_edges(spark, sf_dir))
+    (nation <-in_nation- customer).
+
+    The rule key fixes the pred and both labels, so the join inputs are
+    pre-filtered by hand — Catalyst cannot push the key filter through the
+    direction explode inside ``candidate_edges``, and without the pushdown
+    this one-rule query would join and explode the ENTIRE KG.  The pred
+    filter also constant-folds the non-matching derived-triples branches,
+    so only the two in_nation source tables are scanned at all."""
+    triples = derived_triples(spark, sf_dir).where(F.col("pred") == "in_nation")
+    lf = _labels_flat(spark, sf_dir).where(F.col("label").isin("nation", "customer"))
+    hist = C.ca_size_histogram(
+        C.candidate_edges(
+            triples.withColumn("eid", F.concat_ws("|", "subj", "pred", "obj")), lf
+        )
+    )
     return (
         hist.where(
             (F.col("root_label") == "nation")
@@ -411,7 +451,7 @@ def q_ranked_rules(spark, sf_dir):
     triples = derived_triples(spark, sf_dir)
     lf = _labels_flat(spark, sf_dir)
     stats = graph_stats(triples, lf.select("node", "label", "pos"))
-    ranked = C.rank_candidates(C.candidate_stats(_cand_edges(spark, sf_dir)), stats)
+    ranked = C.rank_candidates(C.candidate_rule_stats(triples, lf), stats)
     return (
         ranked.select(
             "root_label", "pred", "dir", "child_label", "n_cas",

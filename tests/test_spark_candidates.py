@@ -98,3 +98,40 @@ def test_candidate_stats_distributed(loaded, spark):
     assert stats[("1927286", "6293378", "out", "7241965")] == (6, 1)
     assert stats[("7241965", "7051738", "out", "3029686")] == (2, 2)
     assert stats[("7490702", "412681", "in", "7241965")] == (3, 3)
+
+
+def test_candidate_rule_stats_equals_exploded_path(loaded, spark):
+    """The folded one-aggregate form (candidate_rule_stats) must equal
+    candidate_stats(candidate_edges(...)) on EVERY column, including the
+    packed first_seen key — the greedy tie-breaking depends on it."""
+    from kgist_spark.operators import candidates as C
+    from kgist_spark.sources.edgelist import explode_labels
+
+    triples, labels = loaded
+    lf = explode_labels(labels)
+    old = {tuple(r) for r in C.candidate_stats(C.candidate_edges(triples, lf)).collect()}
+    new = {tuple(r) for r in C.candidate_rule_stats(triples, lf).collect()}
+    assert old == new
+    assert len(new) == 42
+
+
+def test_candidate_rule_stats_string_eid_null_first_seen(spark):
+    """With a non-numeric eid the folded form emits null first_seen instead
+    of an ANSI cast error (the testdata queries use natural-key string
+    eids and never read first_seen)."""
+    from pyspark.sql import functions as F
+
+    from kgist_spark.operators import candidates as C
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b", "a|p|b")], ["subj", "pred", "obj", "eid"]
+    )
+    lf = spark.createDataFrame(
+        [("a", "L", 0), ("b", "M", 0)], ["node", "label", "pos"]
+    )
+    rows = C.candidate_rule_stats(triples, lf).collect()
+    assert {(r["root_label"], r["dir"], r["child_label"]) for r in rows} == {
+        ("L", "out", "M"), ("M", "in", "L")
+    }
+    assert all(r["first_seen"] is None for r in rows)
+    assert all(r["n_edges"] == 1 and r["n_cas"] == 1 for r in rows)
