@@ -60,7 +60,7 @@ def main():
     # warm up the JVM + parquet footers with one cheap action
     Q.q_pred_freq(spark, sf_dir).count()
 
-    timings, spread = {}, {}
+    timings, spread, cold = {}, {}, {}
 
     def record(name, runs):
         timings[name] = round(statistics.median(runs), 3)
@@ -68,6 +68,13 @@ def main():
 
     for name in bench_queries:
         fn = Q.QUERIES[name]
+        # BASELINE.md protocol: one warm-up run discarded from the median
+        # (it pays parquet footer reads + codegen compilation, not operator
+        # cost) but RECORDED under extra.cold so the cold-start story stays
+        # visible.
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -136,6 +143,7 @@ def main():
             "cpus": cpus,
             "reps": reps,
             "spread": spread,
+            "cold": cold,
             "extract_docs_per_sec": docs_per_sec,
             "extract_jvm_docs_per_sec": jvm_docs_per_sec,
             "pipeline_docs_per_sec": round(n_bench_docs / timings["pipeline_e2e"], 1),

@@ -31,8 +31,17 @@ def entity_vocabulary(raw_triples: DataFrame) -> DataFrame:
 
 def canonical_map(entities: DataFrame, k: int = 3, num_perm: int = 32,
                   bands: int = 8, rows_per_band: int = 4,
-                  threshold: float = 0.70) -> DataFrame:
+                  threshold: float = 0.70,
+                  local_threshold: int = 8192) -> DataFrame:
     """``(node, canonical)`` for every entity (identity rows included).
+
+    Vocabularies at or below ``local_threshold`` take a driver-local path:
+    the exact same hash family replayed bit for bit in numpy
+    (:mod:`kgist_spark.pipeline.canonicalize_local`, equality pinned in
+    tests) — ~10 shuffle stages of pure scheduling latency become one
+    collect of a few thousand strings.  The same size-based physical-
+    strategy choice Catalyst makes for broadcast joins; web-scale
+    vocabularies keep the distributed chain below.
 
     Materialization points: ``connected_components`` issues several actions
     (convergence probes / the driver-path collect), and the final identity
@@ -52,6 +61,17 @@ def canonical_map(entities: DataFrame, k: int = 3, num_perm: int = 32,
     # free — entities is checkpointed one line up.
     n_entities = entities.count()
     spark = entities.sparkSession
+    if local_threshold and n_entities <= local_threshold:
+        from kgist_spark.pipeline.canonicalize_local import canonical_map_local
+
+        mapping = canonical_map_local(
+            [r["node"] for r in entities.collect()],
+            k=k, num_perm=num_perm, bands=bands,
+            rows_per_band=rows_per_band, threshold=threshold,
+        )
+        return spark.createDataFrame(
+            sorted(mapping.items()), "node string, canonical string"
+        )
     old_width = spark.conf.get("spark.sql.shuffle.partitions")
     scoped_width = max(1, min(int(old_width), n_entities // 50_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(scoped_width))

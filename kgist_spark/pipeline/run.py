@@ -39,30 +39,31 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
 
     # ONE extraction pass (normalization + mention detection are the
     # dominant per-doc cost; separate triple/label extractors would pay it
-    # twice), split into the two fact tables by tag.  Persist after the
-    # distinct: every downstream stage (vocabulary, canonical map, apply,
-    # 3-table materialization, the caller's summarizer) re-reads these, and
-    # the persisted sets are |facts|, far smaller than |pages|.
+    # twice) and ONE dedup shuffle: triple rows group on (t, s, p, o) and
+    # label rows on (l, node, label) — the null fact columns of the other
+    # kind ride along in the key, so a single groupBy is exactly the two
+    # per-kind distincts, without persisting the raw extraction (the
+    # pre-dedup facts were cached only to feed two separate aggregations).
+    # Downstream stages (vocabulary, canonical map, apply, materialize, the
+    # caller's summarizer) read the persisted DEDUPED set — |facts| rows,
+    # far smaller than |pages|.
     # Default engine is the all-Catalyst fast path (extract_jvm) — row-
     # identical to the Python spec path (pinned in tests) with no Python
     # workers in stage 1; "python" selects the mapInPandas spec twin.
     extractor = extract_facts_jvm if extract_engine == "jvm" else extract_facts
-    facts = extractor(pages).persist(StorageLevel.MEMORY_AND_DISK)
-    raw_triples = (
-        facts.where(F.col("kind") == "t")
-        .groupBy("subj", "pred", "obj")
-        .agg(F.min("url").alias("url"))
+    facts_dedup = (
+        extractor(pages)
+        .groupBy("kind", "subj", "pred", "obj", "node", "label")
+        .agg(F.min("url").alias("url"), F.min("pos").alias("pos"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    raw_labels = (
-        facts.where(F.col("kind") == "l")
-        .groupBy("node", "label")
-        .agg(F.min("pos").alias("pos"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    raw_triples = facts_dedup.where(F.col("kind") == "t").select(
+        "subj", "pred", "obj", "url"
     )
-    # force both distinct tables off the raw extraction, then free it
-    raw_triples.count(), raw_labels.count()
-    facts.unpersist()
+    raw_labels = facts_dedup.where(F.col("kind") == "l").select(
+        "node", "label", "pos"
+    )
+    facts_dedup.count()
     if canonicalize:
         canon = canonical_map(entity_vocabulary(raw_triples)).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -74,21 +75,24 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
             StorageLevel.MEMORY_AND_DISK
         )
     else:
-        triples, labels = raw_triples, raw_labels
+        # the raw tables are filtered views over the persisted dedup set,
+        # which is freed below — give the caller its own persisted copies
+        triples = raw_triples.persist(StorageLevel.MEMORY_AND_DISK)
+        labels = raw_labels.persist(StorageLevel.MEMORY_AND_DISK)
 
     if out_dir:
         materialize_kg(spark, triples, labels, out_dir, n_buckets=n_buckets)
-    elif canonicalize:
+    else:
         # force the output persists off the intermediate lineage (the
         # materialize writes do this when out_dir is set)
         triples.count(), labels.count()
+    # free the intermediates: Spark's cache is keyed by plan equality,
+    # so leaving them persisted makes every LATER identical construct
+    # silently reuse them — a session-lifetime memory leak and a bench
+    # distortion (a "cold" rerun that isn't)
+    facts_dedup.unpersist()
     if canonicalize:
-        # free the intermediates: Spark's cache is keyed by plan equality,
-        # so leaving them persisted makes every LATER identical construct
-        # silently reuse them — a session-lifetime memory leak and a bench
-        # distortion (a "cold" rerun that isn't)
-        for df in (raw_triples, raw_labels, canon):
-            df.unpersist()
+        canon.unpersist()
     return triples, labels
 
 

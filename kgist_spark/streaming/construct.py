@@ -387,19 +387,22 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
         return df
 
     try:
-        facts = _persist(extract_facts_jvm(pages))
-        raw_triples = _persist(
-            facts.where(F.col("kind") == "t")
-            .groupBy("subj", "pred", "obj")
-            .agg(F.min("url").alias("url"))
+        # one extraction pass, one dedup shuffle for both fact kinds (the
+        # null fact columns of the other kind ride along in the group key —
+        # same rows as the two per-kind distincts, no pre-dedup persist);
+        # mirrors pipeline.run.construct_kg
+        facts_dedup = _persist(
+            extract_facts_jvm(pages)
+            .groupBy("kind", "subj", "pred", "obj", "node", "label")
+            .agg(F.min("url").alias("url"), F.min("pos").alias("pos"))
         )
-        raw_labels = _persist(
-            facts.where(F.col("kind") == "l")
-            .groupBy("node", "label")
-            .agg(F.min("pos").alias("pos"))
+        raw_triples = facts_dedup.where(F.col("kind") == "t").select(
+            "subj", "pred", "obj", "url"
         )
-        raw_triples.count(), raw_labels.count()
-        facts.unpersist()
+        raw_labels = facts_dedup.where(F.col("kind") == "l").select(
+            "node", "label", "pos"
+        )
+        facts_dedup.count()
 
         # every "existing state" read excludes THIS batch's own partitions: a
         # replayed batch (crash between table writes and the stream commit)

@@ -152,6 +152,74 @@ def test_canonical_map_merges_near_duplicates(spark):
     assert got["place:paris"] == "place:paris"
 
 
+def test_local_murmur_matches_spark_hash(spark):
+    """The driver-local canonicalization replays F.hash bit for bit:
+    (string, int-literal) seed chains and array<int> folds."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kgist_spark.oracle.duck_model import _hash_bytes
+    from kgist_spark.pipeline.canonicalize_local import hash_int_vec
+
+    strings = ["abc", "x", "é1", "per:alice", ""]
+    rows = spark.createDataFrame([(s,) for s in strings], ["s"])
+    for p in (0, 5, 31):
+        got = {r["s"]: r["h"] for r in
+               rows.select("s", F.hash("s", F.lit(p)).alias("h")).collect()}
+        for s in strings:
+            h = _hash_bytes(s.encode("utf-8"), 42) & 0xFFFFFFFF
+            want = int(hash_int_vec(np.uint32(p), np.uint32(h)).view(np.int32))
+            assert got[s] == want, (s, p)
+
+    arrays = [[1, 2, 3, 4], [-5, 0, 7, 2**31 - 1]]
+    got = [r["h"] for r in
+           spark.createDataFrame([(a,) for a in arrays], "a: array<int>")
+           .select(F.hash(F.col("a").cast("array<int>")).alias("h")).collect()]
+    for a, g in zip(arrays, got):
+        h = np.uint32(42)
+        for e in a:
+            h = hash_int_vec(np.int32(e).view(np.uint32), h)
+        assert int(h.view(np.int32)) == g, a
+
+
+def test_canonical_map_local_equals_distributed(spark):
+    """The size-gated driver path and the distributed LSH chain produce the
+    IDENTICAL (node, canonical) map — same buckets, pairs, components."""
+    import random
+
+    from kgist_spark.pipeline.canonicalize import canonical_map
+    from kgist_spark.sources.webpages import World, generate_pages
+    from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
+    from kgist_spark.pipeline.canonicalize import entity_vocabulary
+    from pyspark.sql import functions as F
+
+    # corpus vocabulary + adversarial synthetic surfaces (dups, near-dups,
+    # short ids that shingle below k, multi-etype collisions)
+    pages = generate_pages(spark, 2000, seed=7, world=World(7))
+    raw = (extract_facts_jvm(pages).where(F.col("kind") == "t")
+           .groupBy("subj", "pred", "obj").agg(F.min("url").alias("url")))
+    vocab = [r["node"] for r in entity_vocabulary(raw).collect()]
+    rng = random.Random(13)
+    extra = []
+    for i in range(150):
+        base = f"org:{''.join(rng.choices('abcdef_', k=rng.randint(1, 12)))}"
+        extra.append(base)
+        if rng.random() < 0.5:
+            extra.append(base + rng.choice("sxy"))
+        if rng.random() < 0.2:
+            extra.append("person:" + base.split(":", 1)[1])
+    ents = spark.createDataFrame(
+        [(e,) for e in set(vocab) | set(extra)], ["node"]
+    )
+    local = {r["node"]: r["canonical"]
+             for r in canonical_map(ents, threshold=0.6).collect()}
+    dist = {r["node"]: r["canonical"]
+            for r in canonical_map(ents, threshold=0.6,
+                                   local_threshold=0).collect()}
+    assert local == dist
+    assert len(local) == ents.count()
+
+
 def test_connected_components_basic(spark):
     from kgist_spark.operators.components import connected_components
 
