@@ -244,15 +244,20 @@ def _covered_from_driver_model(spark: SparkSession, model: SummaryModel) -> Data
 
 def _assemble_scores(triples: DataFrame, covered: DataFrame, blame: DataFrame,
                      unexplained: float) -> DataFrame:
-    """score = [uncovered]*unexplained + blame(subj, pred) + blame(obj, pred)."""
-    uncovered_flag = (
-        triples.join(covered, ["subj", "pred", "obj"], "left_anti")
-        .select("subj", "pred", "obj")
-        .withColumn("base", F.lit(float(unexplained)))
+    """score = [uncovered]*unexplained + blame(subj, pred) + blame(obj, pred).
+
+    The uncovered flag is ONE left join against the (deduplicated) covered
+    set with a null marker — not an anti-join followed by a join back, which
+    would scan the big triples table twice.  The distinct runs on the small
+    covered side only, guaranteeing the left join cannot fan out rows."""
+    cov = (
+        covered.select("subj", "pred", "obj").distinct()
+        .withColumn("_cov", F.lit(1))
     )
-    base = triples.join(
-        uncovered_flag, ["subj", "pred", "obj"], "left"
-    ).withColumn("base", F.coalesce(F.col("base"), F.lit(0.0)))
+    base = triples.join(cov, ["subj", "pred", "obj"], "left").withColumn(
+        "base",
+        F.when(F.col("_cov").isNull(), F.lit(float(unexplained))).otherwise(F.lit(0.0)),
+    ).drop("_cov")
 
     b_subj = blame.select(
         F.col("node").alias("subj"), "pred", F.col("blame").alias("blame_s")

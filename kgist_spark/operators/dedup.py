@@ -22,42 +22,41 @@ from kgist_spark.operators import minhash as MH
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 5, threshold: float = 0.4,
-                        df_cap: int | None = 1000) -> DataFrame:
+                        df_cap: int | None = 1000, drop_stats=None) -> DataFrame:
     """Exact word-k-gram Jaccard over all pairs sharing >= 1 shingle.
 
-    ``df_cap`` bounds the in-shingle self-join: shingles appearing in more
-    than ``df_cap`` documents are dropped from CANDIDATE GENERATION only
-    (each contributes O(df^2) pair rows — the classic hot-key blowup of a
-    skewed corpus boilerplate shingle).  Verification always uses the FULL
-    shingle sets, so reported jaccard values are exact regardless; the only
-    possible loss is a pair whose every shared shingle is hot, which is
-    logged.  ``None`` disables the cap."""
-    sh = MH.word_shingles(docs.select(id_col, text_col), id_col, text_col, k=k)
-    pair_sh = sh
-    if df_cap is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > df_cap)
-            .select("shingle")
-        )
-        n_hot = hot.count()
-        if n_hot:
-            import logging
+    ``df_cap`` bounds candidate generation: shingles appearing in more than
+    ``df_cap`` documents are dropped from CANDIDATE GENERATION only (each
+    contributes O(df^2) pair rows — the classic hot-key blowup of a skewed
+    corpus boilerplate shingle).  Verification always uses the FULL shingle
+    sets, so reported jaccard values are exact regardless; the only possible
+    loss is a pair whose every shared shingle is hot.  ``None`` disables the
+    cap (full shingle self-join; no grouped collection of a potentially
+    unbounded posting list).
 
-            logging.getLogger(__name__).info(
-                "ngram_jaccard_pairs: dropping %d hot shingles (df > %d) "
-                "from candidate generation; pairs sharing ONLY hot shingles "
-                "are not reported", n_hot, df_cap,
-            )
-            pair_sh = sh.join(hot, "shingle", "left_anti")
-    pairs = (
-        pair_sh.alias("x")
-        .join(pair_sh.alias("y"), "shingle")
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .distinct()
-    )
+    Candidate generation with a cap reuses the size-capped
+    :func:`kgist_spark.operators.minhash.candidate_pairs` with the shingle
+    itself as the bucket key — hot shingles are sized and dropped by a
+    spill-safe window count BEFORE any per-shingle collection, and the drop
+    accounting rides an optional ``Observation`` (``drop_stats``) on the rows
+    already flowing through the plan: NO eager pre-action job scans the
+    shingle table just to log a count (at 100 TB that job re-reads the whole
+    corpus).  Surface the loss with
+    :func:`kgist_spark.operators.minhash.log_drop_stats` after an action."""
+    sh = MH.word_shingles(docs.select(id_col, text_col), id_col, text_col, k=k)
+    if df_cap is not None:
+        buckets = sh.select(
+            "id", F.lit(0).alias("band"), F.col("shingle").alias("bucket")
+        )
+        pairs = MH.candidate_pairs(buckets, max_bucket=df_cap, drop_stats=drop_stats)
+    else:
+        pairs = (
+            sh.alias("x")
+            .join(sh.alias("y"), "shingle")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+        )
     return MH.jaccard_verified_pairs(pairs, sh, threshold)
 
 

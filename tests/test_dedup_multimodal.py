@@ -360,3 +360,35 @@ def test_ngram_hot_shingle_cap(spark):
     # always uses full shingle sets)
     for p, j in capped.items():
         assert uncapped[p] == j
+
+
+def test_ngram_cap_drop_accounting_is_zero_job(spark):
+    """The hot-shingle cap must not pay a pre-action job: the whole capped
+    query (candidate gen + verification) runs as ONE Spark action, and the
+    drop counts ride an Observation on the rows already flowing through it."""
+    from pyspark.sql import Observation
+
+    from kgist_spark.operators.dedup import ngram_jaccard_pairs
+    from kgist_spark.operators.minhash import log_drop_stats
+
+    boiler = "copyright acme corp all rights"
+    rows = [(i, f"{boiler} reserved page number {i} unique tail {i * 7}")
+            for i in range(40)]
+    rows += [(100, f"{boiler} identical body of text here"),
+             (101, f"{boiler} identical body of text here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sc = spark.sparkContext
+    obs = Observation("ngram_drops")
+    sc.setJobGroup("ngram_build", "building the capped query must be lazy")
+    try:
+        q = ngram_jaccard_pairs(docs, k=5, threshold=0.5, df_cap=10, drop_stats=obs)
+        built = list(sc.statusTracker().getJobIdsForGroup("ngram_build"))
+    finally:
+        sc.setJobGroup("ngram_run", "run")
+    assert built == [], f"query construction fired eager jobs: {built}"
+    got = {(r["a"], r["b"]) for r in q.collect()}
+    assert (100, 101) in got
+    stats = log_drop_stats(obs, "test")
+    assert stats["dropped_buckets"] >= 1  # the boilerplate shingles
+    assert stats["dropped_ids"] >= 40
