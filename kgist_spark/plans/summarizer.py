@@ -193,3 +193,89 @@ class SparkSummarizer:
 
     def evaluator(self) -> ModelEvaluator:
         return ModelEvaluator(self.index)
+
+
+#: contribution-row budget for the exact (driver-index) regime.  Each
+#: collected contribution costs ~100 bytes in the driver index (CandRecord
+#: edge/label sets + per-head counters), so the default budgets ~2 GB of
+#: driver heap — full NELL (the reference's largest fixture) is ~1.6 M
+#: contributions, two orders of magnitude under it.  Same size-gated
+#: physical-strategy pattern as ``embedding_neardup_pairs.exact_threshold``.
+EXACT_CONTRIBUTION_THRESHOLD = 20_000_000
+
+
+def fit_summary(triples: DataFrame, labels: DataFrame, passes: int = 2,
+                label_qualify: bool = True, mode: str = "auto",
+                exact_threshold: int = EXACT_CONTRIBUTION_THRESHOLD,
+                cand_edges: DataFrame | None = None) -> dict:
+    """ONE front door over the two greedy regimes (reference
+    ``main.py:24-38`` — the reference has a single entry point; the regime
+    split is this engine's scale addition and should not leak into the API).
+
+    * **exact** — candidate contributions are collected into the driver
+      index and the greedy runs entirely driver-side (bit-identical replay
+      of the reference; ~27 s at full-NELL scale, see BENCH.md).
+    * **delta** — contributions stay on the cluster; the greedy maintains
+      distributed coverage with O(1) jobs per accepted rule.  Slower per
+      accept but bounded driver memory — the beyond-driver-memory path.
+
+    ``mode="auto"`` probes the candidate-contribution count with a bounded
+    ``limit(threshold + 1).count()`` (stops scanning at the threshold, never
+    a full count) and picks exact iff it fits the documented driver budget.
+    Both regimes select the same rules (pinned by the delta-vs-exact parity
+    suite); the returned dict is regime-independent:
+
+    ``mode`` (``"exact"``/``"delta"``), ``rules`` (list of rule tuples),
+    ``objective_bits`` (L(G,M) of the fitted model), ``covered_edges``,
+    ``covered_labels`` — plus ``model``/``summarizer`` in exact mode and
+    ``delta`` (the fitted :class:`DeltaGreedy`, for ``covered_triples`` /
+    anomaly scoring) in delta mode.
+
+    :triples: (subj, pred, obj, eid); :labels: grouped (node, labels) rows;
+    :cand_edges: optional precomputed/reloaded contribution table (S3) —
+    skips candidate generation in EITHER regime.
+    """
+    from kgist_spark.plans.greedy_delta import DeltaGreedy
+    from kgist_spark.sources.edgelist import explode_labels
+
+    if mode not in ("auto", "exact", "delta"):
+        raise ValueError(f"mode must be auto|exact|delta, got {mode!r}")
+
+    labels_flat = explode_labels(labels)
+    own_cand = cand_edges is None
+    if own_cand:
+        cand_edges = C.candidate_edges(triples, labels_flat).persist()
+    try:
+        if mode == "auto":
+            probe = cand_edges.limit(exact_threshold + 1).count()
+            mode = "exact" if probe <= exact_threshold else "delta"
+
+        if mode == "exact":
+            summ = SparkSummarizer(triples, labels, idify=False,
+                                   cand_edges=cand_edges)
+            model = summ.fit(passes=passes, label_qualify=label_qualify)
+            ev = summ.evaluator()
+            return {
+                "mode": "exact",
+                "rules": list(model.rules.keys()),
+                "objective_bits": ev.evaluate(model),
+                "covered_edges": len(model.covered_edges),
+                "covered_labels": len(model.covered_labels),
+                "model": model,
+                "summarizer": summ,
+            }
+
+        stats = graph_stats(triples, labels_flat)
+        lnc = {
+            r["label"]: r["n"]
+            for r in labels_flat.groupBy("label")
+            .agg(F.countDistinct("node").alias("n")).collect()
+        }
+        dg = DeltaGreedy(triples, labels_flat, stats, lnc, cand=cand_edges)
+        result = dg.fit(passes=passes, label_qualify=label_qualify)
+        result["mode"] = "delta"
+        result["delta"] = dg
+        return result
+    finally:
+        if own_cand:
+            cand_edges.unpersist()

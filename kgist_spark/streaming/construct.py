@@ -80,6 +80,7 @@ from kgist_spark.pipeline.materialize import (
     adjacency,
     bucketed,
     deterministic_dense_ids,
+    observed_bucket_counts,
     read_manifest,
 )
 from kgist_spark.operators import minhash as MH
@@ -92,6 +93,9 @@ SIZES_DIR = "canon_index_sizes"
 #: index MUST use the same hashes so indexed and unindexed linking see the
 #: same candidate pairs
 _NUM_PERM, _BANDS, _ROWS_PER_BAND = 32, 8, 4
+#: target rows per dictionary/index append file — sizes the write width so a
+#: huge backfill batch fans out while the usual trickle stays a single file
+_DICT_ROWS_PER_FILE = 2_000_000
 
 
 def _surface_lsh(surfaces: DataFrame):
@@ -464,17 +468,24 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
             part = df.withColumn("batch", F.lit(batch_id)).repartition(
                 n_buckets, F.col("bucket")
             )
-            part.write.mode("overwrite") \
-                .option("partitionOverwriteMode", "dynamic") \
-                .partitionBy("batch", "bucket") \
-                .parquet(os.path.join(out_dir, name))
-            counts[name] = {
-                r["bucket"]: r["n"]
-                for r in part.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-            }
+            # per-bucket lineage counts ride the write itself as Observation
+            # metrics — no follow-up count job / second scan per table
+            counts[name] = observed_bucket_counts(
+                part, range(n_buckets),
+                lambda obs_part: obs_part.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch", "bucket")
+                .parquet(os.path.join(out_dir, name)),
+            )
+        # dictionary/index append width scales with the batch's NEW-surface
+        # count: one file is right for today's incremental trickle, wrong for
+        # a 10^8-entity backfill batch (a single write task + one giant
+        # file).  canon is persisted, so the sizing count scans cache only.
+        n_new_surfaces = canon.where("is_new").count()
+        dict_width = max(1, min(n_buckets, n_new_surfaces // _DICT_ROWS_PER_FILE + 1))
         new_dict = canon.where("is_new").select(
             F.col("node").alias("surface"), "canonical"
-        ).withColumn("batch", F.lit(batch_id)).coalesce(1)
+        ).withColumn("batch", F.lit(batch_id)).repartition(dict_width)
         new_dict.write.mode("overwrite") \
             .option("partitionOverwriteMode", "dynamic") \
             .partitionBy("batch") \
@@ -490,13 +501,18 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
         new_buckets = _persist(
             new_buckets.select(F.col("id").alias("surface"), "band", "bucket")
         )
-        new_buckets.withColumn("batch", F.lit(batch_id)).coalesce(1) \
+        index_width = max(
+            1, min(n_buckets, n_new_surfaces * _BANDS // _DICT_ROWS_PER_FILE + 1)
+        )
+        new_buckets.withColumn("batch", F.lit(batch_id)) \
+            .repartition(index_width) \
             .write.mode("overwrite") \
             .option("partitionOverwriteMode", "dynamic") \
             .partitionBy("batch") \
             .parquet(os.path.join(out_dir, INDEX_DIR))
         new_buckets.groupBy("band", "bucket").agg(F.count("*").alias("n")) \
-            .withColumn("batch", F.lit(batch_id)).coalesce(1) \
+            .withColumn("batch", F.lit(batch_id)) \
+            .repartition(index_width) \
             .write.mode("overwrite") \
             .option("partitionOverwriteMode", "dynamic") \
             .partitionBy("batch") \

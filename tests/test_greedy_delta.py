@@ -61,3 +61,32 @@ def test_symmetric_tie_resolved_by_per_head_order(spark):
     result = delta.fit(passes=2, label_qualify=True)
     in_rule = (("A",), (("p", "in", (("A",), ())),))
     assert in_rule in set(result["rules"])
+
+
+def test_fit_summary_front_door_reaches_both_regimes(spark):
+    """ONE entry point picks the regime from a bounded contribution probe;
+    both regimes produce the identical model on the fixture."""
+    from kgist_spark.plans.summarizer import fit_summary
+    from kgist_spark.sources.edgelist import load_labels, load_triples
+
+    triples = load_triples(spark, str(FIXTURES / "test.txt"))
+    labels = load_labels(spark, str(FIXTURES / "test_labels.txt"))
+
+    auto = fit_summary(triples, labels)
+    assert auto["mode"] == "exact"  # tiny fixture fits the driver budget
+
+    # a 1-contribution budget forces auto into the distributed regime
+    forced = fit_summary(triples, labels, exact_threshold=1)
+    assert forced["mode"] == "delta"
+
+    explicit = fit_summary(triples, labels, mode="delta")
+    assert explicit["mode"] == "delta"
+
+    for other in (forced, explicit):
+        assert set(other["rules"]) == set(auto["rules"])
+        assert abs(other["objective_bits"] - auto["objective_bits"]) < 1e-6
+        assert other["covered_edges"] == auto["covered_edges"]
+        assert other["covered_labels"] == auto["covered_labels"]
+
+    with pytest.raises(ValueError):
+        fit_summary(triples, labels, mode="bogus")

@@ -310,6 +310,49 @@ def test_materialize_and_resume(spark, pages, tmp_path):
     assert eids == list(range(len(eids)))
 
 
+def test_materialize_manifest_counts_ride_the_writes(spark, tmp_path):
+    """Lineage row counts come from Observation metrics on the write jobs —
+    no follow-up groupBy(bucket).count() job per table.  Pins (a) the counts
+    are exact and (b) the whole materialize fires no more jobs than the
+    writes + the one documented eid-offset collect."""
+    from kgist_spark.pipeline.materialize import materialize_kg, read_manifest
+
+    triples = spark.createDataFrame(
+        [(f"s{i % 7}", "p", f"o{i}", f"u{i}") for i in range(50)],
+        "subj string, pred string, obj string, url string",
+    )
+    labels = spark.createDataFrame(
+        [(f"s{i}", "thing", 0) for i in range(23)], "node string, label string, pos int"
+    )
+    out = str(tmp_path / "kg")
+    sc = spark.sparkContext
+    sc.setJobGroup("mat_jobs", "materialize")
+    try:
+        materialize_kg(spark, triples, labels, out, n_buckets=4)
+        jobs = list(sc.statusTracker().getJobIdsForGroup("mat_jobs"))
+    finally:
+        sc.setJobGroup("mat_done", "done")
+    # 3 table writes + 1 deterministic-eid offset collect (+ slack for AQE
+    # sub-jobs); the old shape paid 3 additional count jobs on top
+    assert len(jobs) <= 6, f"materialize fired {len(jobs)} jobs"
+
+    from pyspark.sql import functions as F
+
+    per_table = {}
+    for e in read_manifest(out):
+        per_table.setdefault(e["table"], {})[e["bucket"]] = e["n_rows"]
+    for name, want_total in (("kg_triples", 50), ("kg_labels", 23),
+                             ("kg_adjacency", 100)):
+        got = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(f"{out}/{name}")
+            .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        assert sum(per_table[name].values()) == want_total
+        for b in range(4):
+            assert per_table[name].get(b, 0) == got.get(b, 0), (name, b)
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: constructed KG → MDL summarization
 # ---------------------------------------------------------------------------
