@@ -520,6 +520,15 @@ def q_bpe_tokens(spark, sf_dir):
     return TX.bpe_token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_real_tokens(spark, sf_dir):
+    """REAL merge-table BPE token counts (trained 64-merge table, rank
+    encoder over the distinct word vocabulary only — Python cost is
+    O(|vocab|), see :mod:`kgist_spark.operators.bpe`)."""
+    from kgist_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark, sf_dir):
     """Function-word language-ID scores + argmax prediction."""
     return TX.lang_id_scores(_t(spark, sf_dir, "documents"))
@@ -601,6 +610,7 @@ QUERIES = {
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "salted_pred_fanout": q_salted_pred_fanout,
     "bpe_tokens": q_bpe_tokens,
+    "bpe_real_tokens": q_bpe_real_tokens,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_embedding": q_dedup_embedding,
@@ -889,6 +899,17 @@ ORACLE_SQL = {
         WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.4
     """,
 }
+
+# real merge-table BPE: the trained 64-merge table is a constant of the
+# engine (seed word frequencies are code-embedded), so the oracle embeds it
+# as a MAP literal and replays the identical rank encoder as a recursive CTE
+def _bpe_oracle():
+    from kgist_spark.operators.bpe import bpe_token_counts_oracle_sql
+
+    return bpe_token_counts_oracle_sql()
+
+
+ORACLE_SQL["bpe_real_tokens"] = _bpe_oracle()
 
 # hyperplane-LSH ANN: the seeded planes are literal constants shared with the
 # Spark implementation (same RandomState stream), so the oracle replays the
