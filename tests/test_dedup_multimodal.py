@@ -73,6 +73,29 @@ def test_minhash_drop_stats_reports_hot_buckets(spark):
     assert not any(a < 70 and b < 70 for a, b in pairs)  # hot cluster dropped
 
 
+def test_candidate_pairs_sizes_buckets_before_collecting(spark):
+    """Degenerate-bucket memory safety: the per-bucket id collection happens
+    only AFTER the size cap filters hot buckets out — in the optimized plan
+    the Filter(n <= max_bucket) over the spill-safe Window count sits BELOW
+    the collect_set aggregate, so a web-scale boilerplate bucket is never
+    materialized in an aggregation buffer just to be discarded."""
+    from kgist_spark.operators.minhash import candidate_pairs
+
+    buckets = spark.createDataFrame(
+        [("a", 0, 1), ("b", 0, 1), ("c", 1, 2)], "id string, band int, bucket int"
+    )
+    plan = (
+        candidate_pairs(buckets, max_bucket=64)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    i = plan.find("collect_set")
+    assert i >= 0, plan
+    below = plan[i:]  # the tree prints root-first: below = the agg's inputs
+    assert "<= 64" in below, plan        # the size cap feeds the aggregate
+    assert "Window" in below, plan       # sized by a spill-safe window count
+    assert "collect_set" not in below[len("collect_set"):], plan  # only one
+
+
 def test_embedding_lsh_drop_stats_reports_hot_buckets(spark):
     """The LSH embedding path counts dropped hot groups via null-id marker
     rows observed (then filtered) downstream of the kernel — no second pass
