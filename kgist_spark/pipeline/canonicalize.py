@@ -101,10 +101,18 @@ def canonical_map(entities: DataFrame, k: int = 3, num_perm: int = 32,
     )
 
 
-def apply_canonical_triples(raw_triples: DataFrame, canon: DataFrame) -> DataFrame:
-    """Re-key subj/obj to canonical ids (broadcast map join) and drop
-    degenerate self-loops created by the merge."""
-    c = F.broadcast(canon)
+def apply_canonical_triples(raw_triples: DataFrame, canon: DataFrame,
+                            broadcast_hint: bool = True) -> DataFrame:
+    """Re-key subj/obj to canonical ids and drop degenerate self-loops
+    created by the merge.
+
+    ``broadcast_hint`` pins the map side as the broadcast build side; the
+    canonical map grows with the ENTITY VOCABULARY, so callers that cannot
+    bound it (a whole-corpus map at web scale) must pass False — the join
+    then falls to AQE, which still broadcasts while the map actually fits
+    and shuffle-joins once it doesn't.  :func:`construct_kg` gates the hint
+    on the measured vocabulary size."""
+    c = F.broadcast(canon) if broadcast_hint else canon
     return (
         raw_triples.join(c.withColumnRenamed("node", "subj"), "subj")
         .withColumnRenamed("canonical", "subj_c")
@@ -120,8 +128,11 @@ def apply_canonical_triples(raw_triples: DataFrame, canon: DataFrame) -> DataFra
     )
 
 
-def apply_canonical_labels(labels: DataFrame, canon: DataFrame) -> DataFrame:
-    c = F.broadcast(canon)
+def apply_canonical_labels(labels: DataFrame, canon: DataFrame,
+                           broadcast_hint: bool = True) -> DataFrame:
+    """Labels twin of :func:`apply_canonical_triples` (same size contract
+    on ``broadcast_hint``)."""
+    c = F.broadcast(canon) if broadcast_hint else canon
     return (
         labels.join(c, "node")
         .groupBy(F.col("canonical").alias("node"), F.col("label"))

@@ -68,12 +68,17 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
         canon = canonical_map(entity_vocabulary(raw_triples)).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        triples = apply_canonical_triples(raw_triples, canon).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        labels = apply_canonical_labels(raw_labels, canon).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # broadcast the canonical map only while the vocabulary provably
+        # fits (the count scans the just-persisted map); a corpus-scale
+        # vocabulary leaves the join to AQE instead of forcing a broadcast
+        # that would cap the pipeline at the broadcast size limit
+        hint = canon.count() <= 2_000_000
+        triples = apply_canonical_triples(
+            raw_triples, canon, broadcast_hint=hint
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        labels = apply_canonical_labels(
+            raw_labels, canon, broadcast_hint=hint
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
         # the raw tables are filtered views over the persisted dedup set,
         # which is freed below — give the caller its own persisted copies

@@ -13,6 +13,14 @@ first-seen sort key — never ``monotonically_increasing_id`` (partition-
 dependent).  The dictionaries are dimension-sized, so the window sort is a
 one-time cost and every application is a broadcast join.
 
+Scale contract: idify exists to replay the REFERENCE's sequential-id
+semantics (a global first-seen total order), which is what its fixtures
+and the full-NELL parity suite exercise — summarization-input scale, not
+corpus scale.  The global order makes a total sort and the broadcast-
+dictionary joins inherent to the semantics; a corpus-scale KG keeps its
+string vocabulary (the engine's operators never require integer ids) and
+idify is simply not on that path.
+
 Why this matters beyond shuffle width: the reference CLI defaults to
 idify=True, so exact greedy TIE-BREAKS compare integer ids.  Running the
 delta-mode greedy over idified tables reproduces the reference's

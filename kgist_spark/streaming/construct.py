@@ -434,6 +434,9 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
             )
         )
 
+        # the per-batch canonical map covers THIS batch's entities only
+        # (batch-bounded), so the default broadcast hint is safe here —
+        # unlike the grow-only dictionary, which is never hinted
         triples = apply_canonical_triples(raw_triples, canon.select("node", "canonical"))
         labels = apply_canonical_labels(raw_labels, canon.select("node", "canonical"))
 
