@@ -75,6 +75,39 @@ def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     return MH.jaccard_verified_pairs(pairs, sh, threshold)
 
 
+def neardup_keep_table(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 5,
+                       num_perm: int = 32, bands: int = 8,
+                       threshold: float = 0.4, drop_stats=None) -> DataFrame:
+    """The dedup DECISION table — ``(doc_id, keep_id, is_dup)`` for every
+    document: near-duplicate pairs (MinHash-LSH blocked, exact-jaccard
+    verified) are closed into clusters by distributed connected components,
+    and each cluster keeps its minimum id.  ``is_dup`` rows are what a
+    training-data pipeline filters out; ``keep_id`` gives the lineage of
+    WHY (which retained document shadowed it).
+
+    Scale shape: the pair graph is near-dup-sparse (|pairs| << |docs|), so
+    the component computation runs on the tiny pair graph only; the final
+    assembly is ONE left join of the corpus against the (node, component)
+    table.  No driver collect beyond the components' convergence probes."""
+    from kgist_spark.operators.components import connected_components
+
+    pairs = minhash_neardup_pairs(
+        docs, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm,
+        bands=bands, threshold=threshold, drop_stats=drop_stats,
+    )
+    comp = connected_components(pairs.select("a", "b"), "a", "b")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("keep_id"),
+        )
+        .withColumn("is_dup", F.col("keep_id") != F.col("doc_id"))
+    )
+
+
 #: hash bits per SimHash fingerprint.  60 (not 64) so the per-token hash is
 #: the first 15 hex digits of md5 — a POSITIVE int64 in every engine, which
 #: lets an ANSI-SQL oracle (DuckDB) reproduce the fingerprints exactly

@@ -520,6 +520,15 @@ def q_bpe_tokens(spark, sf_dir):
     return TX.bpe_token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Dedup DECISION table: near-dup pairs closed into clusters by
+    distributed connected components; every doc maps to its cluster's
+    min-id representative (keep_id) with an is_dup flag."""
+    from kgist_spark.operators.dedup import neardup_keep_table
+
+    return neardup_keep_table(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
 def q_bpe_real_tokens(spark, sf_dir):
     """REAL merge-table BPE token counts (trained 64-merge table, rank
     encoder over the distinct word vocabulary only — Python cost is
@@ -605,6 +614,7 @@ QUERIES = {
     "anomaly_topk": q_anomaly_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
+    "neardup_clusters": q_neardup_clusters,
     "simhash": q_simhash,
     "embedding_ann": q_embedding_ann,
     "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -899,6 +909,46 @@ ORACLE_SQL = {
         WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.4
     """,
 }
+
+# near-dup clusters: the pair CTE is the SAME exact-jaccard SQL as
+# minhash_neardup (complete LSH recall on this corpus, already hash-pinned);
+# the closure is a recursive CTE and keep_id = min id of the component
+ORACLE_SQL["neardup_clusters"] = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 1)),
+                       i -> array_to_string(t[i:i+4], ' '))) AS shingle
+            FROM toks
+        ) WHERE length(shingle) > 0
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    pairs AS (
+        SELECT a, b FROM (
+            SELECT x.id AS a, y.id AS b, COUNT(*) AS n_inter
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+            GROUP BY x.id, y.id
+        ) inter
+        JOIN sizes na ON inter.a = na.id
+        JOIN sizes nb ON inter.b = nb.id
+        WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.4
+    ),
+    und AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v != r.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS keep_id FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(c.keep_id, d.doc_id) AS keep_id,
+           COALESCE(c.keep_id, d.doc_id) != d.doc_id AS is_dup
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
 
 # real merge-table BPE: the trained 64-merge table is a constant of the
 # engine (seed word frequencies are code-embedded), so the oracle embeds it

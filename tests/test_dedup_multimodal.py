@@ -415,3 +415,24 @@ def test_ngram_cap_drop_accounting_is_zero_job(spark):
     stats = log_drop_stats(obs, "test")
     assert stats["dropped_buckets"] >= 1  # the boilerplate shingles
     assert stats["dropped_ids"] >= 40
+
+
+def test_neardup_keep_table_transitive_clusters(spark):
+    """Chained near-dups (A~B, B~C, A!~C) land in ONE cluster with the
+    min-id representative; unique docs keep themselves."""
+    from kgist_spark.operators.dedup import neardup_keep_table
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (10, base),
+        (11, base + " extra"),                      # ~ 10
+        (12, base + " extra words appended here"),  # ~ 11, farther from 10
+        (50, "a completely different document about spark shuffle internals"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["keep_id"], r["is_dup"])
+           for r in neardup_keep_table(docs, threshold=0.5).collect()}
+    assert got[10] == (10, False)
+    assert got[11] == (10, True)
+    assert got[12] == (10, True)   # transitive closure, min-id rep
+    assert got[50] == (50, False)
