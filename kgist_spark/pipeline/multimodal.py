@@ -1,19 +1,24 @@
 """Multimodal (binary) column handling: schema, partitioning, and
 Arrow-batched UDF plumbing for image/audio/video payloads.
 
-Media decode libraries are not available in this environment, so the decode
-kernels are STUBS — either a clearly-marked ``NotImplementedError`` (real
-codecs) or a deterministic fake decoder for the synthetic ``FAKEIMG`` format
-used by tests.  Everything Spark-side is real and tested: binary columns
-travel as ``BinaryType``, batches flow through ``mapInPandas`` (Arrow), and
-typed metadata structs come back.
+Container formats with UNCOMPRESSED payloads are decoded FOR REAL in pure
+numpy/struct — no codec library needed: WAV (RIFF/PCM 8- and 16-bit),
+BMP (uncompressed 24-bit BGR and 8-bit), and PGM/PPM (binary P5/P6) —
+plus the deterministic synthetic ``FAKEIMG``/``FAKEAUD`` formats the corpus
+generator emits.  Compressed codecs (JPEG/PNG/MP3/video) require libraries
+not present in this environment and raise a clearly-marked
+``NotImplementedError``.  Everything Spark-side is real and tested: binary
+columns travel as ``BinaryType``, batches flow through ``mapInPandas``
+(Arrow), typed metadata structs / resized binary payloads come back.
 
-Synthetic binary format (produced by the corpus generator's ``html`` column
-and by :func:`fake_image`): ``b"FAKEIMG|<width>|<height>|" + pixel bytes``.
+Synthetic binary formats: ``b"FAKEIMG|<width>|<height>|" + pixel bytes``
+(one grayscale byte per pixel, row-major) and ``b"FAKEAUD|<rate>|" + one
+unsigned byte per sample``.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -33,34 +38,122 @@ def fake_image(media_id: int, width: int, height: int) -> bytes:
     return header + body
 
 
+def _decode_bmp(buf: bytes):
+    """Uncompressed BMP → (h, w[, 3]) uint8 array (None if unsupported).
+    Pure struct/numpy: file header (pixel offset at byte 10), BITMAPINFO
+    width/height/bpp/compression at 18/22/28/30; 24-bit rows are BGR padded
+    to 4 bytes, stored bottom-up for positive heights."""
+    import numpy as np
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack_from("<I", buf, 10)
+    w, h = struct.unpack_from("<ii", buf, 18)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if compression != 0 or bpp not in (8, 24) or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    if len(buf) < offset + row_bytes * h:
+        return None
+    rows = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
+                         offset=offset).reshape(h, row_bytes)
+    if bpp == 8:
+        img = rows[:, :w]
+    else:
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        img = bgr[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flip else img
+
+
+def _decode_pnm(buf: bytes):
+    """Binary PGM (P5) / PPM (P6) → uint8 array (None if not PNM).
+    Header tokens (width, height, maxval) may be separated by any
+    whitespace and ``#`` comments."""
+    import numpy as np
+
+    if buf[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 1 if buf[:2] == b"P5" else 3
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(buf):
+        c = buf[pos:pos + 1]
+        if c == b"#":
+            pos = buf.find(b"\n", pos)
+            if pos < 0:
+                return None
+            continue
+        if c.isspace():
+            pos += 1
+            continue
+        end = pos
+        while end < len(buf) and not buf[end:end + 1].isspace():
+            end += 1
+        tokens.append(buf[pos:end])
+        pos = end
+    if len(tokens) < 3:
+        return None
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    pos += 1  # single whitespace after maxval
+    n = w * h * channels
+    if len(buf) < pos + n:
+        return None
+    img = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
+    return img.reshape((h, w) if channels == 1 else (h, w, channels))
+
+
+def _decode_image(buf: bytes):
+    """``(array, ok)`` for every REAL decodable format; raises the honest
+    stub error for compressed codecs; ``(None, False)`` for unknown bytes."""
+    import numpy as np
+
+    if buf.startswith(b"FAKEIMG|"):
+        _, w, h, body = buf.split(b"|", 3)
+        w, h = int(w), int(h)
+        px = np.frombuffer(body, dtype=np.uint8, count=min(len(body), w * h))
+        return px.reshape(h, w) if px.size == w * h else px, True
+    if buf[:2] == b"BM":
+        img = _decode_bmp(buf)
+        if img is not None:
+            return img, True
+        return None, False
+    if buf[:2] in (b"P5", b"P6"):
+        img = _decode_pnm(buf)
+        if img is not None:
+            return img, True
+        return None, False
+    if buf[:2] == b"\xff\xd8" or buf[:8] == b"\x89PNG\r\n\x1a\n":
+        # compressed codecs need libjpeg/zlib-backed libraries —
+        # unavailable here by design
+        raise NotImplementedError(
+            "compressed image codecs (JPEG/PNG) are not available in this "
+            "environment; BMP/PGM/PPM/FAKEIMG decode for real"
+        )
+    return None, False
+
+
 def decode_image_meta(media: DataFrame, id_col: str = "media_id",
                       payload_col: str = "payload") -> DataFrame:
     """Decode image metadata + cheap features from binary payloads.
 
-    Real-codec path is stubbed; the FAKEIMG path exercises the full Spark
-    plumbing (binary Arrow transfer, per-batch numpy work, typed struct out).
-    """
+    REAL decode for BMP (uncompressed), PGM/PPM, and FAKEIMG — dimensions
+    and mean pixel value come from the actual pixel array (mean over all
+    channels for color images).  JPEG/PNG raise the honest codec stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 buf = bytes(payload) if payload is not None else b""
-                if buf.startswith(b"FAKEIMG|"):
-                    _, w, h, body = buf.split(b"|", 3)
-                    pixels = np.frombuffer(body, dtype=np.uint8)
-                    rows.append(
-                        (int(mid), int(w), int(h), len(buf),
-                         float(pixels.mean()) if pixels.size else 0.0, True)
-                    )
-                elif buf[:2] == b"\xff\xd8" or buf[:8] == b"\x89PNG\r\n\x1a\n":
-                    # real JPEG/PNG: decoding requires Pillow/libjpeg —
-                    # unavailable here by design
-                    raise NotImplementedError(
-                        "real image codecs are not available in this environment"
-                    )
+                img, ok = _decode_image(buf)
+                if ok:
+                    h, w = (img.shape[0], img.shape[1]) if img.ndim >= 2 else (1, img.shape[0])
+                    rows.append((int(mid), int(w), int(h), len(buf),
+                                 float(img.mean()) if img.size else 0.0, True))
                 else:
                     rows.append((int(mid), 0, 0, len(buf), 0.0, False))
             yield pd.DataFrame(
@@ -73,18 +166,55 @@ def decode_image_meta(media: DataFrame, id_col: str = "media_id",
     ).mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel placeholder — the distributed shape (mapInPandas over
-    bucketed payloads, binary out) is the part this engine owns; the pixel
-    math needs a codec library."""
-    raise NotImplementedError(
-        "resize requires an image library not present in this environment; "
-        "the decode/metadata path (decode_image_meta) demonstrates the plumbing"
-    )
+RESIZED_SCHEMA = "media_id long, width int, height int, payload binary, ok boolean"
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """REAL nearest-neighbor resize for every decodable format: the decoded
+    pixel array is index-sampled in numpy (color collapses to grayscale by
+    channel mean first) and re-emitted as a canonical grayscale
+    ``FAKEIMG|w|h|`` payload — uniform downstream format regardless of the
+    source container.  Distributed shape: one ``mapInPandas`` over the
+    binary column, binary out; non-decodable payloads come back ``ok=false``
+    with an empty payload (never dropped silently)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload) if payload is not None else b""
+                img, ok = _decode_image(buf)
+                if not ok or img.size == 0:
+                    rows.append((int(mid), 0, 0, b"", False))
+                    continue
+                if img.ndim == 1:
+                    img = img.reshape(1, -1)
+                if img.ndim == 3:
+                    img = img.mean(axis=2)
+                sh, sw = img.shape
+                yi = (np.arange(height) * sh) // height
+                xi = (np.arange(width) * sw) // width
+                out = img[yi][:, xi].astype(np.uint8)
+                payload_out = (f"FAKEIMG|{width}|{height}|".encode()
+                               + out.tobytes())
+                rows.append((int(mid), width, height, payload_out, True))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload", "ok"]
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def frame_sample_stub(media: DataFrame, every_n: int) -> DataFrame:
-    """Video frame-sampling placeholder (same rationale as resize_stub)."""
+    """Video frame-sampling placeholder — every video container in the wild
+    is compressed (H.264 etc.), so there is no honest pure-numpy path; the
+    image/audio decoders above demonstrate the real plumbing."""
     raise NotImplementedError(
         "video codecs are not available in this environment"
     )
@@ -104,15 +234,50 @@ def fake_audio(media_id: int, sample_rate: int, n_samples: int) -> bytes:
     return header + body
 
 
+def _decode_wav(buf: bytes):
+    """RIFF/WAVE PCM → (sample_rate, float64 samples in [-1, 1]) or None.
+    Pure struct/numpy chunk walk: ``fmt `` gives format/channels/rate/bits
+    (PCM only, 8-bit unsigned or 16-bit signed), ``data`` the samples;
+    multi-channel collapses by mean."""
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8: pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        return None
+    if bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        samples = (raw - 128.0) / 128.0
+    else:
+        raw = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64)
+        samples = raw / 32768.0
+    if channels > 1:
+        n = samples.size // channels * channels
+        samples = samples[:n].reshape(-1, channels).mean(axis=1)
+    return rate, samples
+
+
 def extract_audio_features(media: DataFrame, id_col: str = "media_id",
                            payload_col: str = "payload") -> DataFrame:
     """Audio feature extraction over binary payloads (duration, RMS).
 
-    Same contract as :func:`decode_image_meta`: the FAKEAUD path exercises
-    the full distributed plumbing (binary Arrow batches in, vectorized numpy
-    per batch, typed rows out); real codecs (WAV/MP3 headers) raise a
-    clearly-marked NotImplementedError.
-    """
+    REAL decode for WAV/PCM (8/16-bit, any channel count) and FAKEAUD;
+    compressed audio (MP3 etc.) raises the honest codec stub.  Same
+    distributed contract as :func:`decode_image_meta`: binary Arrow batches
+    in, vectorized numpy per payload, typed rows out."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -121,19 +286,24 @@ def extract_audio_features(media: DataFrame, id_col: str = "media_id",
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 buf = bytes(payload) if payload is not None else b""
+                decoded = None
                 if buf.startswith(b"FAKEAUD|"):
                     _, rate, body = buf.split(b"|", 2)
-                    rate = int(rate)
-                    samples = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
-                    samples = (samples - 128.0) / 128.0
+                    raw = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+                    decoded = (int(rate), (raw - 128.0) / 128.0)
+                elif buf[:4] == b"RIFF":
+                    decoded = _decode_wav(buf)
+                elif buf[:3] == b"ID3" or buf[:2] == b"\xff\xfb":
+                    raise NotImplementedError(
+                        "compressed audio codecs (MP3) are not available in "
+                        "this environment; WAV/PCM decodes for real"
+                    )
+                if decoded is not None:
+                    rate, samples = decoded
                     rms = float(np.sqrt((samples ** 2).mean())) if samples.size else 0.0
                     rows.append(
                         (int(mid), rate, samples.size,
                          samples.size / rate if rate else 0.0, round(rms, 6), True)
-                    )
-                elif buf[:4] == b"RIFF" or buf[:3] == b"ID3":
-                    raise NotImplementedError(
-                        "real audio codecs are not available in this environment"
                     )
                 else:
                     rows.append((int(mid), 0, 0, 0.0, 0.0, False))

@@ -436,3 +436,96 @@ def test_neardup_keep_table_transitive_clusters(spark):
     assert got[11] == (10, True)
     assert got[12] == (10, True)   # transitive closure, min-id rep
     assert got[50] == (50, False)
+
+
+def test_real_image_decoders_bmp_pnm(spark):
+    """BMP (uncompressed 24-bit, bottom-up BGR, padded rows) and binary
+    PGM/PPM decode FOR REAL in pure numpy — dimensions and means from the
+    actual pixel arrays, checked against hand-computed goldens."""
+    import struct
+
+    import numpy as np
+
+    from kgist_spark.pipeline.multimodal import decode_image_meta
+
+    rgb = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3) * 7  # h=2,w=3
+    row_bytes = (3 * 3 + 3) & ~3
+    offset, data_size = 54, row_bytes * 2
+    bmp = (b"BM" + struct.pack("<IHHI", offset + data_size, 0, 0, offset)
+           + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, data_size,
+                         2835, 2835, 0, 0))
+    for y in (1, 0):  # bottom-up
+        row = rgb[y][:, ::-1].tobytes()
+        bmp += row + b"\x00" * (row_bytes - len(row))
+
+    pgm_px = bytes(range(8))
+    pgm = b"P5\n# a comment\n4 2\n255\n" + pgm_px
+    ppm_px = bytes(range(4 * 2 * 3))
+    ppm = b"P6 4 2 255\n" + ppm_px
+
+    media = spark.createDataFrame(
+        [(1, "image", bmp, "{}"), (2, "image", pgm, "{}"), (3, "image", ppm, "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["ok"]) == (3, 2, True)
+    assert abs(got[1]["mean_pixel"] - float(rgb.mean())) < 1e-9
+    assert (got[2]["width"], got[2]["height"]) == (4, 2)
+    assert abs(got[2]["mean_pixel"] - (sum(pgm_px) / 8)) < 1e-9
+    assert (got[3]["width"], got[3]["height"]) == (4, 2)
+    assert abs(got[3]["mean_pixel"] - (sum(ppm_px) / 24)) < 1e-9
+
+
+def test_real_wav_decoder(spark):
+    """RIFF/WAVE PCM decodes for real: 16-bit stereo collapses by channel
+    mean; rate/duration/RMS come from the actual samples."""
+    import struct
+
+    import numpy as np
+
+    from kgist_spark.pipeline.multimodal import extract_audio_features
+
+    # stereo 16-bit: L = 16384, R = -16384 -> mean 0; then L=R=8192
+    frames = np.array([16384, -16384, 8192, 8192], dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(frames)) + frames)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    media = spark.createDataFrame(
+        [(7, "audio", wav, "{}"), (8, "audio", b"??not audio", "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    r = got[7]
+    assert (r["sample_rate"], r["n_samples"], r["ok"]) == (8000, 2, True)
+    assert abs(r["duration_s"] - 2 / 8000) < 1e-12
+    want_rms = float(np.sqrt(((np.array([0.0, 8192 / 32768.0])) ** 2).mean()))
+    assert abs(r["rms"] - round(want_rms, 6)) < 1e-9
+    assert got[8]["ok"] is False
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Real resize: nearest-neighbor index sampling of the decoded array,
+    re-emitted as the canonical grayscale payload."""
+    from kgist_spark.pipeline.multimodal import fake_image, resize_images
+
+    # 4x4 gradient via FAKEIMG
+    payload = b"FAKEIMG|4|4|" + bytes(range(16))
+    media = spark.createDataFrame(
+        [(1, "image", payload, "{}"), (2, "image", b"junk", "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got = {r["media_id"]: r for r in resize_images(media, 2, 2).collect()}
+    out = bytes(got[1]["payload"])
+    assert out.startswith(b"FAKEIMG|2|2|")
+    # rows 0,2 / cols 0,2 of the 4x4 grid
+    assert list(out.split(b"|", 3)[3]) == [0, 2, 8, 10]
+    assert got[2]["ok"] is False and bytes(got[2]["payload"]) == b""
+    # codec stubs stay honest
+    import pytest as _pytest
+
+    from kgist_spark.pipeline.multimodal import frame_sample_stub
+
+    with _pytest.raises(NotImplementedError):
+        frame_sample_stub(media, 2)
