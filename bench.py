@@ -54,6 +54,8 @@ def main():
         "cosine_topk",
         "events_hourly",
         "bpe_tokens",
+        "bpe_real_tokens",
+        "neardup_clusters",
         "dedup_embedding",
     ]
 

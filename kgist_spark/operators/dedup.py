@@ -20,6 +20,19 @@ from pyspark.sql import functions as F
 from kgist_spark.operators import minhash as MH
 
 
+def _fan_out_scan(docs: DataFrame) -> DataFrame:
+    """A small-file corpus arrives as ONE scan partition, serializing the
+    per-document shingle/token explosion — the expensive stage of every
+    dedup path — on a single core.  Fan the scan out to the session's
+    parallelism first.  Conditional on the probe: a real (wide) corpus scan
+    passes through untouched, so no shuffle is ever added at scale."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() >= target:
+        return docs
+    return docs.repartition(target)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 5, threshold: float = 0.4,
                         df_cap: int | None = 1000, drop_stats=None) -> DataFrame:
@@ -43,7 +56,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     shingle table just to log a count (at 100 TB that job re-reads the whole
     corpus).  Surface the loss with
     :func:`kgist_spark.operators.minhash.log_drop_stats` after an action."""
-    sh = MH.word_shingles(docs.select(id_col, text_col), id_col, text_col, k=k)
+    sh = MH.word_shingles(_fan_out_scan(docs.select(id_col, text_col)), id_col, text_col, k=k)
     if df_cap is not None:
         buckets = sh.select(
             "id", F.lit(0).alias("band"), F.col("shingle").alias("bucket")
@@ -68,7 +81,7 @@ def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     candidate pairs come from band buckets, not a full shingle self-join).
     ``drop_stats``: optional ``Observation`` counting hot-bucket drops (no
     silent caps — see :func:`kgist_spark.operators.minhash.candidate_pairs`)."""
-    sh = MH.word_shingles(docs.select(id_col, text_col), id_col, text_col, k=k)
+    sh = MH.word_shingles(_fan_out_scan(docs.select(id_col, text_col)), id_col, text_col, k=k)
     sigs = MH.minhash_signatures(sh, num_perm=num_perm)
     buckets = MH.lsh_buckets(sigs, bands=bands, rows_per_band=num_perm // bands)
     pairs = MH.candidate_pairs(buckets, drop_stats=drop_stats)
@@ -92,10 +105,14 @@ def neardup_keep_table(docs: DataFrame, id_col: str = "doc_id",
     table.  No driver collect beyond the components' convergence probes."""
     from kgist_spark.operators.components import connected_components
 
+    # materialize the (near-dup-sparse) pair set ONCE: connected_components
+    # issues several actions (size probe, driver collect / convergence
+    # probes), and without the cut each would re-run the whole
+    # shingle→minhash→bucket→verify pipeline
     pairs = minhash_neardup_pairs(
         docs, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm,
         bands=bands, threshold=threshold, drop_stats=drop_stats,
-    )
+    ).localCheckpoint()
     comp = connected_components(pairs.select("a", "b"), "a", "b")
     return (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -130,7 +147,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     aggregate on the doc key.  One shuffle, whole-stage codegen throughout.
     """
     tok = (
-        docs.select(
+        _fan_out_scan(docs).select(
             F.col(id_col),
             F.explode_outer(
                 F.filter(

@@ -84,8 +84,22 @@ def observed_bucket_counts(df: DataFrame, buckets, write_action) -> dict:
     for the given bucket ids, measured by ``Observation`` metrics riding the
     write's own rows — zero extra jobs, no second scan of the written data.
     One conditional-sum aggregate per bucket: cheap map-side arithmetic even
-    at hundreds of buckets, vs. a whole follow-up count job."""
+    at hundreds of buckets, vs. a whole follow-up count job.
+
+    Past ~1024 buckets the per-row expression list stops being cheap (every
+    row evaluates every bucket predicate), so very wide layouts fall back to
+    one post-write groupBy-count job — one extra scan beats a 10^4-term
+    projection on every written row."""
     from pyspark.sql import Observation
+
+    buckets = list(buckets)
+    if len(buckets) > 1024:
+        write_action(df)
+        got = {
+            r["bucket"]: r["n"]
+            for r in df.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        return {b: int(got.get(b, 0)) for b in buckets}
 
     obs = Observation()
     df = df.observe(
