@@ -69,8 +69,15 @@ def canonical_map(entities: DataFrame, k: int = 3, num_perm: int = 32,
             k=k, num_perm=num_perm, bands=bands,
             rows_per_band=rows_per_band, threshold=threshold,
         )
-        return spark.createDataFrame(
+        mdf = spark.createDataFrame(
             sorted(mapping.items()), "node string, canonical string"
+        )
+        # join back instead of returning the map directly: the distributed
+        # path emits one output row PER INPUT ROW, so a (pathological)
+        # non-distinct input must keep its multiplicity on this path too
+        return (
+            entities.join(F.broadcast(mdf), "node", "left")
+            .select("node", F.coalesce("canonical", "node").alias("canonical"))
         )
     old_width = spark.conf.get("spark.sql.shuffle.partitions")
     scoped_width = max(1, min(int(old_width), n_entities // 50_000))

@@ -114,8 +114,9 @@ def _decode_image(buf: bytes):
     if buf.startswith(b"FAKEIMG|"):
         _, w, h, body = buf.split(b"|", 3)
         w, h = int(w), int(h)
-        px = np.frombuffer(body, dtype=np.uint8, count=min(len(body), w * h))
-        return px.reshape(h, w) if px.size == w * h else px, True
+        if len(body) < w * h:  # truncated payload — corrupt, never "ok"
+            return None, False
+        return np.frombuffer(body, dtype=np.uint8, count=w * h).reshape(h, w), True
     if buf[:2] == b"BM":
         img = _decode_bmp(buf)
         if img is not None:

@@ -23,6 +23,32 @@ from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
 from kgist_spark.pipeline.materialize import materialize_kg, with_eids
 
 
+def extract_facts_dedup(pages: DataFrame, extractor=extract_facts_jvm):
+    """ONE extraction pass + ONE dedup shuffle for BOTH fact kinds, shared
+    by the batch and incremental constructors (the group-key column list is
+    a subtle invariant — keep it in exactly one place).
+
+    Triple rows group on (t, subj, pred, obj) and label rows on
+    (l, node, label); the null fact columns of the other kind ride along in
+    the key, so the single groupBy is exactly the two per-kind distincts
+    without persisting the raw pre-dedup extraction.  Returns
+    ``(facts_dedup, raw_triples, raw_labels)`` — the raw tables are lazy
+    filtered views over facts_dedup; the CALLER owns persisting facts_dedup
+    before fanning out."""
+    facts_dedup = (
+        extractor(pages)
+        .groupBy("kind", "subj", "pred", "obj", "node", "label")
+        .agg(F.min("url").alias("url"), F.min("pos").alias("pos"))
+    )
+    raw_triples = facts_dedup.where(F.col("kind") == "t").select(
+        "subj", "pred", "obj", "url"
+    )
+    raw_labels = facts_dedup.where(F.col("kind") == "l").select(
+        "node", "label", "pos"
+    )
+    return facts_dedup, raw_triples, raw_labels
+
+
 def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = None,
                  n_buckets: int = 8, canonicalize: bool = True,
                  extract_engine: str = "jvm"):
@@ -38,12 +64,7 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
     from pyspark import StorageLevel
 
     # ONE extraction pass (normalization + mention detection are the
-    # dominant per-doc cost; separate triple/label extractors would pay it
-    # twice) and ONE dedup shuffle: triple rows group on (t, s, p, o) and
-    # label rows on (l, node, label) — the null fact columns of the other
-    # kind ride along in the key, so a single groupBy is exactly the two
-    # per-kind distincts, without persisting the raw extraction (the
-    # pre-dedup facts were cached only to feed two separate aggregations).
+    # dominant per-doc cost) + ONE dedup shuffle — see extract_facts_dedup.
     # Downstream stages (vocabulary, canonical map, apply, materialize, the
     # caller's summarizer) read the persisted DEDUPED set — |facts| rows,
     # far smaller than |pages|.
@@ -51,12 +72,8 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
     # identical to the Python spec path (pinned in tests) with no Python
     # workers in stage 1; "python" selects the mapInPandas spec twin.
     extractor = extract_facts_jvm if extract_engine == "jvm" else extract_facts
-    facts_dedup = (
-        extractor(pages)
-        .groupBy("kind", "subj", "pred", "obj", "node", "label")
-        .agg(F.min("url").alias("url"), F.min("pos").alias("pos"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    facts_dedup, raw_triples, raw_labels = extract_facts_dedup(pages, extractor)
+    facts_dedup = facts_dedup.persist(StorageLevel.MEMORY_AND_DISK)
     raw_triples = facts_dedup.where(F.col("kind") == "t").select(
         "subj", "pred", "obj", "url"
     )

@@ -278,4 +278,9 @@ def fit_summary(triples: DataFrame, labels: DataFrame, passes: int = 2,
         return result
     finally:
         if own_cand:
+            # safe for the returned DeltaGreedy: it persists (and the fit
+            # materializes) its OWN projections of the contribution table,
+            # so later covered_triples/anomaly use read those caches — the
+            # raw cand is only re-read by label_qualify, which ran inside
+            # fit
             cand_edges.unpersist()

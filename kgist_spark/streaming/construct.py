@@ -48,16 +48,19 @@ dictionary) with a per-bucket size side table (``canon_index_sizes``, a few
 rows per batch): per-batch linking joins the batch's band hashes against
 the index — the index is scanned but never shuffled or re-hashed, and
 dictionary shingles are recomputed only for matched candidate surfaces.
-NO join in this module carries a dictionary-side broadcast hint: the
-dictionary grows without bound with the corpus, so the small BATCH side is
-hinted where a side is known-small (the post-link canonical adoption, the
-bridge count) and everything else is left to AQE (broadcast while the
-dictionary is small, shuffle join once it isn't).  Per-batch linking work
-is the index scan plus O(batch + matches) shuffles; the exact-hit and
-anti-joins against the dictionary/KG are equi-joins whose shuffle AQE
-plans from runtime sizes.  Hot-bucket detection and the dictionary-size
-probe read only the size side table (and the lineage manifest), not the
-index — no per-batch O(dictionary) aggregate.
+NO join in this module carries a FORCED broadcast hint on either side:
+the dictionary grows without bound with the corpus, and a "batch" can be
+a backfill of arbitrary size, so every join is left to AQE (broadcast
+while a side actually fits, shuffle join once it doesn't).  Per-batch
+linking work is the index scan plus O(batch + matches) shuffles; the
+exact-hit and anti-joins against the dictionary/KG are equi-joins whose
+shuffle AQE plans from runtime sizes.  Hot-bucket detection aggregates the
+narrow size side table ONLY over the buckets the batch touches (semi-join
+on the batch side), and the dictionary-size probe reads the lineage
+manifest on the driver — no per-batch re-hash or full-index aggregate;
+the residual per-batch term is the columnar scan of the sizes table
+(O(distinct index buckets) narrow rows — compact it with a periodic
+snapshot if it ever dominates).
 """
 
 from __future__ import annotations
@@ -74,7 +77,7 @@ from kgist_spark.pipeline.canonicalize import (
     entity_vocabulary,
     link_mentions,
 )
-from kgist_spark.pipeline.extract_jvm import extract_facts_jvm
+from kgist_spark.pipeline.run import extract_facts_dedup
 from kgist_spark.pipeline.materialize import (
     _append_manifest,
     adjacency,
@@ -128,22 +131,60 @@ def _has_batches(path: str) -> bool:
     )
 
 
+def _batch_ids(path: str) -> set:
+    """Batch ids present on disk under ``path`` (``batch=<id>`` dirs)."""
+    if not os.path.isdir(path):
+        return set()
+    return {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("batch=")
+    }
+
+
 def read_index_sizes(spark: SparkSession, out_dir: str,
                      exclude_batch: int | None = None) -> DataFrame | None:
-    """Aggregated per-bucket index sizes ``(band, bucket, n)`` from the
-    ``canon_index_sizes`` side table (written per batch alongside the
-    index), or None for pre-sizes KGs (callers fall back to sizing the
-    index itself).  Reading this is O(distinct touched buckets), never
-    O(dictionary) — each batch contributes a single tiny partial file."""
+    """RAW per-batch bucket-size partials ``(band, bucket, n)`` from the
+    ``canon_index_sizes`` side table, or None when the side table does not
+    COVER the index — a KG whose early batches predate the table would
+    otherwise yield silently-partial sums (hot buckets under-counted, the
+    cap disabled on exactly the degenerate buckets it exists for).
+    Consumers confine their aggregation to the buckets a batch actually
+    touches (semi-join), so per-batch work is bounded by the narrow sizes
+    scan, not a full-index re-hash."""
     path = os.path.join(out_dir, SIZES_DIR)
-    if not _has_batches(path):
-        return None
+    index_batches = _batch_ids(os.path.join(out_dir, INDEX_DIR))
+    sizes_batches = _batch_ids(path)
+    if exclude_batch is not None:
+        index_batches.discard(exclude_batch)
+        sizes_batches.discard(exclude_batch)
+    if not sizes_batches or not index_batches <= sizes_batches:
+        return None  # absent or partial coverage: caller sizes the index
     df = spark.read.option("basePath", path).parquet(
         os.path.join(path, "batch=*")
     )
     if exclude_batch is not None:
         df = df.where(F.col("batch") != exclude_batch)
-    return df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
+    return df.select("band", "bucket", "n")
+
+
+def dict_size_from_manifest(out_dir: str,
+                            exclude_batch: int | None = None) -> int | None:
+    """Dictionary row count accumulated from the per-batch ``canon_dict``
+    manifest rows — O(#batches) driver-side, no Spark job.  None when the
+    manifest does not cover every dictionary batch on disk (pre-manifest
+    KGs); replayed batches overwrite, so the LAST row per batch wins."""
+    dict_batches = _batch_ids(os.path.join(out_dir, DICT_DIR))
+    if exclude_batch is not None:
+        dict_batches.discard(exclude_batch)
+    by_batch: dict = {}
+    for e in read_manifest(out_dir):
+        if (e["table"] == "canon_dict" and e["status"] == "done"
+                and e.get("batch") != exclude_batch):
+            by_batch[e["batch"]] = e["n_rows"]
+    if not dict_batches <= set(by_batch):
+        return None
+    return sum(by_batch[b] for b in dict_batches)
 
 
 def read_incremental_kg(spark: SparkSession, out_dir: str):
@@ -207,12 +248,22 @@ def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
     import logging
 
     m_sh, m_buckets = _surface_lsh(unknown.select(F.col("node").alias("surface")))
-    sized = (
+    # hot detection is confined to the buckets THIS batch touches (semi-
+    # join on the tiny batch side): with the sizes side table the work is
+    # one narrow columnar scan + an aggregate over touched buckets only;
+    # the full-index group-by is just the fallback for pre-sizes KGs
+    touched = m_buckets.select("band", "bucket").distinct()
+    partials = (
         index_sizes
         if index_sizes is not None
-        else dict_index.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        else dict_index.select("band", "bucket", F.lit(1).alias("n"))
     )
-    hot = sized.where(F.col("n") > 64)
+    hot = (
+        partials.join(touched, ["band", "bucket"], "leftsemi")
+        .groupBy("band", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .where(F.col("n") > 64)
+    )
     n_hot = hot.count()
     if n_hot:
         logging.getLogger(__name__).warning(
@@ -242,8 +293,11 @@ def _indexed_link(unknown: DataFrame, dict_index: DataFrame,
         threshold,
     )
     if dictionary is not None and stats is not None:
+        # no broadcast hint: 'scored' is bounded by the BATCH, but a
+        # backfill-scale batch is exactly when a forced broadcast breaks —
+        # AQE broadcasts it while it actually fits
         n_bridges = (
-            F.broadcast(scored)
+            scored
             .join(dictionary.withColumnRenamed("surface", "b"), "b")
             .groupBy("a")
             .agg(F.countDistinct("canonical").alias("k"))
@@ -346,7 +400,9 @@ def link_entities_to_dictionary(entities: DataFrame, dictionary: DataFrame | Non
                 same_prefix=True,
             )
         linked = (
-            F.broadcast(best)
+            # batch-side table, but batches can be backfill-scale: no forced
+            # broadcast (AQE picks broadcast while it fits)
+            best
             .join(d.withColumnRenamed("surface", "linked"), "linked")
             .select(
                 F.col("mention").alias("node"), "canonical",
@@ -391,21 +447,11 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
         return df
 
     try:
-        # one extraction pass, one dedup shuffle for both fact kinds (the
-        # null fact columns of the other kind ride along in the group key —
-        # same rows as the two per-kind distincts, no pre-dedup persist);
-        # mirrors pipeline.run.construct_kg
-        facts_dedup = _persist(
-            extract_facts_jvm(pages)
-            .groupBy("kind", "subj", "pred", "obj", "node", "label")
-            .agg(F.min("url").alias("url"), F.min("pos").alias("pos"))
-        )
-        raw_triples = facts_dedup.where(F.col("kind") == "t").select(
-            "subj", "pred", "obj", "url"
-        )
-        raw_labels = facts_dedup.where(F.col("kind") == "l").select(
-            "node", "label", "pos"
-        )
+        # one extraction pass, one dedup shuffle for both fact kinds —
+        # the SHARED helper with the batch pipeline (Spark's cache is
+        # keyed by plan equality, so the lazy views hit the persisted set)
+        facts_dedup, raw_triples, raw_labels = extract_facts_dedup(pages)
+        facts_dedup = _persist(facts_dedup)
         facts_dedup.count()
 
         # every "existing state" read excludes THIS batch's own partitions: a
@@ -416,13 +462,11 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
         dictionary = read_dictionary(spark, out_dir, exclude_batch=batch_id)
         dict_index = read_index(spark, out_dir, exclude_batch=batch_id)
         index_sizes = read_index_sizes(spark, out_dir, exclude_batch=batch_id)
-        dict_size = None
-        if index_sizes is not None:
-            # reused twice (hot-bucket filter + this sum) and tiny —
-            # materialize once; total index rows = _BANDS per surface, so
-            # the sum also yields the dictionary size with no scan of the
-            # dictionary itself
-            index_sizes = index_sizes.localCheckpoint()
+        # dictionary size from the manifest's canon_dict rows — O(#batches)
+        # on the driver, NO Spark job; falls back to a one-off sum over the
+        # sizes partials for KGs whose manifests predate the rows
+        dict_size = dict_size_from_manifest(out_dir, exclude_batch=batch_id)
+        if dict_size is None and index_sizes is not None:
             total = index_sizes.agg(F.sum("n").alias("t")).collect()[0]["t"]
             dict_size = int(total or 0) // _BANDS
         link_stats: dict = {}
@@ -485,7 +529,9 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
         # a 10^8-entity backfill batch (a single write task + one giant
         # file).  canon is persisted, so the sizing count scans cache only.
         n_new_surfaces = canon.where("is_new").count()
-        dict_width = max(1, min(n_buckets, n_new_surfaces // _DICT_ROWS_PER_FILE + 1))
+        # uncapped by n_buckets: the KG bucket count is unrelated to append-
+        # file sizing, and a 10^8-surface backfill batch NEEDS >8 files
+        dict_width = max(1, n_new_surfaces // _DICT_ROWS_PER_FILE + 1)
         new_dict = canon.where("is_new").select(
             F.col("node").alias("surface"), "canonical"
         ).withColumn("batch", F.lit(batch_id)).repartition(dict_width)
@@ -504,9 +550,7 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
         new_buckets = _persist(
             new_buckets.select(F.col("id").alias("surface"), "band", "bucket")
         )
-        index_width = max(
-            1, min(n_buckets, n_new_surfaces * _BANDS // _DICT_ROWS_PER_FILE + 1)
-        )
+        index_width = max(1, n_new_surfaces * _BANDS // _DICT_ROWS_PER_FILE + 1)
         new_buckets.withColumn("batch", F.lit(batch_id)) \
             .repartition(index_width) \
             .write.mode("overwrite") \
@@ -527,6 +571,12 @@ def construct_batch_incremental(spark: SparkSession, pages: DataFrame,
                     "table": name, "bucket": b, "batch": batch_id,
                     "n_rows": counts[name].get(b, 0), "status": "done",
                 })
+        # dictionary lineage: lets later batches derive the dictionary size
+        # from the manifest alone (dict_size_from_manifest) — no Spark job
+        _append_manifest(out_dir, {
+            "table": "canon_dict", "batch": batch_id,
+            "n_rows": n_new_surfaces, "status": "done",
+        })
         n_new = sum(counts["kg_triples"].values())
         return {"batch": batch_id, "skipped": False, "new_triples": n_new,
                 "n_bridges": link_stats.get("n_bridges", 0)}

@@ -599,3 +599,50 @@ def test_bridge_detection_and_grow_only_linking(spark, tmp_path):
     # grow-only: existing groups unchanged, bridge joined the best match (a)
     assert groups1[ida] == groups0[ida] and groups1[idb] == groups0[idb]
     assert groups1[idc] == groups0[ida]
+
+
+def test_sizes_and_manifest_coverage_guards(spark, tmp_path):
+    """Partial side tables must be REFUSED, not silently summed: a KG whose
+    early batches predate canon_index_sizes / the canon_dict manifest rows
+    falls back to full-index sizing rather than under-counting hot buckets
+    or under-estimating the dictionary."""
+    import json
+    import shutil
+
+    from kgist_spark.streaming.construct import (
+        SIZES_DIR,
+        construct_batch_incremental,
+        dict_size_from_manifest,
+        read_dictionary,
+        read_index_sizes,
+    )
+
+    world = World(42)
+    out = str(tmp_path / "kg")
+    construct_batch_incremental(
+        spark, generate_pages(spark, 120, seed=1, world=world), out, 0, n_buckets=2)
+    construct_batch_incremental(
+        spark, generate_pages(spark, 90, seed=2, world=world), out, 1, n_buckets=2)
+
+    sizes = read_index_sizes(spark, out)
+    assert sizes is not None
+    # manifest-driven dictionary size equals the real dictionary row count
+    assert dict_size_from_manifest(out) == read_dictionary(spark, out).count()
+    # excluding a replayed batch stays covered and consistent
+    assert dict_size_from_manifest(out, exclude_batch=1) == \
+        read_dictionary(spark, out, exclude_batch=1).count()
+
+    # simulate a pre-sizes KG: batch 0's sizes partition is missing
+    shutil.rmtree(f"{out}/{SIZES_DIR}/batch=0")
+    assert read_index_sizes(spark, out) is None          # partial -> refuse
+    # ...but excluding batch 0 restores full coverage of what remains
+    assert read_index_sizes(spark, out, exclude_batch=0) is not None
+
+    # pre-manifest KG: strip the canon_dict rows -> size probe refuses
+    mpath = f"{out}/_manifest.json"
+    entries = [json.loads(l) for l in open(mpath) if l.strip()]
+    with open(mpath, "w") as f:
+        for e in entries:
+            if e["table"] != "canon_dict":
+                f.write(json.dumps(e) + "\n")
+    assert dict_size_from_manifest(out) is None
