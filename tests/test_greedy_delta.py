@@ -90,3 +90,35 @@ def test_fit_summary_front_door_reaches_both_regimes(spark):
 
     with pytest.raises(ValueError):
         fit_summary(triples, labels, mode="bogus")
+
+
+def test_fit_summary_delta_feeds_anomaly_scoring(spark):
+    """The front door's delta handle drives batch anomaly scoring end to end
+    AFTER fit_summary returned (i.e. after the raw contribution table was
+    unpersisted) — the fit's own persisted projections must carry it."""
+    from kgist_spark.operators.anomaly import score_edges, score_edges_delta
+    from kgist_spark.plans.summarizer import fit_summary
+    from kgist_spark.sources.edgelist import explode_labels, load_labels, load_triples
+
+    triples = load_triples(spark, str(FIXTURES / "test.txt")).persist()
+    labels = load_labels(spark, str(FIXTURES / "test_labels.txt")).persist()
+    lf = explode_labels(labels)
+
+    delta_fit = fit_summary(triples, labels, mode="delta")
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["score"]
+        for r in score_edges_delta(
+            delta_fit["delta"], delta_fit, triples, lf
+        ).collect()
+    }
+
+    exact_fit = fit_summary(triples, labels, mode="exact")
+    want = {
+        (r["subj"], r["pred"], r["obj"]): r["score"]
+        for r in score_edges(
+            spark, exact_fit["model"], triples.select("subj", "pred", "obj"), lf
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
