@@ -187,6 +187,65 @@ def dict_size_from_manifest(out_dir: str,
     return sum(by_batch[b] for b in dict_batches)
 
 
+def compact_dictionary_state(spark: SparkSession, out_dir: str,
+                             keep_last: int = 1) -> dict:
+    """Offline maintenance: merge all but the newest ``keep_last`` batch
+    partitions of the dictionary, its LSH index, and the size side table
+    into ONE partition each (kept under the LARGEST compacted batch id).
+
+    Why: each micro-batch appends a partition to all three tables, so after
+    N batches every read opens N partitions and the sizes scan carries N
+    partial rows per recurring bucket.  Compaction restores O(1) partitions
+    and collapses size partials to one row per bucket — the periodic
+    snapshot the module doc prescribes for long-running streams.
+
+    Contracts preserved: readers see IDENTICAL content (sizes are summed,
+    dictionary/index rows unioned); the coverage guards stay satisfied
+    because all three tables (and a refreshed ``canon_dict`` manifest row)
+    are remapped together; replay-exclusion still works because only the
+    newest ``keep_last`` batches are ever replayable (the stream checkpoint
+    has long committed the compacted ones) and those keep their own
+    partitions.  Run OFFLINE — not concurrently with the stream; the
+    partition swap is not crash-atomic (re-run compaction after a crash)."""
+    import shutil
+
+    batches = sorted(_batch_ids(os.path.join(out_dir, DICT_DIR)))
+    old = batches[:len(batches) - keep_last] if keep_last else list(batches)
+    if len(old) <= 1:
+        return {"compacted": 0, "into": None}
+    target = old[-1]
+    merged_dict_rows = None
+    for sub in (DICT_DIR, INDEX_DIR, SIZES_DIR):
+        path = os.path.join(out_dir, sub)
+        if not _has_batches(path):
+            continue
+        present = _batch_ids(path) & set(old)
+        df = (
+            spark.read.option("basePath", path)
+            .parquet(os.path.join(path, "batch=*"))
+            .where(F.col("batch").isin(list(present)))
+            .drop("batch")
+        )
+        if sub == SIZES_DIR:
+            df = df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
+        tmp = path + "._compact_tmp"
+        df.coalesce(max(1, len(present) // 8)).write.mode("overwrite").parquet(tmp)
+        if sub == DICT_DIR:
+            merged_dict_rows = spark.read.parquet(tmp).count()
+        for b in present:
+            shutil.rmtree(os.path.join(path, f"batch={b}"), ignore_errors=True)
+        os.replace(tmp, os.path.join(path, f"batch={target}"))
+    if merged_dict_rows is not None:
+        # refresh the lineage so dict_size_from_manifest stays exact: the
+        # merged partition's row wins for `target`; rows of removed batch
+        # ids are harmless (coverage checks disk dirs, which are gone)
+        _append_manifest(out_dir, {
+            "table": "canon_dict", "batch": target,
+            "n_rows": merged_dict_rows, "status": "done",
+        })
+    return {"compacted": len(old), "into": target}
+
+
 def read_incremental_kg(spark: SparkSession, out_dir: str):
     """Load the incremental KG (all batches); ``batch`` comes back as a
     lineage column.  ``(None, None)`` before the first non-empty batch."""

@@ -25,7 +25,7 @@ import time
 
 def main(argv=None, spark=None):
     ap = argparse.ArgumentParser()
-    src = ap.add_mutually_exclusive_group(required=True)
+    src = ap.add_mutually_exclusive_group()
     src.add_argument("--input", help="web-pages parquet path or table (url, warc_ts, html, text, lang)")
     src.add_argument("--generate", type=int, metavar="N_DOCS",
                      help="generate a synthetic corpus of N docs instead")
@@ -43,7 +43,13 @@ def main(argv=None, spark=None):
                          "canonical dictionary, per-batch lineage)")
     ap.add_argument("--checkpoint", default=None,
                     help="stream checkpoint dir (default <out>/_checkpoint)")
+    ap.add_argument("--compact", action="store_true",
+                    help="offline maintenance: merge old dictionary/index/"
+                         "size batch partitions at --out into one partition "
+                         "each, then exit (run while the stream is stopped)")
     args = ap.parse_args(argv)
+    if not args.compact and not (args.input or args.generate):
+        ap.error("one of --input / --generate is required (unless --compact)")
     if args.incremental and not args.input:
         ap.error("--incremental requires --input (a directory new page files land in)")
 
@@ -58,6 +64,17 @@ def main(argv=None, spark=None):
 
             spark = get_spark(app_name="kgist-pipeline")
         spark.sparkContext.setLogLevel("WARN")
+
+    if args.compact:
+        from kgist_spark.streaming.construct import compact_dictionary_state
+
+        t0 = time.time()
+        report = compact_dictionary_state(spark, args.out)
+        report["compact_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(report))
+        if owns_session:
+            spark.stop()
+        return
 
     from kgist_spark.pipeline.run import construct_kg, summarize_constructed_kg
 

@@ -646,3 +646,59 @@ def test_sizes_and_manifest_coverage_guards(spark, tmp_path):
             if e["table"] != "canon_dict":
                 f.write(json.dumps(e) + "\n")
     assert dict_size_from_manifest(out) is None
+
+
+def test_compact_dictionary_state_preserves_content_and_linking(spark, tmp_path):
+    """Compaction merges old dict/index/sizes partitions into one partition
+    each with IDENTICAL reader-visible content, the manifest size probe
+    stays exact, and the next batch links identically to an uncompacted
+    twin KG."""
+    from kgist_spark.streaming.construct import (
+        DICT_DIR,
+        INDEX_DIR,
+        SIZES_DIR,
+        _batch_ids,
+        compact_dictionary_state,
+        construct_batch_incremental,
+        dict_size_from_manifest,
+        read_dictionary,
+        read_index,
+        read_index_sizes,
+    )
+
+    world = World(42)
+    batches = [generate_pages(spark, n, seed=s, world=world).cache()
+               for n, s in ((120, 1), (90, 2), (100, 3), (80, 4))]
+    out_a = str(tmp_path / "kg_a")   # compacted
+    out_b = str(tmp_path / "kg_b")   # control
+    for out in (out_a, out_b):
+        for b in range(3):
+            construct_batch_incremental(spark, batches[b], out, b, n_buckets=2)
+
+    def snapshot(out):
+        d = sorted((r["surface"], r["canonical"])
+                   for r in read_dictionary(spark, out).collect())
+        ix = sorted((r["surface"], r["band"], r["bucket"])
+                    for r in read_index(spark, out).collect())
+        sz = sorted(
+            (r["band"], r["bucket"], r["n"])
+            for r in read_index_sizes(spark, out)
+            .groupBy("band", "bucket").agg(F.sum("n").alias("n")).collect()
+        )
+        return d, ix, sz
+
+    before = snapshot(out_a)
+    res = compact_dictionary_state(spark, out_a, keep_last=1)
+    assert res["compacted"] == 2 and res["into"] == 1
+    for sub in (DICT_DIR, INDEX_DIR, SIZES_DIR):
+        assert _batch_ids(f"{out_a}/{sub}") == {1, 2}, sub
+    assert snapshot(out_a) == before
+    assert dict_size_from_manifest(out_a) == len(before[0])
+
+    # the next batch behaves identically on compacted vs control state
+    ra = construct_batch_incremental(spark, batches[3], out_a, 3, n_buckets=2)
+    rb = construct_batch_incremental(spark, batches[3], out_b, 3, n_buckets=2)
+    assert (ra["new_triples"], ra["n_bridges"]) == (rb["new_triples"], rb["n_bridges"])
+    da = sorted((r["surface"], r["canonical"]) for r in read_dictionary(spark, out_a).collect())
+    db = sorted((r["surface"], r["canonical"]) for r in read_dictionary(spark, out_b).collect())
+    assert da == db
