@@ -520,6 +520,40 @@ def q_bpe_tokens(spark, sf_dir):
     return TX.bpe_token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap sessionization over events (30-min timeout): one window + one
+    groupBy, both hash-partitioned on the user key."""
+    from kgist_spark.operators.timeseries import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+def q_asof_enrich(spark, sf_dir):
+    """Backward as-of join: every click enriched with the most recent prior
+    view's value per user — union-tag timeline + running last(ignorenulls),
+    ONE shuffle on the key (no range-join explosion).  DuckDB's native
+    ASOF JOIN is the oracle."""
+    from kgist_spark.operators.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    # inner as-of for the gate (clicks WITH a prior view): a null float
+    # column hashes differently across engines (None vs NaN); the operator's
+    # left/null semantics are pinned by unit tests instead
+    return asof_join(
+        clicks, views, ["user_id"], "ts", "value", out_col="last_view_value"
+    ).where(F.col("last_view_value").isNotNull()).select(
+        "event_id", "user_id",
+        F.round("value", 5).alias("click_value"),
+        F.round("last_view_value", 5).alias("last_view_value"),
+    )
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Dedup DECISION table: near-dup pairs closed into clusters by
     distributed connected components; every doc maps to its cluster's
@@ -615,6 +649,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
     "neardup_clusters": q_neardup_clusters,
+    "user_sessions": q_user_sessions,
+    "asof_enrich": q_asof_enrich,
     "simhash": q_simhash,
     "embedding_ann": q_embedding_ann,
     "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -909,6 +945,47 @@ ORACLE_SQL = {
         WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.4
     """,
 }
+
+# gap sessionization: identical break rule (epoch-seconds gap > 1800,
+# strictly greater) and identical (ts, event_id) tie order
+ORACLE_SQL["user_sessions"] = """
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    b AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR extract(epoch FROM ts) - extract(epoch FROM prev_ts) > 1800.0
+                  THEN 1 ELSE 0 END AS brk FROM g
+    ),
+    s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM b
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           round(SUM(value), 5) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+"""
+
+# backward as-of join: DuckDB's NATIVE ASOF JOIN replays the union-tag
+# window implementation; the view side is deduped to one row per (user, ts)
+# in BOTH engines so equal-timestamp ties are deterministic
+ORACLE_SQL["asof_enrich"] = """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts, max_by(value, event_id) AS last_view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, round(c.value, 5) AS click_value,
+           round(v.last_view_value, 5) AS last_view_value
+    FROM clicks c ASOF JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
 
 # near-dup clusters: the pair CTE is the SAME exact-jaccard SQL as
 # minhash_neardup (complete LSH recall on this corpus, already hash-pinned);

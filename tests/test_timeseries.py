@@ -1,0 +1,90 @@
+"""Time-series operators: gap sessionization and backward as-of join."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_sessionize_gap_semantics(spark):
+    """Break iff gap STRICTLY exceeds the timeout; sessions are 1-based in
+    time order per user; aggregates cover exactly the session's rows."""
+    from kgist_spark.operators.timeseries import sessionize
+
+    rows = [
+        # user 1: 0, +29m (same session: gap < 30), +30m exactly (same:
+        # NOT strictly greater), then +31m (break)
+        (1, 1, _ts(0), 1.0), (2, 1, _ts(29), 2.0), (3, 1, _ts(59), 4.0),
+        (4, 1, _ts(90), 8.0),
+        # user 2: single event
+        (5, 2, _ts(10), 1.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["start_ts"],
+                                           r["end_ts"], r["sum_value"])
+        for r in sessionize(ev).collect()
+    }
+    assert got[(1, 1)] == (3, _ts(0), _ts(59), 7.0)
+    assert got[(1, 2)] == (1, _ts(90), _ts(90), 8.0)
+    assert got[(2, 1)] == (1, _ts(10), _ts(10), 1.5)
+    assert len(got) == 3
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right ts <= left ts per key; equal
+    timestamps match (right before left); no prior right row -> null;
+    equal-ts right duplicates resolve by max_by(tie_col)."""
+    from kgist_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(100, 1, _ts(5), 0.0),   # view at 0 and AT 5 -> the ts=5 view wins
+         (101, 1, _ts(2), 0.0),   # only the ts=0 view precedes
+         (102, 1, _ts(0), 0.0),   # equal ts at the very first view -> match
+         (103, 2, _ts(1), 0.0)],  # user 2 has no views -> null
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, _ts(0), 10.0),
+         (2, 1, _ts(5), 20.0),
+         (3, 1, _ts(5), 30.0)],   # same ts as event 2: max_by(event_id) wins
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, ["user_id"], "ts", "value").collect()
+    }
+    assert got[100] == 30.0   # ts=5 views, deduped to event 3's value
+    assert got[101] == 10.0
+    assert got[102] == 10.0   # <= includes equality
+    assert got[103] is None
+    assert len(got) == 4
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-tag implementation is ONE shuffle on the key (plus the
+    right-side dedup aggregate) — no range join / cartesian anywhere."""
+    from kgist_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(1), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    right = spark.createDataFrame(
+        [(2, 1, _ts(0), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    plan = (
+        asof_join(left, right, ["user_id"], "ts", "value")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
