@@ -56,6 +56,8 @@ def main():
         "bpe_tokens",
         "bpe_real_tokens",
         "neardup_clusters",
+        "user_sessions",
+        "asof_enrich",
         "dedup_embedding",
     ]
 
