@@ -11,11 +11,18 @@ shuffle on the entity key:
   one groupBy, both hash-partitioned on ``user``.
 * **asof_join** — union-tag: left and right rows interleave in one
   per-key timeline ordered by (ts, right-before-left); a running
-  ``last(value, ignorenulls=True)`` carries the most recent right-side
-  value onto every left row.  ONE shuffle on the key, no range-join
-  explosion (a naive ``l.ts >= r.ts`` join is O(|L|·|R|) per key).  The
-  right side is deduplicated to one row per (key, ts) first so ties are
-  deterministic in every engine (DuckDB's native ASOF JOIN is the oracle).
+  ``last(<wrapped row>, ignorenulls=True)`` carries the most recent
+  right-side ROW onto every left row (the value is wrapped in a struct so
+  a null ``value_col`` on the matched row comes through as null, exactly
+  like SQL ASOF semantics — never skipped for an older non-null).  ONE
+  shuffle on the key, no range-join explosion (a naive ``l.ts >= r.ts``
+  join is O(|L|·|R|) per key).  The right side is deduplicated to one row
+  per (key, ts) first so ties are deterministic in every engine (DuckDB's
+  native ASOF JOIN is the oracle).
+
+Gap arithmetic is INTERVAL comparison on the raw (NTZ) timestamps —
+wall-clock, timezone- and DST-independent — never an epoch cast through
+the session timezone.
 
 Scale shape: both partition by the entity key only — skewed hot keys are
 bounded by per-user event counts, and the window frames are running
@@ -32,15 +39,20 @@ from pyspark.sql import functions as F
 
 def sessionize(events: DataFrame, user_col: str = "user_id",
                ts_col: str = "ts", gap_minutes: float = 30.0,
-               value_col: str | None = "value") -> DataFrame:
+               value_col: str | None = "value",
+               tie_col: str = "event_id") -> DataFrame:
     """Per-user gap sessions: ``(user, session_seq, n_events, start_ts,
-    end_ts, sum_value)``.  ``session_seq`` is 1-based in time order."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    # NTZ timestamps don't cast to double directly; epoch seconds via the
-    # timestamp cast (tz offsets cancel in the difference)
-    epoch = F.col(ts_col).cast("timestamp").cast("double")
-    gap_s = epoch - F.lag(epoch).over(w)
-    brk = F.when(gap_s.isNull() | (gap_s > gap_minutes * 60.0), 1).otherwise(0)
+    end_ts, sum_value)``.  ``session_seq`` is 1-based in time order; a
+    break happens iff the gap STRICTLY exceeds the timeout.  ``tie_col``
+    orders equal-timestamp rows deterministically."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    gap_ms = int(gap_minutes * 60_000)
+    prev = F.lag(F.col(ts_col)).over(w)
+    brk = F.when(
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap_ms} MILLISECOND")),
+        1,
+    ).otherwise(0)
     tagged = events.withColumn("_brk", brk).withColumn(
         "session_seq",
         F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -64,24 +76,38 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
               tie_col: str = "event_id") -> DataFrame:
     """Enrich every LEFT row with the RIGHT row's ``value_col`` at the
     greatest right ``ts_col`` <= the left row's (backward as-of).  Left
-    rows with no prior right row get null.
+    rows with no prior right row get null; a matched right row whose value
+    is itself null yields null (the ROW is matched, not the last non-null
+    value — SQL ASOF semantics).
 
     The right side is first deduplicated to one row per (keys, ts) —
     ``max_by(value, tie_col)`` — so equal-timestamp ties resolve
     identically in every engine.  At equal left/right timestamps the right
     row wins (<=, matching DuckDB ASOF semantics): the timeline orders the
     right row before the left one."""
+    if out_col in left.columns:
+        raise ValueError(
+            f"out_col {out_col!r} collides with a left column — the carried "
+            "as-of value would silently absorb the left side's own values"
+        )
     r = (
         right.groupBy(*keys, ts_col)
-        .agg(F.max_by(value_col, tie_col).alias(out_col))
+        .agg(F.struct(F.max_by(value_col, tie_col).alias("v")).alias("_asof_w"))
         .withColumn("_side", F.lit(0))
     )
     l = left.withColumn("_side", F.lit(1))
     timeline = l.unionByName(r, allowMissingColumns=True)
+    order = [ts_col, "_side"] + ([tie_col] if tie_col in left.columns else [])
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_col, "_side", tie_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = timeline.withColumn(out_col, F.last(out_col, ignorenulls=True).over(w))
-    return carried.where(F.col("_side") == 1).drop("_side")
+    carried = timeline.withColumn(
+        "_asof_w", F.last("_asof_w", ignorenulls=True).over(w)
+    )
+    return (
+        carried.where(F.col("_side") == 1)
+        .withColumn(out_col, F.col("_asof_w.v"))
+        .drop("_side", "_asof_w")
+    )

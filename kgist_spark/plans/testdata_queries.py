@@ -946,8 +946,8 @@ ORACLE_SQL = {
     """,
 }
 
-# gap sessionization: identical break rule (epoch-seconds gap > 1800,
-# strictly greater) and identical (ts, event_id) tie order
+# gap sessionization: identical break rule (wall-clock interval gap
+# STRICTLY > 30 min) and identical (ts, event_id) tie order
 ORACLE_SQL["user_sessions"] = """
     WITH g AS (
         SELECT user_id, event_id, ts, value,
@@ -955,8 +955,10 @@ ORACLE_SQL["user_sessions"] = """
         FROM events
     ),
     b AS (
+        -- wall-clock INTERVAL comparison, mirroring the engine's tz- and
+        -- DST-independent gap arithmetic on the raw NTZ timestamps
         SELECT *, CASE WHEN prev_ts IS NULL
-                       OR extract(epoch FROM ts) - extract(epoch FROM prev_ts) > 1800.0
+                       OR ts - prev_ts > INTERVAL 1800 SECONDS
                   THEN 1 ELSE 0 END AS brk FROM g
     ),
     s AS (

@@ -113,9 +113,18 @@ def _surface_lsh(surfaces: DataFrame):
 def read_index(spark: SparkSession, out_dir: str,
                exclude_batch: int | None = None) -> DataFrame | None:
     """The persisted dictionary LSH index ``(surface, band, bucket)``, or
-    None if absent (pre-index KGs fall back to unindexed linking)."""
+    None if absent OR not covering every dictionary batch (a KG whose
+    early batches predate the index would otherwise link against an index
+    that is blind to the early surfaces — near-matches to them would
+    silently become NEW canonical groups, diverging from unindexed
+    linking).  Pre-/partial-index KGs fall back to unindexed linking."""
     path = os.path.join(out_dir, INDEX_DIR)
-    if not _has_batches(path):
+    dict_batches = _batch_ids(os.path.join(out_dir, DICT_DIR))
+    index_batches = _batch_ids(path)
+    if exclude_batch is not None:
+        dict_batches.discard(exclude_batch)
+        index_batches.discard(exclude_batch)
+    if not index_batches or not dict_batches <= index_batches:
         return None
     df = spark.read.option("basePath", path).parquet(
         os.path.join(path, "batch=*")
@@ -200,50 +209,100 @@ def compact_dictionary_state(spark: SparkSession, out_dir: str,
     snapshot the module doc prescribes for long-running streams.
 
     Contracts preserved: readers see IDENTICAL content (sizes are summed,
-    dictionary/index rows unioned); the coverage guards stay satisfied
-    because all three tables (and a refreshed ``canon_dict`` manifest row)
-    are remapped together; replay-exclusion still works because only the
-    newest ``keep_last`` batches are ever replayable (the stream checkpoint
-    has long committed the compacted ones) and those keep their own
-    partitions.  Run OFFLINE — not concurrently with the stream; the
-    partition swap is not crash-atomic (re-run compaction after a crash)."""
+    dictionary/index rows unioned); every table is compacted over the SAME
+    batch set — a side table that does not COVER those batches (pre-sizes /
+    pre-index KGs) has its old partials DROPPED instead of merged, so it
+    stays visibly non-covering and the read guards keep falling back
+    correctly (never a fabricated partial merge that would pass coverage).
+    Replay-exclusion survives because only the newest ``keep_last >= 1``
+    batches are ever replayable (the stream checkpoint has long committed
+    the compacted ones) and those keep their own partitions.
+
+    Crash safety (run OFFLINE, not concurrently with the stream): all
+    merged data is written to non-destructive ``_compact_ready`` staging
+    dirs first, then a write-ahead plan file is persisted, and only then
+    are old partitions removed and the staged dirs swapped in.  A crash
+    before the plan file leaves the KG untouched (stale staging dirs are
+    overwritten by the next run); a crash after it is finished
+    IDEMPOTENTLY by the next call (the plan records exactly which
+    partitions to remove and swap)."""
+    import json
     import shutil
 
+    if keep_last < 1:
+        raise ValueError(
+            "keep_last must be >= 1: the newest batch can still be replayed "
+            "by the stream checkpoint, and a replay's dynamic partition "
+            "overwrite of a merged partition would wipe the compacted history"
+        )
+
+    plan_path = os.path.join(out_dir, "_compact_plan.json")
+
+    def _finish(plan: dict) -> dict:
+        for sub, entry in plan["tables"].items():
+            path = os.path.join(out_dir, sub)
+            for b in entry["old"]:
+                shutil.rmtree(os.path.join(path, f"batch={b}"),
+                              ignore_errors=True)
+            ready = path + "._compact_ready"
+            if entry["mode"] == "merge" and os.path.isdir(ready):
+                os.replace(ready, os.path.join(path, f"batch={plan['target']}"))
+        if plan.get("dict_rows") is not None:
+            # last row per batch wins, so a duplicate append on recovery is
+            # harmless; coverage checks disk dirs, which are gone
+            _append_manifest(out_dir, {
+                "table": "canon_dict", "batch": plan["target"],
+                "n_rows": plan["dict_rows"], "status": "done",
+            })
+        os.remove(plan_path)
+        return {"compacted": plan["n_old"], "into": plan["target"],
+                "recovered": plan.get("recovered", False)}
+
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            plan = json.load(f)
+        plan["recovered"] = True
+        return _finish(plan)
+
     batches = sorted(_batch_ids(os.path.join(out_dir, DICT_DIR)))
-    old = batches[:len(batches) - keep_last] if keep_last else list(batches)
+    old = batches[:len(batches) - keep_last]
     if len(old) <= 1:
         return {"compacted": 0, "into": None}
     target = old[-1]
-    merged_dict_rows = None
+
+    # phase 1 — non-destructive: stage every merge, decide merge-vs-drop
+    plan = {"target": target, "n_old": len(old), "tables": {},
+            "dict_rows": None}
     for sub in (DICT_DIR, INDEX_DIR, SIZES_DIR):
         path = os.path.join(out_dir, sub)
-        if not _has_batches(path):
+        present = _batch_ids(path)
+        if not present & set(old):
             continue
-        present = _batch_ids(path) & set(old)
+        if not set(old) <= present:
+            # partial coverage (pre-sizes / pre-index KG): dropping the
+            # partials keeps the table visibly non-covering for the guards
+            plan["tables"][sub] = {"old": sorted(present & set(old)),
+                                   "mode": "drop"}
+            continue
         df = (
             spark.read.option("basePath", path)
             .parquet(os.path.join(path, "batch=*"))
-            .where(F.col("batch").isin(list(present)))
+            .where(F.col("batch").isin(list(old)))
             .drop("batch")
         )
         if sub == SIZES_DIR:
             df = df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
-        tmp = path + "._compact_tmp"
-        df.coalesce(max(1, len(present) // 8)).write.mode("overwrite").parquet(tmp)
+        ready = path + "._compact_ready"
+        shutil.rmtree(ready, ignore_errors=True)
+        df.coalesce(max(1, len(old) // 8)).write.mode("overwrite").parquet(ready)
         if sub == DICT_DIR:
-            merged_dict_rows = spark.read.parquet(tmp).count()
-        for b in present:
-            shutil.rmtree(os.path.join(path, f"batch={b}"), ignore_errors=True)
-        os.replace(tmp, os.path.join(path, f"batch={target}"))
-    if merged_dict_rows is not None:
-        # refresh the lineage so dict_size_from_manifest stays exact: the
-        # merged partition's row wins for `target`; rows of removed batch
-        # ids are harmless (coverage checks disk dirs, which are gone)
-        _append_manifest(out_dir, {
-            "table": "canon_dict", "batch": target,
-            "n_rows": merged_dict_rows, "status": "done",
-        })
-    return {"compacted": len(old), "into": target}
+            plan["dict_rows"] = spark.read.parquet(ready).count()
+        plan["tables"][sub] = {"old": list(old), "mode": "merge"}
+
+    # phase 2 — write-ahead plan, then the destructive swap
+    with open(plan_path, "w") as f:
+        json.dump(plan, f)
+    return _finish(plan)
 
 
 def read_incremental_kg(spark: SparkSession, out_dir: str):

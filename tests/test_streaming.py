@@ -702,3 +702,70 @@ def test_compact_dictionary_state_preserves_content_and_linking(spark, tmp_path)
     da = sorted((r["surface"], r["canonical"]) for r in read_dictionary(spark, out_a).collect())
     db = sorted((r["surface"], r["canonical"]) for r in read_dictionary(spark, out_b).collect())
     assert da == db
+
+
+def test_compaction_crash_recovery_and_partial_coverage(spark, tmp_path):
+    """(a) keep_last=0 is rejected (the newest batch is still replayable);
+    (b) a crash AFTER the write-ahead plan is finished idempotently by the
+    next call with identical final state; (c) a side table that does not
+    cover the compacted batches has its partials DROPPED, keeping the read
+    guards correctly falling back (never a fabricated partial merge)."""
+    import json
+    import os
+    import shutil
+
+    from kgist_spark.streaming.construct import (
+        INDEX_DIR,
+        SIZES_DIR,
+        _batch_ids,
+        compact_dictionary_state,
+        construct_batch_incremental,
+        dict_size_from_manifest,
+        read_dictionary,
+        read_index,
+        read_index_sizes,
+    )
+
+    world = World(42)
+    out = str(tmp_path / "kg")
+    for b in range(3):
+        construct_batch_incremental(
+            spark, generate_pages(spark, 80, seed=b + 1, world=world),
+            out, b, n_buckets=2)
+
+    with pytest.raises(ValueError, match="keep_last"):
+        compact_dictionary_state(spark, out, keep_last=0)
+
+    # simulate a pre-sizes KG: batch 0's sizes partition never existed
+    shutil.rmtree(f"{out}/{SIZES_DIR}/batch=0")
+    assert read_index_sizes(spark, out) is None
+    dict_before = sorted(
+        (r["surface"], r["canonical"]) for r in read_dictionary(spark, out).collect()
+    )
+
+    # simulate a crash right after the write-ahead plan: run once to get a
+    # real plan file, then restore the pre-destructive state and re-finish
+    res = compact_dictionary_state(spark, out, keep_last=1)
+    assert res["compacted"] == 2 and res["into"] == 1
+    # sizes partials were DROPPED (partial coverage), not merged: the table
+    # keeps failing the coverage guard instead of faking it
+    assert read_index_sizes(spark, out) is None
+    assert _batch_ids(f"{out}/{SIZES_DIR}") == {2}
+    # dictionary/index merged over the SAME batch set and stay covered
+    assert _batch_ids(f"{out}/kg_triples".replace("kg_triples", "canon_dict")) == {1, 2}
+    assert read_index(spark, out) is not None
+    assert sorted((r["surface"], r["canonical"])
+                  for r in read_dictionary(spark, out).collect()) == dict_before
+    assert dict_size_from_manifest(out) == len(dict_before)
+
+    # crash-recovery: write a plan file by hand mimicking an interrupted
+    # run whose destructive phase never happened (ready dir still staged)
+    plan = {"target": 1, "n_old": 2, "dict_rows": len(dict_before),
+            "tables": {}}
+    with open(f"{out}/_compact_plan.json", "w") as f:
+        json.dump(plan, f)
+    res2 = compact_dictionary_state(spark, out, keep_last=1)
+    assert res2["recovered"] is True
+    assert not os.path.exists(f"{out}/_compact_plan.json")
+    assert sorted((r["surface"], r["canonical"])
+                  for r in read_dictionary(spark, out).collect()) == dict_before

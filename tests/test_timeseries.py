@@ -88,3 +88,41 @@ def test_asof_join_single_shuffle(spark):
     )
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_asof_join_null_value_row_matches(spark):
+    """SQL ASOF semantics: the most recent prior ROW matches even when its
+    value is null — never skipped in favour of an older non-null value."""
+    from kgist_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(100, 1, _ts(3), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    right = spark.createDataFrame(
+        [(1, 1, _ts(1), 10.0), (2, 1, _ts(2), None)],
+        "event_id long, user_id long, ts timestamp, value double")
+    got = asof_join(left, right, ["user_id"], "ts", "value").collect()
+    assert len(got) == 1 and got[0]["asof_value"] is None
+
+
+def test_asof_join_rejects_out_col_collision(spark):
+    from kgist_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(0), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, left, ["user_id"], "ts", "value", out_col="value")
+
+
+def test_sessionize_custom_columns(spark):
+    """All columns are parameterized — no hardcoded event_id dependency."""
+    from kgist_spark.operators.timeseries import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, "u1", _ts(0), 2.0), (2, "u1", _ts(45), 3.0)],
+        "rid long, uid string, event_ts timestamp, score double")
+    got = {(r["uid"], r["session_seq"]): r["n_events"]
+           for r in sessionize(ev, user_col="uid", ts_col="event_ts",
+                               value_col="score", tie_col="rid").collect()}
+    assert got == {("u1", 1): 1, ("u1", 2): 1}
