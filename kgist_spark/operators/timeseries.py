@@ -46,7 +46,9 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
     break happens iff the gap STRICTLY exceeds the timeout.  ``tie_col``
     orders equal-timestamp rows deterministically."""
     w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
-    gap_ms = int(gap_minutes * 60_000)
+    # round, not truncate: 8.3 min is 497999.99999999994 in float — int()
+    # would shift the strict-gap boundary by 1 ms
+    gap_ms = round(gap_minutes * 60_000)
     prev = F.lag(F.col(ts_col)).over(w)
     brk = F.when(
         prev.isNull()

@@ -241,11 +241,21 @@ def compact_dictionary_state(spark: SparkSession, out_dir: str,
     def _finish(plan: dict) -> dict:
         for sub, entry in plan["tables"].items():
             path = os.path.join(out_dir, sub)
+            ready = path + "._compact_ready"
+            if entry["mode"] == "merge" and not os.path.isdir(ready):
+                # this table's swap already completed on a previous attempt
+                # (os.replace consumed the staging dir): batch=<target> now
+                # HOLDS the merged data — remove only the other old
+                # partitions, never the target
+                for b in entry["old"]:
+                    if b != plan["target"]:
+                        shutil.rmtree(os.path.join(path, f"batch={b}"),
+                                      ignore_errors=True)
+                continue
             for b in entry["old"]:
                 shutil.rmtree(os.path.join(path, f"batch={b}"),
                               ignore_errors=True)
-            ready = path + "._compact_ready"
-            if entry["mode"] == "merge" and os.path.isdir(ready):
+            if entry["mode"] == "merge":
                 os.replace(ready, os.path.join(path, f"batch={plan['target']}"))
         if plan.get("dict_rows") is not None:
             # last row per batch wins, so a duplicate append on recovery is
@@ -265,7 +275,7 @@ def compact_dictionary_state(spark: SparkSession, out_dir: str,
         return _finish(plan)
 
     batches = sorted(_batch_ids(os.path.join(out_dir, DICT_DIR)))
-    old = batches[:len(batches) - keep_last]
+    old = batches[:max(0, len(batches) - keep_last)]
     if len(old) <= 1:
         return {"compacted": 0, "into": None}
     target = old[-1]
@@ -296,12 +306,21 @@ def compact_dictionary_state(spark: SparkSession, out_dir: str,
         shutil.rmtree(ready, ignore_errors=True)
         df.coalesce(max(1, len(old) // 8)).write.mode("overwrite").parquet(ready)
         if sub == DICT_DIR:
-            plan["dict_rows"] = spark.read.parquet(ready).count()
+            # row count from the parquet footers of the files just written —
+            # no second Spark scan of the staged data
+            import pyarrow.parquet as pq
+            plan["dict_rows"] = sum(
+                pq.ParquetFile(os.path.join(ready, f)).metadata.num_rows
+                for f in os.listdir(ready) if f.endswith(".parquet")
+            )
         plan["tables"][sub] = {"old": list(old), "mode": "merge"}
 
-    # phase 2 — write-ahead plan, then the destructive swap
-    with open(plan_path, "w") as f:
+    # phase 2 — write-ahead plan (atomic: a crash mid-write must never
+    # leave a truncated plan that bricks the next run), then the swap
+    tmp_plan = plan_path + ".tmp"
+    with open(tmp_plan, "w") as f:
         json.dump(plan, f)
+    os.replace(tmp_plan, plan_path)
     return _finish(plan)
 
 

@@ -48,11 +48,12 @@ def main(argv=None, spark=None):
                          "size batch partitions at --out into one partition "
                          "each, then exit (run while the stream is stopped)")
     args = ap.parse_args(argv)
-    if args.compact and (args.input or args.generate or args.incremental
-                         or args.summarize or args.score_anomalies):
+    if args.compact and (args.input is not None or args.generate is not None
+                         or args.incremental or args.summarize
+                         or args.score_anomalies):
         ap.error("--compact is a standalone maintenance mode: run it with "
                  "--out only (it would silently ignore the other flags)")
-    if not args.compact and not (args.input or args.generate):
+    if not args.compact and args.input is None and args.generate is None:
         ap.error("one of --input / --generate is required (unless --compact)")
     if args.incremental and not args.input:
         ap.error("--incremental requires --input (a directory new page files land in)")

@@ -715,6 +715,7 @@ def test_compaction_crash_recovery_and_partial_coverage(spark, tmp_path):
     import shutil
 
     from kgist_spark.streaming.construct import (
+        DICT_DIR,
         INDEX_DIR,
         SIZES_DIR,
         _batch_ids,
@@ -752,7 +753,7 @@ def test_compaction_crash_recovery_and_partial_coverage(spark, tmp_path):
     assert read_index_sizes(spark, out) is None
     assert _batch_ids(f"{out}/{SIZES_DIR}") == {2}
     # dictionary/index merged over the SAME batch set and stay covered
-    assert _batch_ids(f"{out}/kg_triples".replace("kg_triples", "canon_dict")) == {1, 2}
+    assert _batch_ids(os.path.join(out, DICT_DIR)) == {1, 2}
     assert read_index(spark, out) is not None
     assert sorted((r["surface"], r["canonical"])
                   for r in read_dictionary(spark, out).collect()) == dict_before
@@ -769,3 +770,88 @@ def test_compaction_crash_recovery_and_partial_coverage(spark, tmp_path):
     assert not os.path.exists(f"{out}/_compact_plan.json")
     assert sorted((r["surface"], r["canonical"])
                   for r in read_dictionary(spark, out).collect()) == dict_before
+
+
+def test_compaction_mid_swap_crash_is_idempotent(spark, tmp_path, monkeypatch):
+    """A crash BETWEEN table swaps (after the write-ahead plan, after the
+    dictionary's os.replace, during the index's) must be finished by the
+    next call with IDENTICAL final content — in particular the already-
+    swapped batch=<target> partition (now holding the merged dictionary)
+    must never be rmtree'd by the recovery pass.  Also pins: keep_last
+    larger than the batch count compacts nothing (no negative slice)."""
+    import os as _os
+
+    from kgist_spark.streaming.construct import (
+        DICT_DIR,
+        INDEX_DIR,
+        SIZES_DIR,
+        _batch_ids,
+        compact_dictionary_state,
+        construct_batch_incremental,
+        dict_size_from_manifest,
+        read_dictionary,
+        read_index,
+        read_index_sizes,
+    )
+
+    world = World(7)
+    out = str(tmp_path / "kg")
+    for b in range(3):
+        construct_batch_incremental(
+            spark, generate_pages(spark, 80, seed=b + 1, world=world),
+            out, b, n_buckets=2)
+
+    assert compact_dictionary_state(spark, out, keep_last=10) == {
+        "compacted": 0, "into": None}
+
+    dict_before = sorted(
+        (r["surface"], r["canonical"]) for r in read_dictionary(spark, out).collect()
+    )
+    # read_index_sizes returns RAW per-batch partials; content equality
+    # is over the per-bucket SUM (what every consumer computes)
+    def summed_sizes():
+        agg = (read_index_sizes(spark, out)
+               .groupBy("band", "bucket").agg(F.sum("n").alias("n")))
+        return sorted((r["band"], r["bucket"], r["n"]) for r in agg.collect())
+
+    sizes_before = summed_sizes()
+
+    # crash injection: the index table's swap dies mid-flight (the plan and
+    # the dictionary swap have already happened)
+    real_replace = _os.replace
+
+    def dying_replace(src, dst):
+        if f"{INDEX_DIR}/batch=" in str(dst).replace("\\", "/"):
+            raise RuntimeError("injected crash during index swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", dying_replace)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_dictionary_state(spark, out, keep_last=1)
+    monkeypatch.setattr(_os, "replace", real_replace)
+
+    # state after the simulated crash: plan file present, dictionary swap
+    # consumed its staging dir, index staging dir still waiting
+    assert _os.path.exists(f"{out}/_compact_plan.json")
+    assert not _os.path.isdir(f"{out}/{DICT_DIR}._compact_ready")
+    assert _os.path.isdir(f"{out}/{INDEX_DIR}._compact_ready")
+
+    res = compact_dictionary_state(spark, out, keep_last=1)
+    assert res["recovered"] is True and res["into"] == 1
+    assert not _os.path.exists(f"{out}/_compact_plan.json")
+    for sub in (DICT_DIR, INDEX_DIR, SIZES_DIR):
+        assert _batch_ids(f"{out}/{sub}") == {1, 2}, sub
+    assert sorted((r["surface"], r["canonical"])
+                  for r in read_dictionary(spark, out).collect()) == dict_before
+    assert read_index(spark, out) is not None
+    assert summed_sizes() == sizes_before
+    assert dict_size_from_manifest(out) == len(dict_before)
+
+
+def test_compact_cli_rejects_other_flags_even_falsy():
+    """--compact is standalone; --generate 0 must not slip past the guard
+    through int falsiness."""
+    from run_pipeline import main
+
+    with pytest.raises(SystemExit):
+        main(["--compact", "--generate", "0", "--out", "/tmp/nowhere"])

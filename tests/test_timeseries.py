@@ -126,3 +126,19 @@ def test_sessionize_custom_columns(spark):
            for r in sessionize(ev, user_col="uid", ts_col="event_ts",
                                value_col="score", tie_col="rid").collect()}
     assert got == {("u1", 1): 1, ("u1", 2): 1}
+
+
+def test_sessionize_fractional_gap_boundary(spark):
+    """8.3 min is 497999.99999999994 in float ms: the timeout must ROUND to
+    498000, so a gap of exactly 8.3 min does NOT break (strict-gap rule),
+    and one millisecond more does."""
+    from kgist_spark.operators.timeseries import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 1, T0, 1.0),
+         (2, 1, T0 + dt.timedelta(milliseconds=498000), 1.0),
+         (3, 1, T0 + dt.timedelta(milliseconds=996001), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    got = {r["session_seq"]: r["n_events"]
+           for r in sessionize(ev, gap_minutes=8.3).collect()}
+    assert got == {1: 2, 2: 1}
