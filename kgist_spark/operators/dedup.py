@@ -70,7 +70,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
             .distinct()
         )
-    return MH.jaccard_verified_pairs(pairs, sh, threshold)
+    out = MH.jaccard_verified_pairs(pairs, sh, threshold)
+    # drops are never silent: the capped path's observation travels with the
+    # result (see candidate_pairs) for log_drop_stats after any action
+    out._drop_stats = getattr(pairs, "_drop_stats", None)
+    return out
 
 
 def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -85,7 +89,9 @@ def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     sigs = MH.minhash_signatures(sh, num_perm=num_perm)
     buckets = MH.lsh_buckets(sigs, bands=bands, rows_per_band=num_perm // bands)
     pairs = MH.candidate_pairs(buckets, drop_stats=drop_stats)
-    return MH.jaccard_verified_pairs(pairs, sh, threshold)
+    out = MH.jaccard_verified_pairs(pairs, sh, threshold)
+    out._drop_stats = getattr(pairs, "_drop_stats", None)
+    return out
 
 
 def neardup_keep_table(docs: DataFrame, id_col: str = "doc_id",
@@ -109,10 +115,14 @@ def neardup_keep_table(docs: DataFrame, id_col: str = "doc_id",
     # issues several actions (size probe, driver collect / convergence
     # probes), and without the cut each would re-run the whole
     # shingle→minhash→bucket→verify pipeline
-    pairs = minhash_neardup_pairs(
+    raw_pairs = minhash_neardup_pairs(
         docs, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm,
         bands=bands, threshold=threshold, drop_stats=drop_stats,
-    ).localCheckpoint()
+    )
+    pairs = raw_pairs.localCheckpoint()
+    # the checkpoint was an action, so the drop observation is ready —
+    # surface any hot-bucket loss right here (no extra job)
+    MH.log_drop_stats(raw_pairs, "neardup_keep_table")
     comp = connected_components(pairs.select("a", "b"), "a", "b")
     return (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -367,16 +377,22 @@ def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
         kernel, _pair_schema(embeddings, id_col)
     )
     # no silent caps: each dropped hot group emitted one null-id marker row
-    # carrying its size; observe them (zero extra jobs — the metrics ride the
-    # rows already flowing past this node), then filter before distinct
-    if drop_stats is not None:
-        dropped = F.col("id_a").isNull()
-        out = out.observe(
-            drop_stats,
-            F.coalesce(F.sum(dropped.cast("long")), F.lit(0)).alias("dropped_buckets"),
-            F.coalesce(
-                F.sum(F.when(dropped, F.col("cosine")).otherwise(0.0)).cast("long"),
-                F.lit(0),
-            ).alias("dropped_ids"),
-        )
-    return out.where(F.col("id_a").isNotNull()).distinct()
+    # carrying its size; observe them ALWAYS (zero extra jobs — the metrics
+    # ride the rows already flowing past this node), then filter before
+    # distinct; the observation travels on the result as ._drop_stats
+    from pyspark.sql import Observation
+
+    if drop_stats is None:
+        drop_stats = Observation()
+    dropped = F.col("id_a").isNull()
+    out = out.observe(
+        drop_stats,
+        F.coalesce(F.sum(dropped.cast("long")), F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(dropped, F.col("cosine")).otherwise(0.0)).cast("long"),
+            F.lit(0),
+        ).alias("dropped_ids"),
+    )
+    out = out.where(F.col("id_a").isNotNull()).distinct()
+    out._drop_stats = drop_stats
+    return out

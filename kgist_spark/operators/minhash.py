@@ -96,15 +96,20 @@ def candidate_pairs(buckets: DataFrame, max_bucket: int = 64,
     group-by share one hash partitioning on (band, bucket), so this is still
     a single shuffle.
 
-    No silent caps: pass a ``pyspark.sql.Observation`` as ``drop_stats`` to
-    get ``{"dropped_buckets": n, "dropped_ids": m}`` after the first action
-    on the result — the metrics ride the rows already flowing through the
-    plan (``observe`` adds NO extra job or shuffle, unlike a second count,
-    which would re-run the whole upstream pipeline at 100 TB).
-    :func:`log_drop_stats` turns the observation into a log line once the
-    query has run."""
+    No silent caps: the drops are ALWAYS counted — pass a
+    ``pyspark.sql.Observation`` as ``drop_stats`` (or read the one this
+    function creates and attaches to the result as ``._drop_stats``) to get
+    ``{"dropped_buckets": n, "dropped_ids": m}`` after the first action on
+    the result.  The metrics ride the rows already flowing through the plan
+    (``observe`` adds NO extra job or shuffle, unlike a second count, which
+    would re-run the whole upstream pipeline at 100 TB).
+    :func:`log_drop_stats` turns the observation (or the carrying
+    DataFrame) into a log line once the query has run."""
+    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
+    if drop_stats is None:
+        drop_stats = Observation()
     wp = Window.partitionBy("band", "bucket").orderBy("id")
     sized = buckets.select(
         "id", "band", "bucket",
@@ -113,15 +118,14 @@ def candidate_pairs(buckets: DataFrame, max_bucket: int = 64,
         ).alias("n"),
         F.row_number().over(wp).alias("rn"),
     )
-    if drop_stats is not None:
-        hot = F.col("n") > max_bucket
-        sized = sized.observe(
-            drop_stats,
-            F.coalesce(
-                F.sum((hot & (F.col("rn") == 1)).cast("long")), F.lit(0)
-            ).alias("dropped_buckets"),
-            F.coalesce(F.sum(hot.cast("long")), F.lit(0)).alias("dropped_ids"),
-        )
+    hot = F.col("n") > max_bucket
+    sized = sized.observe(
+        drop_stats,
+        F.coalesce(
+            F.sum((hot & (F.col("rn") == 1)).cast("long")), F.lit(0)
+        ).alias("dropped_buckets"),
+        F.coalesce(F.sum(hot.cast("long")), F.lit(0)).alias("dropped_ids"),
+    )
     ok = (
         sized.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
         .groupBy("band", "bucket")
@@ -136,15 +140,20 @@ def candidate_pairs(buckets: DataFrame, max_bucket: int = 64,
             )
         ).alias("p")
     ).select("p.a", "p.b")
-    return pairs.distinct()
+    pairs = pairs.distinct()
+    pairs._drop_stats = drop_stats
+    return pairs
 
 
 def log_drop_stats(observation, context: str) -> dict:
     """Log (and return) the drop metrics captured by an ``Observation``
-    passed to a capped candidate-generation path.  Call AFTER an action has
-    run on the returned DataFrame (``Observation.get`` blocks until then)."""
+    passed to a capped candidate-generation path — or by the DataFrame a
+    capped path returned (every one carries its observation as
+    ``._drop_stats``).  Call AFTER an action has run on the returned
+    DataFrame (``Observation.get`` blocks until then)."""
     import logging
 
+    observation = getattr(observation, "_drop_stats", observation)
     got = dict(observation.get)
     if got.get("dropped_buckets"):
         logging.getLogger(__name__).warning(

@@ -108,25 +108,12 @@ def _decode_pnm(buf: bytes):
 
 def _decode_image(buf: bytes):
     """``(array, ok)`` for every REAL decodable format; raises the honest
-    stub error for compressed codecs; ``(None, False)`` for unknown bytes."""
+    stub error for compressed codecs; ``(None, False)`` for unknown bytes.
+    A malformed payload behind a valid magic (garbage header tokens,
+    truncated structures) is CORRUPT DATA, not a task failure — it must
+    come back ``(None, False)``, never poison a whole decode pass."""
     import numpy as np
 
-    if buf.startswith(b"FAKEIMG|"):
-        _, w, h, body = buf.split(b"|", 3)
-        w, h = int(w), int(h)
-        if len(body) < w * h:  # truncated payload — corrupt, never "ok"
-            return None, False
-        return np.frombuffer(body, dtype=np.uint8, count=w * h).reshape(h, w), True
-    if buf[:2] == b"BM":
-        img = _decode_bmp(buf)
-        if img is not None:
-            return img, True
-        return None, False
-    if buf[:2] in (b"P5", b"P6"):
-        img = _decode_pnm(buf)
-        if img is not None:
-            return img, True
-        return None, False
     if buf[:2] == b"\xff\xd8" or buf[:8] == b"\x89PNG\r\n\x1a\n":
         # compressed codecs need libjpeg/zlib-backed libraries —
         # unavailable here by design
@@ -134,6 +121,25 @@ def _decode_image(buf: bytes):
             "compressed image codecs (JPEG/PNG) are not available in this "
             "environment; BMP/PGM/PPM/FAKEIMG decode for real"
         )
+    try:
+        if buf.startswith(b"FAKEIMG|"):
+            _, w, h, body = buf.split(b"|", 3)
+            w, h = int(w), int(h)
+            if w <= 0 or h <= 0 or len(body) < w * h:  # truncated/corrupt
+                return None, False
+            return np.frombuffer(body, dtype=np.uint8, count=w * h).reshape(h, w), True
+        if buf[:2] == b"BM":
+            img = _decode_bmp(buf)
+            if img is not None:
+                return img, True
+            return None, False
+        if buf[:2] in (b"P5", b"P6"):
+            img = _decode_pnm(buf)
+            if img is not None:
+                return img, True
+            return None, False
+    except (ValueError, struct.error, OverflowError):
+        return None, False
     return None, False
 
 
@@ -249,7 +255,9 @@ def _decode_wav(buf: bytes):
         cid = buf[pos:pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8: pos + 8 + size]
-        if cid == b"fmt " and size >= 16:
+        if cid == b"fmt " and len(body) >= 16:
+            # validate the ACTUAL bytes, not the declared chunk size — a
+            # truncated file may declare size >= 16 with a shorter body
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -288,17 +296,20 @@ def extract_audio_features(media: DataFrame, id_col: str = "media_id",
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 buf = bytes(payload) if payload is not None else b""
                 decoded = None
-                if buf.startswith(b"FAKEAUD|"):
-                    _, rate, body = buf.split(b"|", 2)
-                    raw = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
-                    decoded = (int(rate), (raw - 128.0) / 128.0)
-                elif buf[:4] == b"RIFF":
-                    decoded = _decode_wav(buf)
-                elif buf[:3] == b"ID3" or buf[:2] == b"\xff\xfb":
+                if buf[:3] == b"ID3" or buf[:2] == b"\xff\xfb":
                     raise NotImplementedError(
                         "compressed audio codecs (MP3) are not available in "
                         "this environment; WAV/PCM decodes for real"
                     )
+                try:
+                    if buf.startswith(b"FAKEAUD|"):
+                        _, rate, body = buf.split(b"|", 2)
+                        raw = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+                        decoded = (int(rate), (raw - 128.0) / 128.0)
+                    elif buf[:4] == b"RIFF":
+                        decoded = _decode_wav(buf)
+                except (ValueError, struct.error, OverflowError):
+                    decoded = None  # malformed payload = corrupt row, ok=False
                 if decoded is not None:
                     rate, samples = decoded
                     rms = float(np.sqrt((samples ** 2).mean())) if samples.size else 0.0

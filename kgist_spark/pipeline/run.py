@@ -73,13 +73,10 @@ def construct_kg(spark: SparkSession, pages: DataFrame, out_dir: str | None = No
     # workers in stage 1; "python" selects the mapInPandas spec twin.
     extractor = extract_facts_jvm if extract_engine == "jvm" else extract_facts
     facts_dedup, raw_triples, raw_labels = extract_facts_dedup(pages, extractor)
-    facts_dedup = facts_dedup.persist(StorageLevel.MEMORY_AND_DISK)
-    raw_triples = facts_dedup.where(F.col("kind") == "t").select(
-        "subj", "pred", "obj", "url"
-    )
-    raw_labels = facts_dedup.where(F.col("kind") == "l").select(
-        "node", "label", "pos"
-    )
+    # persist() returns the SAME DataFrame object, so the helper's raw views
+    # already read the persisted plan — never re-derive them here (the
+    # group-key column list lives in exactly one place)
+    facts_dedup.persist(StorageLevel.MEMORY_AND_DISK)
     facts_dedup.count()
     if canonicalize:
         canon = canonical_map(entity_vocabulary(raw_triples)).persist(

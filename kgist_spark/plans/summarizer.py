@@ -219,9 +219,15 @@ def fit_summary(triples: DataFrame, labels: DataFrame, passes: int = 2,
       distributed coverage with O(1) jobs per accepted rule.  Slower per
       accept but bounded driver memory — the beyond-driver-memory path.
 
-    ``mode="auto"`` probes the candidate-contribution count with a bounded
-    ``limit(threshold + 1).count()`` (stops scanning at the threshold, never
-    a full count) and picks exact iff it fits the documented driver budget.
+    ``mode="auto"`` probes the candidate-contribution count with a plain
+    ``count()`` — fully parallel, map-side combined (one long per task
+    reaches the driver), and the scan is not wasted work: whichever regime
+    wins must read the whole table anyway.  (A ``limit(threshold+1).count()``
+    probe would look bounded but compiles to LocalLimit → single-partition
+    GlobalLimit, funneling up to ``threshold`` rows per upstream partition
+    through ONE reducer — the worst plan exactly on the beyond-driver-memory
+    inputs auto mode exists for.)  Exact is picked iff the count fits the
+    documented driver budget.
     Both regimes select the same rules (pinned by the delta-vs-exact parity
     suite); the returned dict is regime-independent:
 
@@ -247,7 +253,7 @@ def fit_summary(triples: DataFrame, labels: DataFrame, passes: int = 2,
         cand_edges = C.candidate_edges(triples, labels_flat).persist()
     try:
         if mode == "auto":
-            probe = cand_edges.limit(exact_threshold + 1).count()
+            probe = cand_edges.count()
             mode = "exact" if probe <= exact_threshold else "delta"
 
         if mode == "exact":

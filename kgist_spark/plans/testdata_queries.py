@@ -204,13 +204,6 @@ def _labels_flat(spark, sf_dir):
     return derived_labels(spark, sf_dir).withColumn("pos", F.lit(0))
 
 
-def _cand_edges(spark, sf_dir):
-    triples = derived_triples(spark, sf_dir).withColumn(
-        "eid", F.concat_ws("|", "subj", "pred", "obj")
-    )
-    return C.candidate_edges(triples, _labels_flat(spark, sf_dir))
-
-
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -542,9 +535,11 @@ def q_asof_enrich(spark, sf_dir):
     views = ev.where(F.col("event_type") == "view").select(
         "user_id", "ts", "value", "event_id"
     )
-    # inner as-of for the gate (clicks WITH a prior view): a null float
-    # column hashes differently across engines (None vs NaN); the operator's
-    # left/null semantics are pinned by unit tests instead
+    # inner as-of for the gate, dropping null-VALUED matches too (both here
+    # and in the oracle's WHERE: a null float hashes differently across
+    # engines, and an inner ASOF alone would keep a matched-row-with-null-
+    # value that this filter drops); the operator's left/null semantics are
+    # pinned by unit tests instead
     return asof_join(
         clicks, views, ["user_id"], "ts", "value", out_col="last_view_value"
     ).where(F.col("last_view_value").isNotNull()).select(
@@ -987,6 +982,7 @@ ORACLE_SQL["asof_enrich"] = """
            round(v.last_view_value, 5) AS last_view_value
     FROM clicks c ASOF JOIN views v
       ON c.user_id = v.user_id AND c.ts >= v.ts
+    WHERE v.last_view_value IS NOT NULL
 """
 
 # near-dup clusters: the pair CTE is the SAME exact-jaccard SQL as

@@ -50,7 +50,11 @@ def main(argv=None, spark=None):
     args = ap.parse_args(argv)
     if args.compact and (args.input is not None or args.generate is not None
                          or args.incremental or args.summarize
-                         or args.score_anomalies):
+                         or args.score_anomalies or args.no_canonicalize
+                         or args.checkpoint is not None
+                         or args.buckets != ap.get_default("buckets")
+                         or args.seed != ap.get_default("seed")
+                         or args.passes != ap.get_default("passes")):
         ap.error("--compact is a standalone maintenance mode: run it with "
                  "--out only (it would silently ignore the other flags)")
     if not args.compact and args.input is None and args.generate is None:

@@ -529,3 +529,39 @@ def test_resize_images_nearest_neighbor(spark):
 
     with _pytest.raises(NotImplementedError):
         frame_sample_stub(media, 2)
+
+
+def test_malformed_payloads_yield_ok_false_not_task_failure(spark):
+    """Corrupt payloads behind VALID magic bytes are data, not crashes: a
+    garbage PNM header token, a WAV whose fmt chunk declares 16 bytes but
+    truncates, a FAKEIMG with non-integer dimensions, and a FAKEAUD with a
+    garbage rate must all come back ok=False — one poisoned file must never
+    kill a whole decode pass."""
+    import struct
+
+    from kgist_spark.pipeline.multimodal import (
+        decode_image_meta,
+        extract_audio_features,
+    )
+
+    bad_pnm = b"P5 4 2 2x5\n" + b"\x00" * 8          # non-digit maxval token
+    bad_fake = b"FAKEIMG|four|2|" + b"\x00" * 8       # non-int width
+    neg_fake = b"FAKEIMG|-4|2|" + b"\x00" * 8         # negative width
+    media = spark.createDataFrame(
+        [(1, "image", bad_pnm, "{}"), (2, "image", bad_fake, "{}"),
+         (3, "image", neg_fake, "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got = {r["media_id"]: r["ok"] for r in decode_image_meta(media).collect()}
+    assert got == {1: False, 2: False, 3: False}
+
+    # fmt declares size 16 but the buffer ends after 4 bytes of body
+    trunc_wav = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02\x00")
+    bad_aud = b"FAKEAUD|fast|" + b"\x80" * 8          # non-int rate
+    audio = spark.createDataFrame(
+        [(4, "audio", trunc_wav, "{}"), (5, "audio", bad_aud, "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got_a = {r["media_id"]: r["ok"] for r in extract_audio_features(audio).collect()}
+    assert got_a == {4: False, 5: False}
