@@ -97,6 +97,9 @@ def canonical_map(entities: DataFrame, k: int = 3, num_perm: int = 32,
             .select("a", "b")
             .localCheckpoint()
         )
+        # checkpoint was an action: surface any hot-bucket drop loss now
+        # (candidate_pairs always observes; this adds no job)
+        MH.log_drop_stats(pairs, "canonical_map")
     finally:
         shingles.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_width)
