@@ -48,6 +48,7 @@ def main():
         "ca_size_histogram",
         "coverage_anti",
         "dedup_exact",
+        "stratified_sample",
         "token_stats",
         "quality",
         "lang_score",

@@ -1,0 +1,80 @@
+"""Deterministic hash-gated sampling and stratified data mixing.
+
+Training-data pipelines re-weight a corpus by sampling each stratum
+(language, source, quality band) at its own rate.  At 100 TB the naive
+``df.sample(rate)`` / ``rand() < rate`` is the wrong tool twice over:
+
+* **Not retry-safe.**  ``rand()`` is re-evaluated per task *attempt*, so a
+  speculative re-execution or a lost-shuffle recompute samples a DIFFERENT
+  subset — downstream stages see rows appear and disappear between stages
+  of the same job.  A hash gate is a pure function of the row key: every
+  attempt, every rerun, every engine picks the same rows.
+* **Not reproducible across runs/engines.**  Re-running the mix job (or
+  auditing it from another engine) must select byte-identical subsets; a
+  seeded RNG only reproduces under the same partitioning, which a 100 TB
+  AQE-replanned job does not guarantee.
+
+The gate: ``md5(salt || key)``'s first 8 hex chars, compared as a string
+against the 8-hex-digit threshold ``floor(rate * 16^8)``.  md5 is uniform
+on that 32-bit prefix, so P(keep) = rate to within 2^-32, exactly equal in
+any engine that computes md5 of the same UTF-8 bytes (Spark and DuckDB
+both do).  Everything is a scalar JVM expression — no shuffle, no UDF, no
+state; the filter fuses into the scan's WholeStageCodegen and the sampled
+fraction never leaves the executor.
+
+Per-stratum rates compile to one CASE chain over threshold literals
+(strata counts are small — languages, sources), so stratified mixing costs
+the same single pass.  Changing ``salt`` draws an independent sample
+(e.g. per epoch) without touching the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 16 ** 8  # 32-bit hex prefix
+
+
+def rate_threshold(rate: float) -> str:
+    """8-hex-digit string threshold with P(md5_prefix < threshold) = rate
+    (exact to 2^-32).  Clamped to [0, 1]."""
+    n = int(max(0.0, min(1.0, rate)) * _SPACE)
+    if n >= _SPACE:  # rate == 1.0: 'ffffffff' must pass -> threshold past it
+        return "g"  # > any hex char; compares after 'f' in ASCII
+    return format(n, "08x")
+
+
+def hash_gate(key: Column, rate: float, salt: str = "") -> Column:
+    """Boolean keep-gate: deterministic in (salt, key), true with
+    probability ``rate``.  Pure scalar expression (codegen-friendly)."""
+    prefix = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+    return prefix < F.lit(rate_threshold(rate))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically in
+    (salt, key).  One scan, no shuffle; unknown strata use
+    ``default_rate``.  Rows keep their full schema."""
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    threshold = F.lit(rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_threshold(rate))
+        ).otherwise(threshold)
+    return df.where(prefix < threshold)
+
+
+def mixture_report(df: DataFrame, strata_col: str,
+                   weight_col: str | None = None) -> DataFrame:
+    """Per-stratum mix report (rows + optional weight sum, e.g. chars or
+    tokens) — the before/after audit of a sampling pass.  Partial
+    aggregation map-side; output is |strata| rows."""
+    aggs = [F.count("*").alias("n_rows")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("total_weight"))
+    return df.groupBy(strata_col).agg(*aggs)

@@ -620,6 +620,51 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+_MIX_RATES = {"en": 0.25, "zh": 1.0, "es": 0.5}
+_MIX_DEFAULT = 0.1
+_MIX_SALT = "mix-v1"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-gated stratified sample of documents (per-lang
+    mixing rates).  Retry-safe and engine-reproducible: the keep decision
+    is md5(salt||doc_id)'s 32-bit hex prefix against a per-stratum
+    threshold literal — one scan, no shuffle, no RNG state."""
+    from kgist_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", _MIX_RATES,
+        default_rate=_MIX_DEFAULT, salt=_MIX_SALT,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Post-sampling mixture audit: rows + chars per language stratum."""
+    from kgist_spark.operators.sampling import mixture_report, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "lang", _MIX_RATES,
+        default_rate=_MIX_DEFAULT, salt=_MIX_SALT,
+    )
+    return mixture_report(kept, "lang", weight_col="n_chars")
+
+
+def _mix_gate_sql() -> str:
+    """The sampling gate as DuckDB SQL — thresholds come from the SAME
+    rate_threshold() the Spark operator uses, so the two can never drift."""
+    from kgist_spark.operators.sampling import rate_threshold
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{rate_threshold(r)}'"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    case = f"CASE lang {whens} ELSE '{rate_threshold(_MIX_DEFAULT)}' END"
+    prefix = f"substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    return f"{prefix} < {case}"
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -655,6 +700,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_embedding": q_dedup_embedding,
+    "stratified_sample": q_stratified_sample,
+    "sample_mixture": q_sample_mixture,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1035,6 +1082,15 @@ def _bpe_oracle():
 
 
 ORACLE_SQL["bpe_real_tokens"] = _bpe_oracle()
+
+ORACLE_SQL["stratified_sample"] = f"""
+    SELECT doc_id, lang, source, n_chars FROM documents WHERE {_mix_gate_sql()}
+"""
+
+ORACLE_SQL["sample_mixture"] = f"""
+    SELECT lang, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total_weight
+    FROM documents WHERE {_mix_gate_sql()} GROUP BY lang
+"""
 
 # hyperplane-LSH ANN: the seeded planes are literal constants shared with the
 # Spark implementation (same RandomState stream), so the oracle replays the

@@ -1,0 +1,95 @@
+"""Deterministic hash-gated sampling (operators/sampling.py).
+
+Engine parity with DuckDB is pinned by tests/test_entry_contract.py
+(stratified_sample / sample_mixture rows+schema+values); this file pins the
+operator's own semantic guarantees: determinism, monotone rate nesting,
+stratum isolation, rate accuracy, and salt independence.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgist_spark.operators.sampling import (
+    hash_gate, mixture_report, rate_threshold, stratified_sample,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def test_rate_threshold_boundaries():
+    assert rate_threshold(0.0) == "00000000"
+    assert rate_threshold(1.0) == "g"  # sorts after every hex digit
+    assert rate_threshold(-3.0) == "00000000"
+    assert rate_threshold(7.0) == "g"
+    assert rate_threshold(0.5) == format(16 ** 8 // 2, "08x")
+    # every hex prefix is below 'g', none below '00000000'
+    assert "ffffffff" < "g" and not ("00000000" < "00000000")
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.range(2000).select(F.col("id").alias("k")).cache()
+
+
+def test_gate_deterministic_and_matches_reference_md5(spark, keys):
+    kept = keys.where(hash_gate(F.col("k"), 0.3, salt="s1"))
+    got = sorted(r["k"] for r in kept.collect())
+    assert got == sorted(r["k"] for r in kept.collect())  # rerun identical
+    thr = rate_threshold(0.3)
+    want = [
+        k for k in range(2000)
+        if hashlib.md5(f"s1{k}".encode()).hexdigest()[:8] < thr
+    ]
+    assert got == want
+
+
+def test_gate_rates_nest_monotonically(spark, keys):
+    """A row kept at rate r stays kept at every rate above r — hash gates
+    give nested samples for free (useful for train-subset ladders)."""
+    small = {r["k"] for r in keys.where(hash_gate(F.col("k"), 0.1)).collect()}
+    big = {r["k"] for r in keys.where(hash_gate(F.col("k"), 0.4)).collect()}
+    assert small <= big
+    # and the realized fractions are near the nominal rates
+    assert abs(len(small) / 2000 - 0.1) < 0.03
+    assert abs(len(big) / 2000 - 0.4) < 0.04
+
+
+def test_gate_salt_draws_independent_sample(spark, keys):
+    a = {r["k"] for r in keys.where(hash_gate(F.col("k"), 0.5, salt="a")).collect()}
+    b = {r["k"] for r in keys.where(hash_gate(F.col("k"), 0.5, salt="b")).collect()}
+    assert a != b
+    # independent 0.5-samples overlap ~25% of the universe
+    assert abs(len(a & b) / 2000 - 0.25) < 0.05
+
+
+def test_stratified_sample_respects_strata(spark):
+    rows = [(i, ["en", "zh", "de"][i % 3]) for i in range(900)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = stratified_sample(
+        df, "k", "lang", {"zh": 1.0, "en": 0.0}, default_rate=0.5
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert by_lang.get("zh") == 300        # rate 1.0: everything
+    assert "en" not in by_lang             # rate 0.0: nothing
+    assert 0 < by_lang.get("de", 0) < 300  # default rate applies to unknowns
+
+
+def test_stratified_sample_no_shuffle(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("en").alias("lang")
+    )
+    out = stratified_sample(df, "k", "lang", {"en": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan+filter, codegen-fused
+
+
+def test_mixture_report(spark):
+    df = spark.createDataFrame(
+        [("en", 10), ("en", 20), ("zh", 5)], "lang string, w long"
+    )
+    got = {r["lang"]: (r["n_rows"], r["total_weight"])
+           for r in mixture_report(df, "lang", weight_col="w").collect()}
+    assert got == {"en": (2, 30), "zh": (1, 5)}
