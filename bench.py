@@ -49,6 +49,7 @@ def main():
         "coverage_anti",
         "dedup_exact",
         "stratified_sample",
+        "decontaminate",
         "token_stats",
         "quality",
         "lang_score",

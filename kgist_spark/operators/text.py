@@ -154,3 +154,55 @@ def doc_fingerprint_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         lambda acc, x: F.pmod(acc * F.lit(31) + F.pmod(code(x), F.lit(modulus)), F.lit(modulus)),
     )
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of the whitespace tokens
+    (empty when the document has fewer than ``n`` tokens — NOT truncated
+    shorter grams; ``sequence(1, k)`` with k < 1 would count DOWN, so the
+    short case is gated explicitly)."""
+    t = f"split(trim({text_col}), '\\\\s+')"
+    return F.expr(
+        f"CASE WHEN size({t}) >= {n} THEN"
+        f" transform(sequence(1, size({t}) - {n - 1}),"
+        f" i -> array_join(slice({t}, i, {n}), ' '))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word ``n``-grams also appear in the benchmark set (the
+    GPT-3/PaLM-style train/test-overlap check — distinct from DEDUP, which
+    is within-corpus; this is cross-corpus against a small eval set).
+
+    Output: ``(id, n_doc_grams, n_hits, contaminated)``.
+
+    100 TB shape: the benchmark side is small by nature (eval sets are
+    thousands of documents), so its distinct-gram table BROADCASTS and the
+    corpus side never shuffles its exploded grams — ``array_distinct``
+    dedupes grams inside the row (no distinct-shuffle over the exploded
+    stream), the broadcast left join tags hits in-map, and the final
+    ``groupBy(id)`` partially aggregates each document's rows back to one
+    before the only shuffle, which therefore moves O(|documents|) rows,
+    not O(|grams|)."""
+    grams = F.array_distinct(word_ngrams(text_col, n))
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cg = corpus.select(
+        F.col(id_col),
+        F.size(grams).alias("n_doc_grams"),
+        F.explode_outer(grams).alias("gram"),
+    )
+    return (
+        cg.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col, "n_doc_grams")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"))
+        .select(
+            id_col, "n_doc_grams", "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )

@@ -665,6 +665,21 @@ def _mix_gate_sql() -> str:
     return f"{prefix} < {case}"
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents (source != src0)
+    sharing any distinct word 5-gram with the src0 'eval set'.  Benchmark
+    grams broadcast; corpus grams are deduped in-row and partially
+    aggregated back to one row per document before the only shuffle."""
+    from kgist_spark.operators.text import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=5,
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -702,6 +717,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "stratified_sample": q_stratified_sample,
     "sample_mixture": q_sample_mixture,
+    "decontaminate": q_decontaminate,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1082,6 +1098,36 @@ def _bpe_oracle():
 
 
 ORACLE_SQL["bpe_real_tokens"] = _bpe_oracle()
+
+ORACLE_SQL["decontaminate"] = r"""
+    WITH d AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source, array_to_string(toks[i : i + 4], ' ') AS gram
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    corpus AS (
+        SELECT doc_id, gram FROM g WHERE source <> 'src0'
+        GROUP BY doc_id, gram
+    ),
+    stats AS (
+        SELECT c.doc_id,
+               COUNT(*) AS n_doc_grams,
+               COUNT(b.gram) AS n_hits
+        FROM corpus c LEFT JOIN bench b USING (gram)
+        GROUP BY c.doc_id
+    )
+    SELECT d0.doc_id,
+           CAST(COALESCE(s.n_doc_grams, 0) AS INTEGER) AS n_doc_grams,
+           CAST(COALESCE(s.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(s.n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d0
+    LEFT JOIN stats s USING (doc_id)
+"""
 
 ORACLE_SQL["stratified_sample"] = f"""
     SELECT doc_id, lang, source, n_chars FROM documents WHERE {_mix_gate_sql()}
