@@ -50,6 +50,7 @@ def main():
         "dedup_exact",
         "stratified_sample",
         "decontaminate",
+        "repetition",
         "token_stats",
         "quality",
         "lang_score",

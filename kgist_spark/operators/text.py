@@ -206,3 +206,40 @@ def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
             (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition filters (the Gopher/MassiveText quality
+    gates): duplicate-bigram fraction, most-frequent-bigram share, and
+    duplicate-trigram fraction.  Heavily repetitive machine-generated text
+    scores high and gets dropped before training.
+
+    All in-row array expressions (grams never explode, nothing shuffles —
+    the whole operator is one codegen'd projection); documents shorter
+    than the gram size yield NULL fractions rather than divide-by-zero."""
+    t = docs.select(
+        F.col(id_col),
+        word_ngrams(text_col, 2).alias("bg"),
+        word_ngrams(text_col, 3).alias("tg"),
+    )
+
+    def dup_frac(g):
+        return F.when(
+            F.size(g) > 0,
+            F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 5),
+        )
+
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bg")),
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    )
+    return t.select(
+        F.col(id_col),
+        dup_frac(F.col("bg")).alias("dup_bigram_frac"),
+        F.when(F.size("bg") > 0, F.round(top / F.size("bg"), 5))
+        .alias("top_bigram_frac"),
+        dup_frac(F.col("tg")).alias("dup_trigram_frac"),
+    )

@@ -680,6 +680,13 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition quality gates."""
+    from kgist_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -718,6 +725,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "sample_mixture": q_sample_mixture,
     "decontaminate": q_decontaminate,
+    "repetition": q_repetition,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1098,6 +1106,37 @@ def _bpe_oracle():
 
 
 ORACLE_SQL["bpe_real_tokens"] = _bpe_oracle()
+
+ORACLE_SQL["repetition"] = r"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+            CASE WHEN len(toks) >= 2 THEN
+                [array_to_string(toks[i : i + 1], ' ')
+                 FOR i IN generate_series(1, len(toks) - 1)]
+            ELSE [] END AS bg,
+            CASE WHEN len(toks) >= 3 THEN
+                [array_to_string(toks[i : i + 2], ' ')
+                 FOR i IN generate_series(1, len(toks) - 2)]
+            ELSE [] END AS tg
+        FROM d
+    )
+    SELECT doc_id,
+        CASE WHEN len(bg) > 0 THEN
+            round(1 - len(list_distinct(bg)) * 1.0 / len(bg), 5) END
+            AS dup_bigram_frac,
+        CASE WHEN len(bg) > 0 THEN
+            round(list_max(list_transform(list_distinct(bg),
+                x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 5) END
+            AS top_bigram_frac,
+        CASE WHEN len(tg) > 0 THEN
+            round(1 - len(list_distinct(tg)) * 1.0 / len(tg), 5) END
+            AS dup_trigram_frac
+    FROM g
+"""
 
 ORACLE_SQL["decontaminate"] = r"""
     WITH d AS (
