@@ -62,6 +62,8 @@ def main():
         "user_sessions",
         "asof_enrich",
         "dedup_embedding",
+        "kg_degree_stats",
+        "kg_pagerank",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

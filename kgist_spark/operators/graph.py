@@ -1,0 +1,214 @@
+"""Whole-KG graph analytics: fixed-point PageRank and degree/skew stats.
+
+Neither exists in the reference (GemsLab/KGist builds rules, not centrality),
+but a KG-construction pipeline at web scale needs both: PageRank-style
+centrality to prioritize entities for linking/QA, and per-predicate degree
+stats to decide which predicates need salting / skew-join handling
+(:mod:`kgist_spark.operators.salting`) BEFORE the expensive joins run.
+
+PageRank here is **integer fixed-point**, not float, on purpose: float
+PageRank sums contributions in partition order, so two runs at different
+parallelism disagree in the low bits — the exact nondeterminism class this
+engine goes to great lengths to avoid elsewhere (see the float-order replay
+machinery in ``plans/greedy_delta.py``).  With every rank a scaled int64 and
+every operation (integer div by out-degree, damped sum) exact, the result is
+bit-identical at ANY partitioning/cluster size, which also makes it
+hash-oracle-able in ANSI SQL (DuckDB replays the same arithmetic).
+
+Scale shape (the 100 TB lens):
+
+* the adjacency is joined with out-degrees ONCE, hash-partitioned on ``src``
+  and persisted — each iteration's rank⋈adjacency join reuses that layout,
+  so only the (much smaller-per-row) rank table shuffles per iteration;
+* per-iteration work is one join + one partial-aggregated ``sum`` (map-side
+  combine on ``dst``) — no driver collect, rank never materializes on the
+  driver;
+* lineage is cut every iteration (``localCheckpoint``) so the plan stays
+  depth-1 instead of growing 3 operators per iteration (query planning cost
+  and recovery-recompute depth would otherwise grow linearly with
+  iterations);
+* int64 bounds: total rank mass is conserved below ``n_nodes * scale``, so
+  a damped contribution sum stays under 2^63 for ``n_nodes * scale *
+  damp_num < 2^63`` — the default ``scale=10**6`` is safe past 10^11 nodes
+  (dangling-node mass leaks, i.e. is NOT redistributed; documented choice,
+  identical in the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: rank 1.0 == SCALE.  10**6 keeps the damped sum within
+#: int64 up to ~10^11 nodes (see module docstring).
+PR_SCALE = 1_000_000
+#: damping factor 0.85 as an exact rational (numerator, denominator)
+PR_DAMP = (85, 100)
+
+
+def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         iterations: int = 10, scale: int = PR_SCALE,
+                         damp: tuple[int, int] = PR_DAMP,
+                         rows_per_partition: int = 200_000) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge list.
+
+    ``(node, rank_fp)`` where ``rank_fp`` is the per-node-form PageRank
+    ``r = (1-d) + d * sum(r_in / deg_out)`` with every term a scaled int64:
+    the base term ``(1-d)*scale`` and the damping ``d * s`` are exact integer
+    expressions (``div`` — both engines truncate identically for positive
+    operands), so the output is bit-identical at any parallelism.
+
+    Loop shape (measured at sf0.1 — the naive 3-shuffle loop under the
+    session's global shuffle width ran ~2.5 s/iteration; this shape ~1 s):
+
+    * the edge list is persisted ONCE and every derived table (degrees,
+      adjacency, the dangling-in complement) reads the cache — without the
+      pin, each derivation re-ran the caller's whole upstream plan;
+    * nodes with no in-edges rank exactly ``base`` every iteration, so
+      instead of a per-iteration left join against the full node set the
+      loop unions a small cached constant frame — 2 shuffles/iteration
+      (rank→src join, contribution sum), not 3;
+    * the loop's shuffle width is sized from the measured edge count
+      (``rows_per_partition``), capped at the session's parallelism — a
+      fixed global width pays per-task scheduling overhead ~width×iterations
+      times on small graphs and under-parallelizes huge ones; the width is
+      scoped to the loop and restored after (same pattern as the greedy
+      accept loop, ``plans/greedy_delta.py``);
+    * ``localCheckpoint(eager=False)`` per iteration pins lineage at depth 1
+      WITHOUT forcing a job per iteration: one eager checkpoint on the LAST
+      iteration sweeps through all of them in a single job, checkpointing
+      each intermediate as a side effect — k-1 fewer job-scheduling barriers
+      than all-eager checkpoints.
+
+    Multi-edges and predicates must be resolved by the CALLER (pass distinct
+    (src, dst) pairs for simple-graph semantics); dangling-node mass leaks
+    (not redistributed) — both choices replayed exactly by the SQL oracle.
+    """
+    dn, dd = damp
+    base = (scale * (dd - dn)) // dd
+
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    n_edges = e.count()  # materializes the pin; sizes the loop width
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        -(-n_edges // rows_per_partition),
+    ))
+    conf = spark.conf
+    old_width = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", str(width))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # one co-partitioned adjacency reused by every iteration: the join below
+    # re-shuffles only the (narrow) rank table per iteration
+    adj = e.join(deg, "src").repartition("src").persist()
+    nodes = (
+        e.select("src").union(e.select(F.col("dst").alias("src")))
+        .distinct().withColumnRenamed("src", "node")
+    )
+    # nodes with no in-edges: constant rank `base` from iteration 1 on
+    # (contribution sum is always empty) — computed once, unioned per
+    # iteration instead of left-joining the full node set every time
+    no_in = (
+        nodes.join(e.select(F.col("dst").alias("node")).distinct(),
+                   "node", "left_anti")
+        .select("node", F.lit(base).cast("long").alias("r"))
+        .persist()
+    )
+    no_in.count()
+    try:
+        # intermediate checkpoints are LAZY (no job per iteration); the LAST
+        # one is EAGER so the single sweeping job executes while the scoped
+        # shuffle width and the adj/e/no_in caches are still in effect — the
+        # finally block below tears those down, which would otherwise apply
+        # BEFORE the caller's first action ran the (lazy) chain
+        ranks = nodes.select(
+            "node", F.lit(scale).cast("long").alias("r")
+        ).localCheckpoint(eager=iterations == 0)
+        for i in range(iterations):
+            contribs = (
+                adj.join(ranks.withColumnRenamed("node", "src"), "src")
+                .select("dst", F.expr("r div deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                contribs.select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"cast({base} + ({dn} * s) div {dd} as long)").alias("r"),
+                )
+                .unionAll(no_in)
+                # pin lineage at depth 1: without the cut the final action
+                # re-derives all previous iterations as one 3*k-deep plan
+                .localCheckpoint(eager=i == iterations - 1)
+            )
+        return ranks.select("node", F.col("r").alias("rank_fp"))
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_width)
+        adj.unpersist()
+        no_in.unpersist()
+        e.unpersist()
+
+
+def pagerank_oracle_sql(edges_sql: str, iterations: int = 10,
+                        scale: int = PR_SCALE,
+                        damp: tuple[int, int] = PR_DAMP) -> str:
+    """ANSI-SQL replay of :func:`pagerank_fixed_point` — the fixed iteration
+    count is UNROLLED as chained CTEs (pr0..prK), each a plain grouped join,
+    because aggregates inside a recursive CTE are not portable.  All
+    arithmetic is the same truncating integer div (DuckDB ``//``; operands
+    positive), so the replay is bit-exact.  ``edges_sql`` must yield
+    ``(src, dst)``."""
+    dn, dd = damp
+    base = (scale * (dd - dn)) // dd
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""pr{i} AS (
+            SELECT n.node,
+                   CAST({base} + ({dn} * COALESCE(s.s, 0)) // {dd} AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.r // a.deg) AS s
+                FROM pr{i - 1} p
+                JOIN deg a ON p.node = a.src
+                JOIN edges e ON e.src = a.src
+                GROUP BY e.dst
+            ) s ON n.node = s.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_fp FROM pr{iterations}"
+    )
+
+
+def pred_degree_stats(triples: DataFrame) -> DataFrame:
+    """Per-(predicate, direction) degree stats: ``(pred, dir, n_edges,
+    n_nodes, max_deg, avg_deg_x1000)`` — the planning table for skew
+    handling (a pred with ``max_deg >> avg`` wants salting / AQE skew hints
+    before its join runs; see :mod:`kgist_spark.operators.salting`).
+
+    One scan: both directions come from a single ``explode(array(...))``
+    projection (a union of projections would re-execute the triples parent
+    per direction — see the candidate-generation plan note), then two
+    stacked aggregations, both with map-side partials.  ``avg_deg_x1000``
+    is integer (milli-degree) so the row stays hash-exact."""
+    both = triples.select(
+        "pred",
+        F.explode(
+            F.array(
+                F.struct(F.lit("out").alias("dir"), F.col("subj").alias("node")),
+                F.struct(F.lit("in").alias("dir"), F.col("obj").alias("node")),
+            )
+        ).alias("x"),
+    ).select("pred", F.col("x.dir").alias("dir"), F.col("x.node").alias("node"))
+    per_node = both.groupBy("pred", "dir", "node").agg(F.count("*").alias("d"))
+    return per_node.groupBy("pred", "dir").agg(
+        F.sum("d").alias("n_edges"),
+        F.count("*").alias("n_nodes"),
+        F.max("d").alias("max_deg"),
+        F.expr("cast(sum(d) * 1000 div count(*) as long)").alias("avg_deg_x1000"),
+    )

@@ -687,6 +687,32 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+#: PageRank query params — shared by the Spark query and its SQL oracle so
+#: the two always replay the same fixed-point arithmetic
+_PR_ITERS = 8
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank over the derived KG (simple-graph
+    semantics: distinct (subj, obj) pairs, predicates ignored) — bit-exact
+    at any parallelism, see :mod:`kgist_spark.operators.graph`."""
+    from kgist_spark.operators.graph import pagerank_fixed_point
+
+    edges = derived_triples(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct()
+    return pagerank_fixed_point(edges, iterations=_PR_ITERS)
+
+
+def q_kg_degree_stats(spark, sf_dir):
+    """Per-(predicate, direction) degree/skew stats over the derived KG —
+    the planning table that tells the engine which predicates need salting
+    before their joins run."""
+    from kgist_spark.operators.graph import pred_degree_stats
+
+    return pred_degree_stats(derived_triples(spark, sf_dir))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -726,6 +752,8 @@ QUERIES = {
     "sample_mixture": q_sample_mixture,
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_degree_stats": q_kg_degree_stats,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1204,6 +1232,35 @@ ORACLE_SQL["embedding_ann_lsh"] = rf"""
     WHERE e.vec_id IN (SELECT vec_id FROM cand)
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
+"""
+
+
+def _pagerank_oracle() -> str:
+    from kgist_spark.operators.graph import pagerank_oracle_sql
+
+    edges = (
+        f"SELECT DISTINCT subj AS src, obj AS dst FROM ({DERIVED_TRIPLES_SQL})"
+    )
+    return pagerank_oracle_sql(edges, iterations=_PR_ITERS)
+
+
+# integer fixed-point PageRank: bit-exact in both engines (truncating int
+# division, order-independent int sums), iterations unrolled as chained CTEs
+ORACLE_SQL["kg_pagerank"] = _pagerank_oracle()
+
+ORACLE_SQL["kg_degree_stats"] = f"""{_KG_CTE},
+    per AS (
+        SELECT pred, dir, node, COUNT(*) AS d FROM (
+            SELECT pred, 'out' AS dir, subj AS node FROM triples
+            UNION ALL SELECT pred, 'in' AS dir, obj AS node FROM triples
+        ) GROUP BY pred, dir, node
+    )
+    SELECT pred, dir,
+           CAST(SUM(d) AS BIGINT) AS n_edges,
+           COUNT(*) AS n_nodes,
+           MAX(d) AS max_deg,
+           CAST(SUM(d) * 1000 // COUNT(*) AS BIGINT) AS avg_deg_x1000
+    FROM per GROUP BY pred, dir
 """
 
 

@@ -1,0 +1,117 @@
+"""Graph analytics operators: fixed-point PageRank + degree stats.
+
+PageRank's selling point is bit-exactness at any parallelism (integer
+arithmetic only), so the tests pin (a) hand-computed fixed-point values on a
+tiny graph, (b) equality against an independent pure-Python replay on a
+seeded random graph, and (c) bit-identical output across different
+partitionings of the same input.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgist_spark.operators.graph import (
+    PR_DAMP,
+    PR_SCALE,
+    pagerank_fixed_point,
+    pred_degree_stats,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def _py_pagerank(edges, iterations, scale=PR_SCALE, damp=PR_DAMP):
+    """Independent driver-side replay of the exact integer recurrence."""
+    dn, dd = damp
+    base = (scale * (dd - dn)) // dd
+    nodes = {n for e in edges for n in e}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {n: base + (dn * s[n]) // dd for n in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = pagerank_fixed_point(df, **kw)
+    return {row["node"]: row["rank_fp"] for row in out.collect()}
+
+
+def test_pagerank_tiny_hand_computed(spark):
+    # a -> b, a -> c, b -> c, c -> a : the classic 3-node cycle-ish graph
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+    got = _run(spark, edges, iterations=2)
+    # by hand, scale=1e6, damp 85/100, base 150000:
+    # iter1: s(b)=1e6//2=500000, s(c)=500000+1e6=1500000, s(a)=1e6
+    #        r=(base + 85*s//100): a=1000000, b=575000, c=1425000
+    # iter2: s(b)=500000, s(c)=500000+575000=1075000, s(a)=1425000
+    #        a=1361250, b=575000, c=1063750
+    assert got == {"a": 1361250, "b": 575000, "c": 1063750}
+
+
+def test_pagerank_matches_python_replay(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(80)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(400)})
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _run(spark, edges, iterations=6)
+    want = _py_pagerank(edges, iterations=6)
+    assert got == want
+
+
+def test_pagerank_bit_identical_across_parallelism(spark):
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(60)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(300)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    one = pagerank_fixed_point(df.coalesce(1), iterations=5)
+    many = pagerank_fixed_point(df.repartition(17), iterations=5)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_pagerank_dangling_and_isolated_in_nodes(spark):
+    # b has no out-edges (dangling: its mass leaks); a has no in-edges
+    # (rank = base after iter 1)
+    got = _run(spark, [("a", "b")], iterations=3)
+    dn, dd = PR_DAMP
+    base = (PR_SCALE * (dd - dn)) // dd
+    assert got["a"] == base
+    # b: iter1 gets 85%*1e6, iter2 85%*r(a)=85%*base, iter3 same
+    assert got["b"] == base + (dn * base) // dd
+
+
+def test_degree_stats_hand_computed(spark):
+    triples = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "x"), ("b", "p", "y"), ("c", "q", "x")],
+        "subj string, pred string, obj string",
+    )
+    rows = {(r["pred"], r["dir"]): r for r in pred_degree_stats(triples).collect()}
+    p_out = rows[("p", "out")]
+    assert (p_out["n_edges"], p_out["n_nodes"], p_out["max_deg"]) == (3, 2, 2)
+    assert p_out["avg_deg_x1000"] == 1500
+    p_in = rows[("p", "in")]
+    assert (p_in["n_edges"], p_in["n_nodes"], p_in["max_deg"]) == (3, 2, 2)
+    q_out = rows[("q", "out")]
+    assert (q_out["n_edges"], q_out["n_nodes"], q_out["max_deg"]) == (1, 1, 1)
+
+
+def test_degree_stats_single_scan_plan(spark):
+    """The two directions must come from ONE explode over the triples scan,
+    not a union re-executing the parent per direction."""
+    triples = spark.range(100).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("o"), (F.col("id") % 10)).alias("obj"),
+    )
+    plan = pred_degree_stats(triples)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("Generate") == 1
