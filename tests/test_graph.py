@@ -78,6 +78,19 @@ def test_pagerank_bit_identical_across_parallelism(spark):
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
 
 
+def test_pagerank_broadcast_and_shuffle_paths_identical(spark):
+    """The size-gated broadcast of the rank table is a physical-plan choice
+    only — forcing the shuffle-join fallback must give bit-identical ranks."""
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(50)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(250)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    bc = pagerank_fixed_point(df, iterations=4)
+    sh = pagerank_fixed_point(df, iterations=4, broadcast_max_nodes=0)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+
+
 def test_pagerank_dangling_and_isolated_in_nodes(spark):
     # b has no out-edges (dangling: its mass leaks); a has no in-edges
     # (rank = base after iter 1)
