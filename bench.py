@@ -64,6 +64,7 @@ def main():
         "dedup_embedding",
         "kg_degree_stats",
         "kg_pagerank",
+        "bm25_topk",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -704,6 +704,19 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank_fixed_point(edges, iterations=_PR_ITERS)
 
 
+#: BM25 query terms — shared by the Spark query and the oracle
+_BM25_TERMS = ["spark", "join", "hash"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword search over documents: top-10 for a 3-term query —
+    one corpus pass, fixed-order float expression (no sum-order drift),
+    TakeOrderedAndProject top-k."""
+    from kgist_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
 def q_kg_degree_stats(spark, sf_dir):
     """Per-(predicate, direction) degree/skew stats over the derived KG —
     the planning table that tells the engine which predicates need salting
@@ -754,6 +767,7 @@ QUERIES = {
     "repetition": q_repetition,
     "kg_pagerank": q_kg_pagerank,
     "kg_degree_stats": q_kg_degree_stats,
+    "bm25_topk": q_bm25_topk,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1247,6 +1261,15 @@ def _pagerank_oracle() -> str:
 # integer fixed-point PageRank: bit-exact in both engines (truncating int
 # division, order-independent int sums), iterations unrolled as chained CTEs
 ORACLE_SQL["kg_pagerank"] = _pagerank_oracle()
+
+
+def _bm25_oracle() -> str:
+    from kgist_spark.operators.search import bm25_topk_oracle_sql
+
+    return bm25_topk_oracle_sql(_BM25_TERMS, k=10)
+
+
+ORACLE_SQL["bm25_topk"] = _bm25_oracle()
 
 ORACLE_SQL["kg_degree_stats"] = f"""{_KG_CTE},
     per AS (

@@ -1,0 +1,62 @@
+"""BM25 keyword search: pure-Python replay parity + physical-plan pins."""
+
+import math
+
+import pytest
+
+from kgist_spark.operators.search import bm25_topk
+
+pytestmark = pytest.mark.spark
+
+DOCS = [
+    (1, "spark join hash join"),
+    (2, "the quick brown fox"),
+    (3, "spark spark spark table"),
+    (4, "hash table scan"),
+    (5, "join"),
+]
+TERMS = ["spark", "join", "hash"]
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(docs)
+    total_len = sum(len(t) for t in toks.values())
+    out = {}
+    for d, t in toks.items():
+        dl = len(t)
+        score = 0.0
+        matched = False
+        for q in terms:
+            tf = t.count(q)
+            matched = matched or tf > 0
+            df = sum(1 for tt in toks.values() if q in tt)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            score += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dl * n / total_len)
+            )
+        if matched:
+            out[d] = round(score, 5)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_bm25_matches_python_replay(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_topk(df, TERMS, k=10).collect()]
+    assert got == _py_bm25(DOCS, TERMS)
+
+
+def test_bm25_zero_match_docs_excluded(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"] for r in bm25_topk(df, TERMS, k=10).collect()}
+    assert 2 not in got
+    assert got == {1, 3, 4, 5}
+
+
+def test_bm25_plan_shape(spark):
+    """The stats side must broadcast (one-row aggregate) and the top-k must
+    be a bounded heap (TakeOrderedAndProject), never a global sort."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = bm25_topk(df, TERMS, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
