@@ -63,6 +63,7 @@ def main():
         "asof_enrich",
         "dedup_embedding",
         "kg_degree_stats",
+        "kg_path2_stats",
         "kg_pagerank",
         "bm25_topk",
     ]

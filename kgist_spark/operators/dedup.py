@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from kgist_spark.operators import minhash as MH
 
 
-def _fan_out_scan(docs: DataFrame) -> DataFrame:
+def fan_out_scan(docs: DataFrame) -> DataFrame:
     """A small-file corpus arrives as ONE scan partition, serializing the
     per-document shingle/token explosion — the expensive stage of every
     dedup path — on a single core.  Fan the scan out to the session's
@@ -31,6 +31,10 @@ def _fan_out_scan(docs: DataFrame) -> DataFrame:
     if docs.rdd.getNumPartitions() >= target:
         return docs
     return docs.repartition(target)
+
+
+#: backwards-compat alias (pre-round-4 name)
+_fan_out_scan = fan_out_scan
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -56,7 +60,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     shingle table just to log a count (at 100 TB that job re-reads the whole
     corpus).  Surface the loss with
     :func:`kgist_spark.operators.minhash.log_drop_stats` after an action."""
-    sh = MH.word_shingles(_fan_out_scan(docs.select(id_col, text_col)), id_col, text_col, k=k)
+    sh = MH.word_shingles(fan_out_scan(docs.select(id_col, text_col)), id_col, text_col, k=k)
     if df_cap is not None:
         buckets = sh.select(
             "id", F.lit(0).alias("band"), F.col("shingle").alias("bucket")
@@ -85,7 +89,7 @@ def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     candidate pairs come from band buckets, not a full shingle self-join).
     ``drop_stats``: optional ``Observation`` counting hot-bucket drops (no
     silent caps — see :func:`kgist_spark.operators.minhash.candidate_pairs`)."""
-    sh = MH.word_shingles(_fan_out_scan(docs.select(id_col, text_col)), id_col, text_col, k=k)
+    sh = MH.word_shingles(fan_out_scan(docs.select(id_col, text_col)), id_col, text_col, k=k)
     sigs = MH.minhash_signatures(sh, num_perm=num_perm)
     buckets = MH.lsh_buckets(sigs, bands=bands, rows_per_band=num_perm // bands)
     pairs = MH.candidate_pairs(buckets, drop_stats=drop_stats)
@@ -157,7 +161,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     aggregate on the doc key.  One shuffle, whole-stage codegen throughout.
     """
     tok = (
-        _fan_out_scan(docs).select(
+        fan_out_scan(docs).select(
             F.col(id_col),
             F.explode_outer(
                 F.filter(

@@ -205,6 +205,37 @@ def pagerank_oracle_sql(edges_sql: str, iterations: int = 10,
     )
 
 
+def path2_stats(triples: DataFrame) -> DataFrame:
+    """Length-2 path counts per predicate pair: ``(pred1, pred2, n_paths)``
+    where ``n_paths`` counts ordered edge pairs (e1, e2) with
+    ``e1.obj == e2.subj``.
+
+    The scale trick: the count NEVER enumerates paths.  A junction node
+    with in-degree a (under pred1) and out-degree b (under pred2)
+    contributes exactly ``a * b`` paths, so
+    ``n_paths(p1, p2) = Σ_node in_deg_p1(node) * out_deg_p2(node)`` —
+    two per-(node, pred) degree aggregations joined on the node and summed.
+    The naive triples self-join materializes O(Σ a·b) rows (quadratic in
+    junction-node degree — exactly the hub-skew blowup of a web KG, where
+    one celebrity entity yields 10^10 pairs); this plan's join is over the
+    DISTINCT (node, pred) degree tables, O(nodes·preds) rows, and the
+    output is O(preds²).  The correctness gate runs the ENUMERATING
+    self-join in DuckDB against this aggregation — hash equality proves
+    the rewrite.
+    """
+    inn = triples.groupBy(
+        F.col("obj").alias("node"), F.col("pred").alias("pred1")
+    ).agg(F.count("*").alias("n_in"))
+    out = triples.groupBy(
+        F.col("subj").alias("node"), F.col("pred").alias("pred2")
+    ).agg(F.count("*").alias("n_out"))
+    return (
+        inn.join(out, "node")
+        .groupBy("pred1", "pred2")
+        .agg(F.sum(F.col("n_in") * F.col("n_out")).alias("n_paths"))
+    )
+
+
 def pred_degree_stats(triples: DataFrame) -> DataFrame:
     """Per-(predicate, direction) degree stats: ``(pred, dir, n_edges,
     n_nodes, max_deg, avg_deg_x1000)`` — the planning table for skew

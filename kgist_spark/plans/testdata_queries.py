@@ -726,6 +726,15 @@ def q_kg_degree_stats(spark, sf_dir):
     return pred_degree_stats(derived_triples(spark, sf_dir))
 
 
+def q_kg_path2_stats(spark, sf_dir):
+    """Length-2 path counts per predicate pair via the degree-product
+    aggregation (no path enumeration); the oracle ENUMERATES the naive
+    self-join — hash equality proves the rewrite."""
+    from kgist_spark.operators.graph import path2_stats
+
+    return path2_stats(derived_triples(spark, sf_dir))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -767,6 +776,7 @@ QUERIES = {
     "repetition": q_repetition,
     "kg_pagerank": q_kg_pagerank,
     "kg_degree_stats": q_kg_degree_stats,
+    "kg_path2_stats": q_kg_path2_stats,
     "bm25_topk": q_bm25_topk,
 }
 
@@ -1203,7 +1213,7 @@ ORACLE_SQL["decontaminate"] = r"""
         GROUP BY c.doc_id
     )
     SELECT d0.doc_id,
-           CAST(COALESCE(s.n_doc_grams, 0) AS INTEGER) AS n_doc_grams,
+           CAST(COALESCE(s.n_doc_grams, 0) AS BIGINT) AS n_doc_grams,
            CAST(COALESCE(s.n_hits, 0) AS BIGINT) AS n_hits,
            COALESCE(s.n_hits, 0) > 0 AS contaminated
     FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d0
@@ -1270,6 +1280,15 @@ def _bm25_oracle() -> str:
 
 
 ORACLE_SQL["bm25_topk"] = _bm25_oracle()
+
+# the oracle ENUMERATES every length-2 path with the naive self-join that
+# the Spark plan deliberately avoids (degree-product aggregation) — hash
+# equality between the two IS the proof of the rewrite
+ORACLE_SQL["kg_path2_stats"] = f"""{_KG_CTE}
+    SELECT t1.pred AS pred1, t2.pred AS pred2, COUNT(*) AS n_paths
+    FROM triples t1 JOIN triples t2 ON t1.obj = t2.subj
+    GROUP BY t1.pred, t2.pred
+"""
 
 ORACLE_SQL["kg_degree_stats"] = f"""{_KG_CTE},
     per AS (

@@ -131,3 +131,24 @@ def test_materialized_kg_partition_pruning(spark, tmp_path):
     plan = plan_of(df)
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[-1][:120]
     assert df.count() > 0
+
+
+def test_decontaminate_gram_construction_stays_below_generate(spark):
+    """Regression: CollapseProject once pushed a size(grams) projection
+    BELOW the corpus Generate, re-running the whole gram construction
+    (split + n-gram transform + array_distinct) per exploded row (169 s at
+    sf0.1).  The gram-construction expression must appear only as the two
+    Generate inputs (corpus + benchmark) — never in a Project above one."""
+    from kgist_spark.operators.text import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g", "x"), (2, "a b c d e h i", "y")],
+        "doc_id long, text string, source string",
+    )
+    df = ngram_decontaminate(
+        docs.where("source = 'x'"), docs.where("source = 'y'"), n=5
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_distinct") == 2
+    # and the aggregate derives n_doc_grams from the flowing rows
+    assert "count(gram" in plan
