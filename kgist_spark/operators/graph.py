@@ -62,9 +62,12 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
     Loop shape (measured at sf0.1 — the naive 3-shuffle loop under the
     session's global shuffle width ran ~2.5 s/iteration; this shape ~1 s):
 
-    * the edge list is persisted ONCE and every derived table (degrees,
-      adjacency, the dangling-in complement) reads the cache — without the
-      pin, each derivation re-ran the caller's whole upstream plan;
+    * the edge list is persisted ONCE and every derived table reads the
+      cache — without the pin, each derivation re-ran the caller's whole
+      upstream plan; the node table (node, out_deg, has_in) comes from ONE
+      exploded aggregation pass over the edges, not three (a degree
+      group-by + a node-set union-distinct + a dangling-in anti-join each
+      re-shuffle the full edge list);
     * nodes with no in-edges rank exactly ``base`` every iteration, so
       instead of a per-iteration left join against the full node set the
       loop unions a small cached constant frame — 2 shuffles/iteration
@@ -107,17 +110,36 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
     conf = spark.conf
     old_width = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.shuffle.partitions", str(width))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = (
-        e.select("src").union(e.select(F.col("dst").alias("src")))
-        .distinct().withColumnRenamed("src", "node")
+    # ONE aggregation pass derives the whole node table: out-degree and an
+    # incoming-edge flag per node (single explode over the cached edges,
+    # single shuffle — vs the 3 full-edge shuffles of deg group-by +
+    # node-set union-distinct + dangling-in anti-join)
+    node_tbl = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("is_src")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("is_src")),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.node").alias("node"))
+        .agg(
+            F.sum("x.is_src").alias("out_deg"),
+            F.max(1 - F.col("x.is_src")).alias("has_in"),
+        )
         .persist()
     )
-    n_nodes = nodes.count()
+    n_nodes = node_tbl.count()
+    nodes = node_tbl.select("node")
     bcast = n_nodes <= broadcast_max_nodes
     # one cached adjacency reused by every iteration; in shuffle-join mode it
     # is pre-partitioned on src so only the (narrow) rank table re-shuffles
-    adj = e.join(deg, "src")
+    adj = e.join(
+        node_tbl.where("out_deg > 0")
+        .select(F.col("node").alias("src"), F.col("out_deg").alias("deg")),
+        "src",
+    )
     if not bcast:
         adj = adj.repartition("src")
     adj = adj.persist()
@@ -125,8 +147,7 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
     # (contribution sum is always empty) — computed once, unioned per
     # iteration instead of left-joining the full node set every time
     no_in = (
-        nodes.join(e.select(F.col("dst").alias("node")).distinct(),
-                   "node", "left_anti")
+        node_tbl.where("has_in = 0")
         .select("node", F.lit(base).cast("long").alias("r"))
         .persist()
     )
@@ -164,7 +185,7 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src", dst: str = "dst",
     finally:
         conf.set("spark.sql.shuffle.partitions", old_width)
         adj.unpersist()
-        nodes.unpersist()
+        node_tbl.unpersist()
         no_in.unpersist()
         e.unpersist()
 
