@@ -243,6 +243,11 @@ def path2_stats(triples: DataFrame) -> DataFrame:
     output is O(preds²).  The correctness gate runs the ENUMERATING
     self-join in DuckDB against this aggregation — hash equality proves
     the rewrite.
+
+    int64 bound: ``n_paths`` per (pred1, pred2) must stay under 2^63 —
+    ~9.2e18 length-2 paths, beyond any real KG's path count but reachable
+    by adversarial hub constructions; the oracle's HUGEINT sum would
+    surface such an overflow as a hash mismatch rather than silence it.
     """
     inn = triples.groupBy(
         F.col("obj").alias("node"), F.col("pred").alias("pred1")
