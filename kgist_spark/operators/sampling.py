@@ -78,3 +78,30 @@ def mixture_report(df: DataFrame, strata_col: str,
     if weight_col is not None:
         aggs.append(F.sum(weight_col).alias("total_weight"))
     return df.groupBy(strata_col).agg(*aggs)
+
+
+def domain_cap(df: DataFrame, key_col: str, domain_col: str, cap: int,
+               salt: str = "") -> DataFrame:
+    """Keep at most ``cap`` rows per domain, chosen DETERMINISTICALLY: rows
+    rank by ``md5(salt || key)`` within their domain (ties — md5 collisions
+    — broken by the key itself, so the order is total), and ranks > cap
+    drop.  The per-domain cap is the RefinedWeb/CCNet guard against a
+    single crawled site dominating the training mix; the hash ranking makes
+    the kept subset independent of partitioning, retry, and engine, like
+    every sampling gate in this module.  Output adds the 1-based ``rk``.
+
+    Scale shape: ONE shuffle (the window partition on the domain).  A
+    mega-domain (10^8 docs of one host) serializes its rank pass on one
+    task — WindowExec buffers spill, so it completes, but for known-hot
+    domains the cheap escape is a ``hash_gate`` pre-thin at a rate that
+    leaves ~10x the cap before the exact window (two-phase: approximate
+    thin, exact cap), which this function leaves to the caller because the
+    rate needs a domain-size estimate."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= cap)
+    )

@@ -680,6 +680,18 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-source document cap (RefinedWeb-style anti-domination guard):
+    keep at most 5 docs per source, ranked by a deterministic md5 of the
+    doc key — partitioning/retry/engine-independent."""
+    from kgist_spark.operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap(docs, "doc_id", "source", cap=5, salt=_MIX_SALT).select(
+        "doc_id", "source", "rk"
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style within-document repetition quality gates."""
     from kgist_spark.operators.text import repetition_stats
@@ -774,6 +786,7 @@ QUERIES = {
     "sample_mixture": q_sample_mixture,
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
+    "domain_cap": q_domain_cap,
     "kg_pagerank": q_kg_pagerank,
     "kg_degree_stats": q_kg_degree_stats,
     "kg_path2_stats": q_kg_path2_stats,
@@ -1280,6 +1293,17 @@ def _bm25_oracle() -> str:
 
 
 ORACLE_SQL["bm25_topk"] = _bm25_oracle()
+
+ORACLE_SQL["domain_cap"] = f"""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+"""
 
 # the oracle ENUMERATES every length-2 path with the naive self-join that
 # the Spark plan deliberately avoids (degree-product aggregation) — hash

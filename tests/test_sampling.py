@@ -93,3 +93,26 @@ def test_mixture_report(spark):
     got = {r["lang"]: (r["n_rows"], r["total_weight"])
            for r in mixture_report(df, "lang", weight_col="w").collect()}
     assert got == {"en": (2, 30), "zh": (1, 5)}
+
+
+def test_domain_cap_deterministic_and_capped(spark):
+    import hashlib
+
+    from kgist_spark.operators.sampling import domain_cap
+
+    rows = [(i, f"d{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out1 = sorted(map(tuple, domain_cap(df.coalesce(1), "k", "dom", 4, salt="s").collect()))
+    out2 = sorted(map(tuple, domain_cap(df.repartition(13), "k", "dom", 4, salt="s").collect()))
+    assert out1 == out2
+    # python replay of the md5 ranking
+    want = []
+    for dom in {"d0", "d1", "d2"}:
+        ks = [k for k, d in rows if d == dom]
+        ranked = sorted(ks, key=lambda k: (hashlib.md5(f"s{k}".encode()).hexdigest(), k))
+        want += [(k, dom, i + 1) for i, k in enumerate(ranked[:4])]
+    assert out1 == sorted(want)
+    counts = {}
+    for _, dom, _ in out1:
+        counts[dom] = counts.get(dom, 0) + 1
+    assert all(v == 4 for v in counts.values())
