@@ -49,6 +49,7 @@ def main():
         "coverage_anti",
         "dedup_exact",
         "stratified_sample",
+        "domain_cap",
         "decontaminate",
         "repetition",
         "token_stats",
