@@ -135,3 +135,78 @@ def windowed_event_counts(events_stream: DataFrame, window: str = "1 hour",
         .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "avg_value")
     )
+
+
+def stateful_domain_cap_stream(docs_stream: DataFrame, domain_col: str = "domain",
+                               id_col: str = "doc_id", cap: int = 100) -> DataFrame:
+    """Cross-batch per-domain ADMISSION QUOTA as a custom stateful streaming
+    operator: at most ``cap`` documents per domain are ever admitted across
+    ALL micro-batches (and across restarts — the counter lives in the
+    checkpointed state store).  Output: ``(domain, doc_id, admit_idx)`` with
+    ``admit_idx`` the 1-based per-domain admission number.
+
+    Contract note: this is the STREAMING quota semantics (first-come in
+    batch order, deterministic WITHIN a batch by ascending id — micro-batch
+    row order is undefined, so the id sort makes replays reproducible), not
+    the batch :func:`kgist_spark.operators.sampling.domain_cap` md5-ranking
+    semantics: a stream cannot retroactively displace an admitted document
+    when a better-ranked one arrives later.  Use the batch operator for
+    rebuilds; use this to bound ingest volume per domain as data lands.
+
+    State per domain is ONE counter row, so the state store is
+    O(#domains) — bounded regardless of corpus size, partitioned by the
+    domain hash (a hot domain stops costing anything once its quota
+    fills: its rows are dropped map-side in the stateful stage)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs_stream.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).cast("long").alias("_id"),
+    )
+
+    def admit(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        if n >= cap:
+            return iter(())
+        ids = pd.concat([pdf["_id"] for pdf in pdfs]).sort_values()
+        take = ids.iloc[: max(0, cap - n)]
+        if take.empty:
+            return iter(())
+        state.update((n + len(take),))
+        return iter([pd.DataFrame({
+            "domain": key[0],
+            "doc_id": take.to_numpy(),
+            "admit_idx": range(n + 1, n + len(take) + 1),
+        })])
+
+    return keyed.groupBy("domain").applyInPandasWithState(
+        admit,
+        outputStructType="domain string, doc_id long, admit_idx long",
+        stateStructType="n_admitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_incremental_domain_cap(spark: SparkSession, input_dir: str, out_dir: str,
+                               checkpoint_dir: str, cap: int = 100) -> None:
+    """AvailableNow driver for :func:`stateful_domain_cap_stream`: process
+    all new page files once, appending newly-admitted (url-hash doc id,
+    domain) rows to ``out_dir``.  Re-running after more files land admits
+    only into remaining per-domain quota (state restored from the
+    checkpoint)."""
+    docs = stream_pages(spark, input_dir).select(
+        F.abs(F.hash("url")).cast("long").alias("doc_id"),
+        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("domain"),
+    )
+    admitted = stateful_domain_cap_stream(docs, "domain", "doc_id", cap=cap)
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

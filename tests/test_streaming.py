@@ -855,3 +855,44 @@ def test_compact_cli_rejects_other_flags_even_falsy():
 
     with pytest.raises(SystemExit):
         main(["--compact", "--generate", "0", "--out", "/tmp/nowhere"])
+
+
+def test_stateful_domain_cap_across_batches_and_restarts(spark, tmp_path):
+    """Per-domain quota holds ACROSS micro-batch runs: the second
+    AvailableNow run (state restored from the checkpoint) admits only into
+    remaining quota, and a domain that filled up admits nothing more."""
+    from kgist_spark.streaming.ingest import run_incremental_domain_cap
+
+    inp = tmp_path / "in"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    inp.mkdir()
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [(f"https://{d}/p{i}", None, None, f"text {i}", "en")
+             for d, i in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    # batch 1: a.com has 3 pages, b.com has 1 — cap 2 admits 2 + 1
+    pages([("a.com", 1), ("a.com", 2), ("a.com", 3), ("b.com", 1)]) \
+        .write.parquet(str(inp / "f1.parquet"))
+    run_incremental_domain_cap(spark, str(inp) + "/*", out, ckpt, cap=2)
+    first = spark.read.parquet(out)
+    got1 = {r["domain"]: r["cnt"] for r in
+            first.groupBy("domain").agg(F.count("*").alias("cnt")).collect()}
+    assert got1 == {"a.com": 2, "b.com": 1}
+
+    # batch 2: a.com (full) gets nothing; b.com admits 1 more then stops
+    pages([("a.com", 9), ("b.com", 2), ("b.com", 3), ("c.com", 1)]) \
+        .write.parquet(str(inp / "f2.parquet"))
+    run_incremental_domain_cap(spark, str(inp) + "/*", out, ckpt, cap=2)
+    both = spark.read.parquet(out)
+    got2 = {r["domain"]: r["cnt"] for r in
+            both.groupBy("domain").agg(F.count("*").alias("cnt")).collect()}
+    assert got2 == {"a.com": 2, "b.com": 2, "c.com": 1}
+    # admission indices are dense 1..n per domain
+    idx = sorted((r["domain"], r["admit_idx"]) for r in both.collect())
+    assert idx == [("a.com", 1), ("a.com", 2), ("b.com", 1), ("b.com", 2),
+                   ("c.com", 1)]
