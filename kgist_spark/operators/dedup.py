@@ -400,3 +400,53 @@ def embedding_neardup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     out = out.where(F.col("id_a").isNotNull()).distinct()
     out._drop_stats = drop_stats
     return out
+
+
+def neardup_keep_best(docs: DataFrame, weight_col: str, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 5,
+                      num_perm: int = 32, bands: int = 8,
+                      threshold: float = 0.4, drop_stats=None) -> DataFrame:
+    """Dedup decision table that keeps the BEST copy per near-dup cluster —
+    highest ``weight_col`` (e.g. length or a quality score), ties broken by
+    minimum id — instead of :func:`neardup_keep_table`'s min-id keeper.
+    Real pipelines keep the longest/cleanest duplicate, not an arbitrary
+    one; the weight must be deterministic for the decision to replay.
+
+    Scale shape: identical to :func:`neardup_keep_table` (the pair graph is
+    near-dup-sparse, components run on pairs only) plus ONE window pass
+    over cluster MEMBERS — O(clustered docs), a vanishing fraction of the
+    corpus — to pick each cluster's argmax; the final assembly is one left
+    join of the corpus against the (doc, keeper) table."""
+    from pyspark.sql.window import Window
+
+    from kgist_spark.operators.components import connected_components
+
+    raw_pairs = minhash_neardup_pairs(
+        docs, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm,
+        bands=bands, threshold=threshold, drop_stats=drop_stats,
+    )
+    pairs = raw_pairs.localCheckpoint()
+    MH.log_drop_stats(raw_pairs, "neardup_keep_best")
+    comp = connected_components(pairs.select("a", "b"), "a", "b")
+    members = comp.withColumnRenamed("node", "doc_id").join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(weight_col).alias("_w")),
+        "doc_id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_w"), F.asc("doc_id")
+    )
+    keeper = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select("component", F.col("doc_id").alias("best_id"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(keeper, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("best_id", "doc_id").alias("keep_id"),
+        )
+        .withColumn("is_dup", F.col("keep_id") != F.col("doc_id"))
+    )

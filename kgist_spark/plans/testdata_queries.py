@@ -558,6 +558,17 @@ def q_neardup_clusters(spark, sf_dir):
     return neardup_keep_table(_t(spark, sf_dir, "documents"), threshold=0.4)
 
 
+def q_neardup_keep_best(spark, sf_dir):
+    """Keep-BEST dedup decision table: near-dup clusters keep their longest
+    member (n_chars, ties by min doc_id) instead of the min id — what a
+    real pipeline retains."""
+    from kgist_spark.operators.dedup import neardup_keep_best
+
+    return neardup_keep_best(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars", threshold=0.4
+    )
+
+
 def q_bpe_real_tokens(spark, sf_dir):
     """REAL merge-table BPE token counts (trained 64-merge table, rank
     encoder over the distinct word vocabulary only — Python cost is
@@ -771,6 +782,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_keep_best": q_neardup_keep_best,
     "user_sessions": q_user_sessions,
     "asof_enrich": q_asof_enrich,
     "simhash": q_simhash,
@@ -1159,6 +1171,57 @@ ORACLE_SQL["neardup_clusters"] = """
            COALESCE(c.keep_id, d.doc_id) AS keep_id,
            COALESCE(c.keep_id, d.doc_id) != d.doc_id AS is_dup
     FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+# keep-BEST dedup: same recursive-CTE component closure, then each
+# cluster's keeper is its longest member (n_chars desc, doc_id asc)
+ORACLE_SQL["neardup_keep_best"] = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 1)),
+                       i -> array_to_string(t[i:i+4], ' '))) AS shingle
+            FROM toks
+        ) WHERE length(shingle) > 0
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    pairs AS (
+        SELECT a, b FROM (
+            SELECT x.id AS a, y.id AS b, COUNT(*) AS n_inter
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+            GROUP BY x.id, y.id
+        ) inter
+        JOIN sizes na ON inter.a = na.id
+        JOIN sizes nb ON inter.b = nb.id
+        WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.4
+    ),
+    und AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v != r.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+    keeper AS (
+        SELECT cluster, doc_id AS best_id FROM (
+            SELECT c.cluster, c.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cluster
+                       ORDER BY d.n_chars DESC, c.doc_id ASC
+                   ) AS rn
+            FROM comp c JOIN documents d USING (doc_id)
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           COALESCE(k.best_id, d.doc_id) AS keep_id,
+           COALESCE(k.best_id, d.doc_id) != d.doc_id AS is_dup
+    FROM documents d
+    LEFT JOIN comp c USING (doc_id)
+    LEFT JOIN keeper k USING (cluster)
 """
 
 # real merge-table BPE: the trained 64-merge table is a constant of the

@@ -438,6 +438,26 @@ def test_neardup_keep_table_transitive_clusters(spark):
     assert got[50] == (50, False)
 
 
+def test_neardup_keep_best_prefers_heaviest_member(spark):
+    """Keep-best keeps the cluster member with the LARGEST weight (here:
+    the longest doc), not the min id — the decision a real pipeline wants;
+    ties and singletons behave like keep_table."""
+    from kgist_spark.operators.dedup import neardup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (10, base, len(base)),
+        (11, base + " extra", len(base) + 6),                      # longest of 10/11
+        (50, "a completely different document about spark shuffle internals", 62),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    got = {r["doc_id"]: (r["keep_id"], r["is_dup"])
+           for r in neardup_keep_best(docs, "n_chars", threshold=0.5).collect()}
+    assert got[11] == (11, False)   # heaviest member keeps itself
+    assert got[10] == (11, True)    # min-id doc is the DUP here
+    assert got[50] == (50, False)
+
+
 def test_real_image_decoders_bmp_pnm(spark):
     """BMP (uncompressed 24-bit, bottom-up BGR, padded rows) and binary
     PGM/PPM decode FOR REAL in pure numpy — dimensions and means from the
