@@ -67,6 +67,8 @@ def main():
         "kg_path2_stats",
         "kg_pagerank",
         "bm25_topk",
+        "pii_scrub",
+        "line_dedup",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -758,6 +758,51 @@ def q_kg_path2_stats(spark, sf_dir):
     return path2_stats(derived_triples(spark, sf_dir))
 
 
+def _pii_enriched_docs(spark, sf_dir):
+    """The documents table with deterministic synthetic PII appended to
+    every third document (the testdata corpus has none) — the SAME
+    expression the oracle builds in SQL, so the scrub has real work and
+    the hash check is meaningful."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 tel 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, injected).otherwise(F.col("text")),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction audit: emails / IPv4s / phone numbers counted and
+    replaced in one zero-shuffle codegen pass; ``clean_fp`` fingerprints
+    the scrubbed text."""
+    from kgist_spark.operators.scrub import pii_scrub
+
+    return pii_scrub(_pii_enriched_docs(spark, sf_dir))
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (CCNet-style boilerplate removal) over a
+    line structure derived deterministically from the corpus (every
+    ' table ' becomes a newline — the tiny vocabulary makes short lines
+    repeat across documents exactly like site boilerplate does)."""
+    from kgist_spark.operators.scrub import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("replace(text, ' table ', '\n')").alias("text")
+    )
+    return line_dedup(docs, min_docs=4)
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -803,6 +848,8 @@ QUERIES = {
     "kg_degree_stats": q_kg_degree_stats,
     "kg_path2_stats": q_kg_path2_stats,
     "bm25_topk": q_bm25_topk,
+    "pii_scrub": q_pii_scrub,
+    "line_dedup": q_line_dedup,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1390,6 +1437,71 @@ ORACLE_SQL["kg_degree_stats"] = f"""{_KG_CTE},
            MAX(d) AS max_deg,
            CAST(SUM(d) * 1000 // COUNT(*) AS BIGINT) AS avg_deg_x1000
     FROM per GROUP BY pred, dir
+"""
+
+
+def _pii_oracle() -> str:
+    """Replays q_pii_scrub: the SAME injection expression, then the SAME
+    ordered count-and-replace chain, pattern literals imported from the
+    operator so the two can never drift (patterns are restricted to
+    Java-regex/RE2-common syntax — see ``operators/scrub.py``)."""
+    from kgist_spark.operators.scrub import PII_PATTERNS
+
+    inject = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.1 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    sql = (
+        "WITH s0 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0"
+        f" THEN {inject} ELSE text END AS t0 FROM documents)"
+    )
+    cols = []
+    for i, (name, pat, rep) in enumerate(PII_PATTERNS):
+        cols.append(f"n_{name}")
+        sql += (
+            f", s{i + 1} AS (SELECT doc_id{''.join(', ' + c for c in cols[:-1])},"
+            f" CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT) AS n_{name},"
+            f" regexp_replace(t{i}, '{pat}', '{rep}', 'g') AS t{i + 1}"
+            f" FROM s{i})"
+        )
+    last = len(PII_PATTERNS)
+    return (
+        sql
+        + f" SELECT doc_id, {', '.join(cols)}, md5(t{last}) AS clean_fp"
+        + f" FROM s{last}"
+    )
+
+
+ORACLE_SQL["pii_scrub"] = _pii_oracle()
+
+ORACLE_SQL["line_dedup"] = """
+    WITH d AS (
+        SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM d
+    ),
+    freq AS (
+        SELECT line FROM ex WHERE length(line) >= 1
+        GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 4
+    ),
+    tagged AS (
+        SELECT e.doc_id, e.pos, e.line, f.line IS NOT NULL AS dropped
+        FROM ex e LEFT JOIN freq f USING (line)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE NOT dropped) AS n_kept,
+           md5(COALESCE(
+               string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT dropped),
+               '')) AS clean_fp
+    FROM tagged GROUP BY doc_id
 """
 
 
