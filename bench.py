@@ -69,6 +69,7 @@ def main():
         "bm25_topk",
         "pii_scrub",
         "line_dedup",
+        "lm_score",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

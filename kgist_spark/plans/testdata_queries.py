@@ -781,6 +781,19 @@ def _pii_enriched_docs(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring: bits-per-token of every
+    corpus document under an add-one unigram LM trained on the src0 slice
+    (the 'trusted reference'); integer fixed-point end to end."""
+    from kgist_spark.operators.lm import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction audit: emails / IPv4s / phone numbers counted and
     replaced in one zero-shuffle codegen pass; ``clean_fp`` fingerprints
@@ -850,6 +863,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
+    "lm_score": q_lm_score,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1475,6 +1489,44 @@ def _pii_oracle() -> str:
 
 
 ORACLE_SQL["pii_scrub"] = _pii_oracle()
+
+# lm_score: add-one unigram LM trained on src0, scored over the rest; the
+# per-token log2 probs round to fixed-point BEFORE summing (both engines),
+# so every aggregate is integer arithmetic — order-free, hash-exact
+ORACLE_SQL["lm_score"] = r"""
+    WITH rt AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents WHERE source = 'src0'
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM rt GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM counts),
+    lm AS (
+        SELECT token,
+               CAST(round(log2((cnt + 1.0) / (total + v + 1)) * 1000000)
+                    AS BIGINT) AS logp
+        FROM counts, tot
+    ),
+    oov AS (
+        SELECT CAST(round(log2(1.0 / (total + v + 1)) * 1000000)
+                    AS BIGINT) AS logp
+        FROM tot
+    ),
+    ct AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents WHERE source <> 'src0'
+    ),
+    j AS (
+        SELECT c.doc_id, l.logp AS logp
+        FROM ct c LEFT JOIN lm l USING (token)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE logp IS NULL) AS n_oov,
+           CAST((-SUM(COALESCE(logp, (SELECT logp FROM oov)))) // COUNT(*)
+                AS BIGINT) AS bits_per_token_x1e6
+    FROM j GROUP BY doc_id
+"""
 
 ORACLE_SQL["line_dedup"] = """
     WITH d AS (
