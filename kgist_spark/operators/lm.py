@@ -26,31 +26,26 @@ from kgist_spark.operators.text import tokens
 LOGP_SCALE = 1_000_000
 
 
-def unigram_lm(reference: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add-one-smoothed unigram log-prob table from a reference corpus:
-    ``(token, logp_x1e6)`` with ``p(w) = (cnt(w)+1) / (total+V+1)``.
-    The ``+1`` in the denominator funds a single shared OOV bucket
-    (``oov_logp_x1e6`` = log2 of that bucket, computed by the caller via
-    :func:`oov_logp` from the same aggregates).
+def unigram_lm(reference: DataFrame, text_col: str = "text"):
+    """Add-one-smoothed unigram model from a reference corpus.
+
+    Returns ``(counts, denom)``: the raw ``(token, cnt)`` table and a
+    ONE-ROW ``(denom,)`` frame with ``denom = total + V + 1`` — the ``+1``
+    funds a single shared OOV bucket.  The scorer derives every log-prob
+    from these via ONE formula, ``log2(coalesce(cnt, 0) + 1) -
+    log2(denom)``, which covers in-vocabulary AND OOV tokens (cnt NULL ⇒
+    log2(1) = 0), so the model ships as one broadcast join + one one-row
+    crossJoin — no separate OOV plumbing, and the reference slice is
+    aggregated exactly twice (the counts table and its total), never four
+    times as a logp-table + scalar-subquery formulation costs.
 
     100 TB shape: trained ONCE on the (small, trusted) reference slice —
     one explode + one aggregation; at CCNet scale this side is a fixed
     artifact (a pruned top-K table), not per-run work."""
     tok = reference.select(F.explode(tokens(text_col)).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    totals = counts.agg(
-        F.sum("cnt").alias("total"), F.count("*").alias("v")
-    )
-    return counts.crossJoin(F.broadcast(totals)).select(
-        "token",
-        F.round(
-            F.log2((F.col("cnt") + 1) / (F.col("total") + F.col("v") + 1))
-            * LOGP_SCALE
-        )
-        .cast("long")
-        .alias("logp_x1e6"),
-        (F.col("total") + F.col("v") + 1).alias("denom"),
-    )
+    denom = counts.agg((F.sum("cnt") + F.count("*") + 1).alias("denom"))
+    return counts, denom
 
 
 def lm_score(
@@ -63,35 +58,41 @@ def lm_score(
     LM: ``(id, n_tokens, n_oov, bits_per_token_x1e6)`` — LOWER is more
     reference-like (the CCNet keep side).
 
-    One corpus pass: tokens explode, a BROADCAST left join against the LM
-    table (justified: the LM side is a fixed small artifact, like the
-    decontamination benchmark — never the corpus), per-document partial
-    aggregation collapses the exploded stream back to one row per document
-    before the only shuffle.  OOV tokens take the shared smoothing bucket's
-    log-prob.  All post-rounding arithmetic is integer, so the score is
-    independent of partitioning and execution order."""
-    lm = unigram_lm(reference, text_col)
-    # the OOV bucket's fixed-point log-prob, from the same aggregates the
-    # table rows used (one tiny action-free scalar subquery via crossJoin)
-    oov = lm.select(
-        F.round(F.log2(1.0 / F.col("denom")) * LOGP_SCALE)
-        .cast("long")
-        .alias("oov_logp_x1e6")
-    ).limit(1)
-    tok = corpus.select(
+    One corpus pass: tokens explode, a BROADCAST left join against the
+    count table (justified: the LM side is a fixed small artifact, like
+    the decontamination benchmark — never the corpus), per-document
+    partial aggregation collapses the exploded stream back to one row per
+    document before the only shuffle.  OOV tokens fall out of the same
+    ``coalesce(cnt, 0)`` formula as hits.  All post-rounding arithmetic is
+    integer, so the score is independent of partitioning and execution
+    order."""
+    from kgist_spark.operators.dedup import fan_out_scan
+
+    counts, denom = unigram_lm(reference, text_col)
+    tok = fan_out_scan(corpus.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("token")
     )
-    scored = tok.join(
-        F.broadcast(lm.select("token", "logp_x1e6")), "token", "left"
-    ).crossJoin(F.broadcast(oov))
+    scored = tok.join(F.broadcast(counts), "token", "left").crossJoin(
+        F.broadcast(denom)
+    )
+    logp = (
+        F.round(
+            (
+                F.log2(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                - F.log2(F.col("denom"))
+            )
+            * LOGP_SCALE
+        )
+        .cast("long")
+    )
     return (
         scored.groupBy(id_col)
         .agg(
             F.count("token").alias("n_tokens"),
-            F.count(F.when(F.col("logp_x1e6").isNull(), 1)).alias("n_oov"),
-            F.sum(
-                F.coalesce(F.col("logp_x1e6"), F.col("oov_logp_x1e6"))
-            ).alias("sum_logp"),
+            F.count(
+                F.when(F.col("token").isNotNull() & F.col("cnt").isNull(), 1)
+            ).alias("n_oov"),
+            F.sum(logp).alias("sum_logp"),
         )
         .select(
             F.col(id_col),

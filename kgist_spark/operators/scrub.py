@@ -48,7 +48,12 @@ def pii_scrub(
 
     100 TB shape: a pure per-row map — no shuffle, no Python workers, whole
     row pipeline stays inside one WholeStageCodegen span; scales linearly
-    with input splits."""
+    with input splits.  The conditional narrow-scan fan-out only fires on
+    a small-file corpus (the regex chain is the per-row cost here; a real
+    wide scan passes through untouched)."""
+    from kgist_spark.operators.dedup import fan_out_scan
+
+    docs = fan_out_scan(docs)
     cur = F.col(text_col)
     counts = []
     for name, pat, rep in patterns:
@@ -90,8 +95,10 @@ def line_dedup(
     At 10^12 lines you would key the frequency table by a 128-bit hash to
     cut shuffle bytes; a 64-bit key has a non-negligible birthday bound at
     that scale, and the raw string is exact, so exactness wins here."""
+    from kgist_spark.operators.dedup import fan_out_scan
+
     lines = F.split(F.col(text_col), "\n", -1)
-    exploded = docs.select(
+    exploded = fan_out_scan(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     )
     freq = (

@@ -1499,32 +1499,24 @@ ORACLE_SQL["lm_score"] = r"""
         FROM documents WHERE source = 'src0'
     ),
     counts AS (SELECT token, COUNT(*) AS cnt FROM rt GROUP BY token),
-    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM counts),
-    lm AS (
-        SELECT token,
-               CAST(round(log2((cnt + 1.0) / (total + v + 1)) * 1000000)
-                    AS BIGINT) AS logp
-        FROM counts, tot
-    ),
-    oov AS (
-        SELECT CAST(round(log2(1.0 / (total + v + 1)) * 1000000)
-                    AS BIGINT) AS logp
-        FROM tot
-    ),
+    d AS (SELECT SUM(cnt) + COUNT(*) + 1 AS denom FROM counts),
     ct AS (
         SELECT doc_id,
                unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         FROM documents WHERE source <> 'src0'
     ),
     j AS (
-        SELECT c.doc_id, l.logp AS logp
-        FROM ct c LEFT JOIN lm l USING (token)
+        SELECT c.doc_id,
+               CAST(round((log2(COALESCE(l.cnt, 0) + 1.0)
+                           - log2((SELECT denom FROM d))) * 1000000)
+                    AS BIGINT) AS logp,
+               l.cnt IS NULL AS oov
+        FROM ct c LEFT JOIN counts l USING (token)
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           COUNT(*) FILTER (WHERE logp IS NULL) AS n_oov,
-           CAST((-SUM(COALESCE(logp, (SELECT logp FROM oov)))) // COUNT(*)
-                AS BIGINT) AS bits_per_token_x1e6
+           COUNT(*) FILTER (WHERE oov) AS n_oov,
+           CAST((-SUM(logp)) // COUNT(*) AS BIGINT) AS bits_per_token_x1e6
     FROM j GROUP BY doc_id
 """
 

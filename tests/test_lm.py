@@ -21,15 +21,20 @@ def _docs(spark, rows):
 
 
 def _expected_logp(cnt, total, v):
-    return round(math.log2((cnt + 1) / (total + v + 1)) * LOGP_SCALE)
+    # the operator's exact arithmetic: log2(cnt+1) - log2(denom), rounded
+    # to fixed point (covers OOV via cnt=0)
+    return round(
+        (math.log2(cnt + 1) - math.log2(total + v + 1)) * LOGP_SCALE
+    )
 
 
 def test_unigram_lm_add_one(spark):
     ref = _docs(spark, [(1, "a a b")])
-    lm = {r["token"]: r["logp_x1e6"] for r in unigram_lm(ref).collect()}
+    counts_df, denom_df = unigram_lm(ref)
+    counts = {r["token"]: r["cnt"] for r in counts_df.collect()}
     # total=3 tokens, v=2 types, denom=6: p(a)=(2+1)/6, p(b)=(1+1)/6
-    assert lm["a"] == _expected_logp(2, 3, 2)
-    assert lm["b"] == _expected_logp(1, 3, 2)
+    assert counts == {"a": 2, "b": 1}
+    assert denom_df.collect()[0]["denom"] == 6
 
 
 def test_lm_score_hand_computed(spark):
@@ -37,7 +42,7 @@ def test_lm_score_hand_computed(spark):
     corpus = _docs(spark, [(10, "a b"), (11, "z z"), (12, "a z")])
     out = {r["doc_id"]: r for r in lm_score(corpus, ref).collect()}
     la, lb = _expected_logp(2, 3, 2), _expected_logp(1, 3, 2)
-    loov = round(math.log2(1 / 6) * LOGP_SCALE)
+    loov = _expected_logp(0, 3, 2)
     assert (out[10]["n_tokens"], out[10]["n_oov"]) == (2, 0)
     assert out[10]["bits_per_token_x1e6"] == (-(la + lb)) // 2
     assert (out[11]["n_tokens"], out[11]["n_oov"]) == (2, 2)
