@@ -70,6 +70,7 @@ def main():
         "pii_scrub",
         "line_dedup",
         "lm_score",
+        "part_triangles",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

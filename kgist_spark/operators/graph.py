@@ -289,3 +289,88 @@ def pred_degree_stats(triples: DataFrame) -> DataFrame:
         F.max("d").alias("max_deg"),
         F.expr("cast(sum(d) * 1000 div count(*) as long)").alias("avg_deg_x1000"),
     )
+
+
+def cooccur_edges(df: DataFrame, group_col: str, item_col: str,
+                  max_group: int = 64, drop_stats=None) -> DataFrame:
+    """Distinct undirected co-occurrence edges ``(a, b)`` between items
+    sharing at least one group (parts co-ordered, entities co-mentioned,
+    docs co-cited — the standard recsys/KG co-occurrence graph).
+
+    A hot group contributes O(k²) pairs — the same quadratic blowup as a
+    degenerate LSH bucket — so this delegates to
+    :func:`kgist_spark.operators.minhash.candidate_pairs` with the group as
+    the bucket: groups larger than ``max_group`` are sized and dropped
+    BEFORE any per-group collection (spill-safe window count, single
+    shuffle), and the drops ride an ``Observation`` on the result
+    (``._drop_stats``) — never silent.  At web scale a celebrity group
+    (one order/page/session touching 10⁶ items) would otherwise emit 10¹²
+    pairs from one task."""
+    items = df.select(
+        F.col(item_col).alias("id"),
+        F.lit(0).alias("band"),
+        F.col(group_col).alias("bucket"),
+    ).distinct()
+    from kgist_spark.operators import minhash as MH
+
+    return MH.candidate_pairs(items, max_bucket=max_group,
+                              drop_stats=drop_stats)
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle count of an undirected simple graph, as one row
+    ``(n_nodes, n_edges, n_triangles)``.
+
+    Degree orientation (the node-iterator bound): every edge is directed
+    from its lower-(degree, id) endpoint to the higher one, wedges are
+    enumerated by self-joining the ORIENTED edges on their source, and a
+    wedge closes iff its two far endpoints are an edge (semi-join against
+    the undirected edge set).  Out-degree under this orientation is
+    O(√m), so wedge count is O(m^1.5) REGARDLESS of skew — a celebrity
+    node of degree 10⁷ enumerates no wedges at all from its own
+    adjacency (every neighbor orients INTO it); the naive neighbor
+    self-join would emit 10¹⁴ wedge rows from that one key.  The oracle
+    runs the naive enumeration at test scale — hash equality of the count
+    proves the oriented rewrite."""
+    # normalize to id-ordered simple edges (callers may pass either
+    # orientation; self-loops can't be in a triangle)
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, "src")
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .select(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+    )
+    tri = wedges.join(e, ["a", "b"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    return (
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri)
+    )

@@ -781,6 +781,25 @@ def _pii_enriched_docs(spark, sf_dir):
     )
 
 
+#: co-occurrence group cap — shared by the Spark query and the oracle
+_COOCCUR_CAP = 32
+
+
+def q_part_triangles(spark, sf_dir):
+    """Triangle census of the part co-occurrence graph (parts sharing an
+    order): capped co-occurrence pair generation (hot groups dropped
+    two-phase, Observation-counted) feeding the degree-oriented exact
+    triangle count.  The oracle ENUMERATES the naive 3-way self-join —
+    hash equality of the count proves the O(m^1.5) oriented rewrite."""
+    from kgist_spark.operators.graph import cooccur_edges, triangle_count
+
+    edges = cooccur_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        max_group=_COOCCUR_CAP,
+    )
+    return triangle_count(edges)
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style unigram-LM quality scoring: bits-per-token of every
     corpus document under an add-one unigram LM trained on the src0 slice
@@ -864,6 +883,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
     "lm_score": q_lm_score,
+    "part_triangles": q_part_triangles,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1489,6 +1509,37 @@ def _pii_oracle() -> str:
 
 
 ORACLE_SQL["pii_scrub"] = _pii_oracle()
+
+# part_triangles: the oracle builds the same capped co-occurrence graph and
+# counts triangles by NAIVE 3-way enumeration (id-ordered a<b<c) — the Spark
+# side uses degree orientation; count equality proves the rewrite
+ORACLE_SQL["part_triangles"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem
+    ),
+    sizes AS (SELECT g, COUNT(*) AS n FROM items GROUP BY g),
+    keep AS (
+        SELECT it, i.g FROM items i JOIN sizes s ON i.g = s.g
+        WHERE s.n >= 2 AND s.n <= {_COOCCUR_CAP}
+    ),
+    ed AS (
+        SELECT DISTINCT x.it AS a, y.it AS b
+        FROM keep x JOIN keep y ON x.g = y.g AND x.it < y.it
+    ),
+    nodes AS (
+        SELECT COUNT(*) AS n_nodes
+        FROM (SELECT a AS v FROM ed UNION SELECT b FROM ed)
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM ed e1
+        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT (SELECT n_nodes FROM nodes) AS n_nodes,
+           (SELECT COUNT(*) FROM ed) AS n_edges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+"""
 
 # lm_score: add-one unigram LM trained on src0, scored over the rest; the
 # per-token log2 probs round to fixed-point BEFORE summing (both engines),
