@@ -71,6 +71,7 @@ def main():
         "line_dedup",
         "lm_score",
         "part_triangles",
+        "corpus_percentiles",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

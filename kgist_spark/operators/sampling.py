@@ -105,3 +105,81 @@ def domain_cap(df: DataFrame, key_col: str, domain_col: str, cap: int,
         df.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= cap)
     )
+
+
+def distribution_report(df: DataFrame, strata_col: str, value_col: str,
+                        percentiles=(0.25, 0.50, 0.75, 0.95)) -> DataFrame:
+    """EXACT interpolated percentiles of an integer-valued column per
+    stratum — ``(stratum, n_rows, p25, p50, p75, p95)`` — computed the
+    scale-safe way: a value HISTOGRAM plus a cumulative window, never a
+    per-group buffer of raw values.
+
+    Spark's built-in exact ``percentile`` aggregate buffers every value of
+    a group in one task's memory — the usual OOM on a 10^10-row stratum.
+    Here the only per-group state is one row per DISTINCT value: groupBy
+    (stratum, value) with map-side partials, a running count over the
+    value-ordered histogram, and each requested percentile resolved by
+    locating the two bracketing positions ``floor/ceil(p * (n-1))`` in the
+    cumulative ranges (a broadcast non-equi join of 4 target rows per
+    stratum against the histogram).  Interpolation is the standard
+    ``lo + frac * (hi - lo)`` — exactly DuckDB's ``quantile_cont``, which
+    the oracle uses, so the report is hash-checkable.  For a stratum whose
+    DISTINCT-value count itself explodes (true continuous data), the
+    escape is pre-bucketing values to fixed precision — the same plan with
+    a documented quantization error instead of a memory bound."""
+    from pyspark.sql.window import Window
+
+    s, v = F.col(strata_col), F.col(value_col)
+    hist = df.groupBy(strata_col, value_col).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranges = hist.select(
+        s.alias("stratum"), v.cast("double").alias("val"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("lo_pos"),
+        (F.sum("cnt").over(w) - 1).alias("hi_pos"),
+    )
+    totals = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
+    targets = totals.select(
+        s.alias("stratum"), "n_rows",
+        F.explode(F.array(*[F.lit(float(p)) for p in percentiles])).alias("p"),
+    ).select(
+        "stratum", "n_rows", "p",
+        (F.col("p") * (F.col("n_rows") - 1)).alias("r"),
+    ).select(
+        "stratum", "n_rows", "p",
+        F.floor("r").alias("k_lo"), F.ceil("r").alias("k_hi"),
+        (F.col("r") - F.floor("r")).alias("frac"),
+    )
+    lo = ranges.select(
+        F.col("stratum").alias("s_lo"), F.col("val").alias("v_lo"),
+        F.col("lo_pos").alias("lo_from"), F.col("hi_pos").alias("lo_to"),
+    )
+    hi = ranges.select(
+        F.col("stratum").alias("s_hi"), F.col("val").alias("v_hi"),
+        F.col("lo_pos").alias("hi_from"), F.col("hi_pos").alias("hi_to"),
+    )
+    vals = (
+        F.broadcast(targets)
+        .join(lo, (F.col("stratum") == F.col("s_lo"))
+              & (F.col("lo_from") <= F.col("k_lo"))
+              & (F.col("k_lo") <= F.col("lo_to")))
+        .join(hi, (F.col("stratum") == F.col("s_hi"))
+              & (F.col("hi_from") <= F.col("k_hi"))
+              & (F.col("k_hi") <= F.col("hi_to")))
+        .select(
+            "stratum", "n_rows", "p",
+            F.round(
+                F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo")),
+                5,
+            ).alias("val"),
+        )
+    )
+    aggs = [
+        F.max(F.when(F.col("p") == float(p), F.col("val")))
+        .alias(f"p{int(round(p * 100))}")
+        for p in percentiles
+    ]
+    return vals.groupBy("stratum").agg(F.max("n_rows").alias("n_rows"), *aggs)

@@ -781,6 +781,19 @@ def _pii_enriched_docs(spark, sf_dir):
     )
 
 
+def q_corpus_percentiles(spark, sf_dir):
+    """Per-language document-length distribution report: exact interpolated
+    percentiles computed scale-safely (value histogram + cumulative window
+    — never a per-group buffer of raw values, unlike Spark's built-in
+    exact percentile aggregate); the oracle is DuckDB's native
+    quantile_cont, whose interpolation the histogram walk reproduces."""
+    from kgist_spark.operators.sampling import distribution_report
+
+    return distribution_report(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars"
+    ).withColumnRenamed("stratum", "lang")
+
+
 #: co-occurrence group cap — shared by the Spark query and the oracle
 _COOCCUR_CAP = 32
 
@@ -884,6 +897,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "lm_score": q_lm_score,
     "part_triangles": q_part_triangles,
+    "corpus_percentiles": q_corpus_percentiles,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1509,6 +1523,16 @@ def _pii_oracle() -> str:
 
 
 ORACLE_SQL["pii_scrub"] = _pii_oracle()
+
+ORACLE_SQL["corpus_percentiles"] = """
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           round(quantile_cont(n_chars, 0.25), 5) AS p25,
+           round(quantile_cont(n_chars, 0.50), 5) AS p50,
+           round(quantile_cont(n_chars, 0.75), 5) AS p75,
+           round(quantile_cont(n_chars, 0.95), 5) AS p95
+    FROM documents GROUP BY lang
+"""
 
 # part_triangles: the oracle builds the same capped co-occurrence graph and
 # counts triangles by NAIVE 3-way enumeration (id-ordered a<b<c) — the Spark

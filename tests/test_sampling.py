@@ -116,3 +116,53 @@ def test_domain_cap_deterministic_and_capped(spark):
     for _, dom, _ in out1:
         counts[dom] = counts.get(dom, 0) + 1
     assert all(v == 4 for v in counts.values())
+
+
+# ---------------------------------------------------------------------------
+# distribution_report: exact percentiles via histogram + cumulative window
+# ---------------------------------------------------------------------------
+
+def test_distribution_report_hand_computed(spark):
+    from kgist_spark.operators.sampling import distribution_report
+
+    # stratum A: values [1,2,2,10] (n=4): r(p25)=0.75 -> 1 + 0.75*(2-1)=1.75;
+    # r(p50)=1.5 -> 2.0 (both bracketing positions inside the value-2 run);
+    # r(p75)=2.25 -> 2 + 0.25*(10-2)=4.0; r(p95)=2.85 -> 2+0.85*8=8.8
+    # stratum B: single value
+    rows = [("A", 1), ("A", 2), ("A", 2), ("A", 10), ("B", 7)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    out = {r["stratum"]: r for r in distribution_report(df, "s", "v").collect()}
+    a = out["A"]
+    assert (a["n_rows"], a["p25"], a["p50"], a["p75"], a["p95"]) == (
+        4, 1.75, 2.0, 4.0, 8.8)
+    b = out["B"]
+    assert (b["n_rows"], b["p25"], b["p50"], b["p75"], b["p95"]) == (
+        1, 7.0, 7.0, 7.0, 7.0)
+
+
+def test_distribution_report_matches_builtin_percentile(spark):
+    # the histogram walk must reproduce Spark's exact percentile aggregate
+    # (which buffers raw values — the thing this operator avoids)
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kgist_spark.operators.sampling import distribution_report
+
+    rng = random.Random(7)
+    rows = [(f"s{rng.randrange(3)}", rng.randrange(50)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    got = {r["stratum"]: r for r in distribution_report(df, "s", "v").collect()}
+    want = {
+        r["s"]: r
+        for r in df.groupBy("s")
+        .agg(*[
+            F.round(F.expr(f"percentile(v, {p})"), 5).alias(f"p{int(p*100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ])
+        .collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        for c in ("p25", "p50", "p75", "p95"):
+            assert got[s][c] == want[s][c], (s, c, got[s][c], want[s][c])
