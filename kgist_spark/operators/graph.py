@@ -317,7 +317,8 @@ def cooccur_edges(df: DataFrame, group_col: str, item_col: str,
                               drop_stats=drop_stats)
 
 
-def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b",
+                   broadcast_max_edges: int = 5_000_000) -> DataFrame:
     """Exact triangle count of an undirected simple graph, as one row
     ``(n_nodes, n_edges, n_triangles)``.
 
@@ -331,9 +332,21 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     adjacency (every neighbor orients INTO it); the naive neighbor
     self-join would emit 10¹⁴ wedge rows from that one key.  The oracle
     runs the naive enumeration at test scale — hash equality of the count
-    proves the oriented rewrite."""
+    proves the oriented rewrite.
+
+    The closure join is the wedge stream's only wide op (|wedges| ≈ 30×
+    |edges| on the sf0.1 co-order graph) — when the MEASURED edge count
+    fits ``broadcast_max_edges`` the edge set broadcasts and the wedges
+    never shuffle (the size-gated pattern of :func:`pagerank_fixed_point`;
+    never forced — above the gate the join falls back to hash-shuffle,
+    where AQE's skew split handles a hot wedge key)."""
     # normalize to id-ordered simple edges (callers may pass either
-    # orientation; self-loops can't be in a triangle)
+    # orientation; self-loops can't be in a triangle); the edge set is
+    # consumed by FIVE plan branches (degree both endpoints, orientation,
+    # the closure join, the edge count) — pin it once or an expensive
+    # upstream (capped co-occurrence pair generation) re-executes per
+    # branch; the count for the broadcast gate (and the output's n_edges)
+    # reads the pinned data, not the upstream
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("a"),
@@ -341,7 +354,9 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
+    m = e.count()
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -366,11 +381,13 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .where(F.col("x.dst") < F.col("y.dst"))
         .select(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
     )
-    tri = wedges.join(e, ["a", "b"]).agg(
+    closure = F.broadcast(e) if m <= broadcast_max_edges else e
+    tri = wedges.join(closure, ["a", "b"]).agg(
         F.count("*").alias("n_triangles")
     )
     return (
         deg.agg(F.count("*").alias("n_nodes"))
-        .crossJoin(e.agg(F.count("*").alias("n_edges")))
         .crossJoin(tri)
+        .select("n_nodes", F.lit(m).cast("long").alias("n_edges"),
+                "n_triangles")
     )
