@@ -357,14 +357,23 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b",
         .localCheckpoint()
     )
     m = e.count()
+    # the degree table feeds THREE consumers (both orientation joins and
+    # the node count) — pin it, or the 2|E|-row aggregation re-runs per
+    # consumer; it is one row per node (narrower than the edges), so the
+    # same measured gate that broadcasts e also lets the orientation joins
+    # broadcast it, leaving the wedge self-join as the census's only
+    # edge-scale shuffle
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    if m <= broadcast_max_edges:
+        da, db = F.broadcast(da), F.broadcast(db)
     a_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
