@@ -72,6 +72,7 @@ def main():
         "lm_score",
         "part_triangles",
         "corpus_percentiles",
+        "incident_clicks",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

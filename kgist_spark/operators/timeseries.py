@@ -113,3 +113,47 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
         .withColumn(out_col, F.col("_asof_w.v"))
         .drop("_side", "_asof_w")
     )
+
+
+def range_join_pairs(intervals: DataFrame, probes: DataFrame,
+                     start_col: str = "start", end_col: str = "end",
+                     ts_col: str = "ts", bin_seconds: int = 600) -> DataFrame:
+    """Bucketized interval join: every (interval, probe) pair with
+    ``start <= probe.ts < end`` — the half-open window — WITHOUT the
+    O(|intervals| · |probes|) nested-loop plan Spark picks for a raw
+    theta join (``BroadcastNestedLoopJoin`` compares every probe against
+    every interval; at 10^9 rows each side that is 10^18 comparisons).
+
+    The classic banding rewrite: intervals explode to the fixed-width
+    time bins they overlap (``O(len/bin)`` rows each), probes map to their
+    single bin, the join is a plain hash EQUI-join on the bin, and the
+    exact window predicate filters the candidates.  Each qualifying pair
+    meets in exactly one bin (the probe's), so no dedup pass is needed.
+    Bin width trades interval fan-out against candidate precision; at
+    web scale you band on (entity key, bin) so a global burst second
+    doesn't concentrate one key — a hot bin here is AQE skew-join
+    territory, and the pair stream should flow straight into a partial
+    aggregation (see ``q_incident_clicks``), never materialize.
+
+    Binning truncates to whole seconds (monotone, so a probe inside the
+    window always lands in a covered bin); the filter compares the raw
+    full-precision timestamps.  Columns collide by name? Alias before
+    calling."""
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds),
+            )
+        ),
+    )
+    pb = probes.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds)
+    )
+    return (
+        ib.join(pb, "_bin")
+        .where((F.col(ts_col) >= F.col(start_col))
+               & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bin")
+    )

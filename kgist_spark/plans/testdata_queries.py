@@ -781,6 +781,35 @@ def _pii_enriched_docs(spark, sf_dir):
     )
 
 
+def q_incident_clicks(spark, sf_dir):
+    """Banded interval join: every error event opens a 10-minute incident
+    window; count the clicks (any user) falling inside it and their
+    fixed-point value sum.  The bin equi-join replaces the
+    BroadcastNestedLoopJoin a raw theta join plans; errors with no clicks
+    keep a zero row (left fill).  Value cents are summed as integers —
+    order-free, hash-exact."""
+    from kgist_spark.operators.timeseries import range_join_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    pairs = range_join_pairs(incidents, clicks, bin_seconds=600)
+    hits = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum("cents").alias("click_value_x100"),
+    )
+    return incidents.select("event_id").join(hits, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("click_value_x100", F.lit(0)).alias("click_value_x100"),
+    )
+
+
 def q_corpus_percentiles(spark, sf_dir):
     """Per-language document-length distribution report: exact interpolated
     percentiles computed scale-safely (value histogram + cumulative window
@@ -898,6 +927,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "part_triangles": q_part_triangles,
     "corpus_percentiles": q_corpus_percentiles,
+    "incident_clicks": q_incident_clicks,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1523,6 +1553,24 @@ def _pii_oracle() -> str:
 
 
 ORACLE_SQL["pii_scrub"] = _pii_oracle()
+
+# incident_clicks: the oracle runs the RAW theta join the banding rewrite
+# avoids — result equality proves the bin cover is exact
+ORACLE_SQL["incident_clicks"] = """
+    WITH inc AS (
+        SELECT event_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+        FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+        SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT i.event_id,
+           COUNT(c.ts) AS n_clicks,
+           CAST(COALESCE(SUM(c.cents), 0) AS BIGINT) AS click_value_x100
+    FROM inc i LEFT JOIN clk c ON c.ts >= i.s AND c.ts < i.e
+    GROUP BY i.event_id
+"""
 
 ORACLE_SQL["corpus_percentiles"] = """
     SELECT lang,

@@ -142,3 +142,89 @@ def test_sessionize_fractional_gap_boundary(spark):
     got = {r["session_seq"]: r["n_events"]
            for r in sessionize(ev, gap_minutes=8.3).collect()}
     assert got == {1: 2, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# banded interval join
+# ---------------------------------------------------------------------------
+
+def _dt(s):
+    import datetime
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_range_join_boundaries(spark):
+    from kgist_spark.operators.timeseries import range_join_pairs
+
+    intervals = spark.createDataFrame(
+        [(1, _dt("2024-01-01 00:00:00"), _dt("2024-01-01 00:10:00"))],
+        "iid long, start timestamp, end timestamp",
+    )
+    probes = spark.createDataFrame(
+        [(10, _dt("2024-01-01 00:00:00")),     # == start: IN (inclusive)
+         (11, _dt("2024-01-01 00:09:59.999999")),  # just inside
+         (12, _dt("2024-01-01 00:10:00")),     # == end: OUT (exclusive)
+         (13, _dt("2023-12-31 23:59:59"))],    # before
+        "pid long, ts timestamp",
+    )
+    got = sorted(
+        r["pid"] for r in range_join_pairs(intervals, probes).collect()
+    )
+    assert got == [10, 11]
+
+
+def test_range_join_equals_naive_theta_join(spark):
+    # seeded fuzz: banding with a bin width much smaller than (and not
+    # dividing) the interval lengths must reproduce the raw theta join
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kgist_spark.operators.timeseries import range_join_pairs
+
+    rng = random.Random(11)
+    base = datetime.datetime(2024, 1, 1)
+    intervals = [
+        (i, base + datetime.timedelta(seconds=rng.randrange(3600)),)
+        for i in range(40)
+    ]
+    intervals = [
+        (i, s, s + datetime.timedelta(seconds=rng.randrange(30, 900)))
+        for (i, s) in intervals
+    ]
+    probes = [
+        (j, base + datetime.timedelta(
+            seconds=rng.randrange(4000), microseconds=rng.randrange(10**6)))
+        for j in range(300)
+    ]
+    idf = spark.createDataFrame(intervals, "iid long, start timestamp, end timestamp")
+    pdf = spark.createDataFrame(probes, "pid long, ts timestamp")
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in range_join_pairs(idf, pdf, bin_seconds=64).collect()
+    )
+    want = sorted(
+        (r["iid"], r["pid"])
+        for r in idf.crossJoin(pdf)
+        .where((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_range_join_plan_is_equi_join(spark):
+    # the whole point: the physical plan must be a hash equi-join on the
+    # bin, never a BroadcastNestedLoopJoin over the raw theta predicate
+    from kgist_spark.operators.timeseries import range_join_pairs
+
+    intervals = spark.createDataFrame(
+        [(1, _dt("2024-01-01 00:00:00"), _dt("2024-01-01 00:10:00"))],
+        "iid long, start timestamp, end timestamp",
+    )
+    probes = spark.createDataFrame(
+        [(10, _dt("2024-01-01 00:05:00"))], "pid long, ts timestamp"
+    )
+    plan = range_join_pairs(intervals, probes)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
