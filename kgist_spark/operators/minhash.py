@@ -154,7 +154,17 @@ def log_drop_stats(observation, context: str) -> dict:
     import logging
 
     observation = getattr(observation, "_drop_stats", observation)
-    got = dict(observation.get)
+    try:
+        got = dict(observation.get)
+    except Exception:
+        # a degenerate input (e.g. a one-document corpus) can collapse the
+        # observed subtree to a LocalRelation before execution — the
+        # observation row then never materializes and the JVM-side fetch
+        # asserts.  Nothing flowed, so nothing was dropped.
+        logging.getLogger(__name__).debug(
+            "%s: drop observation unavailable (plan collapsed on a "
+            "degenerate input); treating as zero drops", context)
+        return {}
     if got.get("dropped_buckets"):
         logging.getLogger(__name__).warning(
             "%s: dropped %d hot buckets (%d id occurrences) over max_bucket — "
