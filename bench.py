@@ -60,9 +60,11 @@ def main():
         "bpe_tokens",
         "bpe_real_tokens",
         "neardup_clusters",
+        "curate",
         "user_sessions",
         "asof_enrich",
         "dedup_embedding",
+        "semdedup_pairs",
         "kg_degree_stats",
         "kg_path2_stats",
         "kg_pagerank",

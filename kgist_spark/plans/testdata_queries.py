@@ -897,6 +897,26 @@ def q_curate_summary(spark, sf_dir):
     )
 
 
+def q_embedding_kmeans(spark, sf_dir):
+    """Fixed-point Lloyd k-means cell assignment over the embeddings table
+    (all-integer arithmetic — bit-identical at any parallelism and
+    replayed by iteration-unrolled DuckDB CTEs, the PageRank pattern)."""
+    from kgist_spark.operators.kmeans import kmeans_fit
+
+    assigned, _ = kmeans_fit(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
+    return assigned
+
+
+def q_semdedup_pairs(spark, sf_dir):
+    """SemDeDup: exact-cosine near-dup pairs restricted to k-means cells
+    (the blocking structure that keeps per-cell work O((n/k)²))."""
+    from kgist_spark.operators.kmeans import semdedup_pairs
+
+    return semdedup_pairs(_t(spark, sf_dir, "embeddings"),
+                          k=8, n_iter=3, threshold=0.4)
+
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -950,6 +970,8 @@ QUERIES = {
     "incident_clicks": q_incident_clicks,
     "curate": q_curate,
     "curate_summary": q_curate_summary,
+    "embedding_kmeans": q_embedding_kmeans,
+    "semdedup_pairs": q_semdedup_pairs,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1902,6 +1924,72 @@ def model_rules_oracle_sql(kind: str, sf_dir: str | None = None) -> str:
     SELECT rule, CAST(n_cas AS BIGINT) AS n_cas, CAST(n_edges AS BIGINT) AS n_edges
     FROM (VALUES {values}) AS t(rule, n_cas, n_edges)
     WHERE (SELECT ok FROM sf_guard) = 1
+"""
+
+
+def _kmeans_cte_chain(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """The fixed-point k-means iterations as chained CTEs ending in ``af``
+    (the final assignment) — every constant imported from
+    :mod:`kgist_spark.operators.kmeans` so the engines cannot drift.
+    Positive offset space makes DuckDB ``//`` equal Spark ``div``."""
+    from kgist_spark.operators.kmeans import KM_OFFSET, KM_SCALE
+
+    def assign(name, cents):
+        return f"""{name} AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT x.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                       list_sum([(x.e[j] - c.c[j]) * (x.e[j] - c.c[j])
+                                 FOR j IN generate_series(1, {dim})]),
+                       c.cid) AS rn
+            FROM e x CROSS JOIN {cents} c
+        ) WHERE rn = 1)"""
+
+    ctes = [
+        f"""e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(round(x * {KM_SCALE}.0) AS BIGINT) + {KM_OFFSET}) AS e
+        FROM embeddings)""",
+        f"""c0 AS (
+        SELECT CAST(rn - 1 AS INT) AS cid, e AS c FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM e
+        ) WHERE rn <= {k})""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(f"""c{i} AS (
+        SELECT p.cid, COALESCE(m.c, p.c) AS c
+        FROM c{i - 1} p LEFT JOIN (
+            SELECT cluster AS cid, list(m ORDER BY d) AS c FROM (
+                SELECT cluster, d, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+                FROM (
+                    SELECT a.cluster, unnest(e.e) AS v,
+                           generate_subscripts(e.e, 1) AS d
+                    FROM a{i} a JOIN e USING (vec_id)
+                ) GROUP BY cluster, d
+            ) GROUP BY cluster
+        ) m ON p.cid = m.cid)""")
+    ctes.append(assign("af", f"c{n_iter}"))
+    return "WITH " + ",\n".join(ctes)
+
+
+ORACLE_SQL["embedding_kmeans"] = (
+    _kmeans_cte_chain() + "\nSELECT vec_id, cluster FROM af"
+)
+
+ORACLE_SQL["semdedup_pairs"] = _kmeans_cte_chain() + """
+    SELECT a, b, cluster, cosine FROM (
+        SELECT al.vec_id AS a, ar.vec_id AS b, al.cluster,
+               round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))),
+                     5) AS cosine
+        FROM af al
+        JOIN af ar ON al.cluster = ar.cluster AND al.vec_id < ar.vec_id
+        JOIN embeddings l ON l.vec_id = al.vec_id
+        JOIN embeddings r ON r.vec_id = ar.vec_id
+    ) WHERE cosine >= 0.4
 """
 
 
