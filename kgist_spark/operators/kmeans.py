@@ -109,17 +109,44 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
 
 def semdedup_pairs(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
                    threshold: float = 0.4, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding", max_cell: int = 100_000,
+                   drop_stats=None) -> DataFrame:
     """SemDeDup: exact-cosine near-duplicate pairs restricted to k-means
     cells — ``(a, b, cluster, cosine)`` with cosine rounded to 5 decimals
     and ``a < b``.  The cell equi-join is the blocking structure: per-cell
     candidate volume is O((n/k)²) and the cosine runs JVM-side on the
     joined rows (same expression class as ``cosine_topk``, whose oracle
-    parity pins the rounding)."""
+    parity pins the rounding).
+
+    ``max_cell`` guards the same quadratic hazard every capped LSH path
+    guards: a degenerate cell (a near-constant embedding region, or a k
+    chosen far too small for the corpus) would make the self-join emit
+    O(cell²) rows from one key.  Over-cap cells are excluded BEFORE the
+    join (two-phase — sizes first, never a collect of members) and the
+    loss is counted on ``drop_stats`` (an ``Observation``; readable after
+    the first action with zero extra jobs — no silent caps)."""
     from kgist_spark.operators.similarity import _dot, _norm
 
     assigned, _ = kmeans_fit(embeddings, k=k, n_iter=n_iter,
                              id_col=id_col, vec_col=vec_col)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cell_n"))
+    if drop_stats is not None:
+        # one row per cell here, so plain sums count the drops (observed
+        # metrics reject distinct aggregates)
+        over = F.col("cell_n") > max_cell
+        sizes = sizes.observe(
+            drop_stats,
+            F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("dropped_cells"),
+            F.coalesce(
+                F.sum(F.when(over, F.col("cell_n")).otherwise(0)), F.lit(0)
+            ).alias("dropped_ids"),
+        ).localCheckpoint()
+        # ^ the eager checkpoint (a k-row job) fires the observation
+        # unconditionally: left inside the pair query, AQE's empty-relation
+        # propagation ELIMINATES the observe node whenever the capped join
+        # comes back empty — losing the metric exactly when everything was
+        # dropped.  The join below reuses the materialized sizes.
+    assigned = assigned.join(sizes, "cluster").where(F.col("cell_n") <= max_cell)
     side = embeddings.join(assigned, id_col).select(
         F.col(id_col), F.col("cluster"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

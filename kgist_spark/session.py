@@ -29,6 +29,17 @@ def get_spark(app_name: str = "kgist_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep AQE, but NOT its empty-relation propagation: the rewrite
+        # deletes CollectMetrics nodes when a downstream stage turns out
+        # empty, so Observation.get throws and every capped path's drop
+        # accounting is lost EXACTLY in the all-candidates-dropped case
+        # (e.g. every LSH bucket hot) — breaking the engine's no-silent-caps
+        # contract.  Empty propagation only ever optimizes already-empty
+        # (already cheap) plans, so excluding it costs nothing measurable.
+        .config(
+            "spark.sql.adaptive.optimizer.excludedRules",
+            "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # JDK17 defaults to G1, which is pathological for this workload's
         # allocation pattern (wide hash aggregations over short-lived string

@@ -585,3 +585,29 @@ def test_malformed_payloads_yield_ok_false_not_task_failure(spark):
     )
     got_a = {r["media_id"]: r["ok"] for r in extract_audio_features(audio).collect()}
     assert got_a == {4: False, 5: False}
+
+
+def test_drop_accounting_survives_all_hot_buckets(spark):
+    """Regression: AQE's empty-relation propagation used to DELETE the
+    CollectMetrics node whenever every LSH bucket was hot (the capped join
+    came back empty), so Observation.get threw and the drop counts were
+    lost exactly when everything was dropped — a silent cap.  The session
+    excludes AQEPropagateEmptyRelation (kgist_spark.session) so the
+    metrics must survive the all-dropped case."""
+    from pyspark.sql import Observation
+
+    import kgist_spark.operators.minhash as MH
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact text repeated verbatim for every document")
+         for i in range(80)],
+        ["doc_id", "text"],
+    )
+    buckets = MH.lsh_buckets(
+        MH.minhash_signatures(MH.word_shingles(docs, "doc_id", "text")), 8, 4
+    )
+    obs = Observation()
+    pairs = MH.candidate_pairs(buckets, max_bucket=5, drop_stats=obs)
+    assert pairs.count() == 0  # every bucket over-cap -> nothing survives
+    got = MH.log_drop_stats(obs, "test_all_hot")
+    assert got["dropped_buckets"] == 8 and got["dropped_ids"] == 640

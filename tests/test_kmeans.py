@@ -95,3 +95,22 @@ def test_semdedup_equals_in_cell_brute_force(blobs):
         if a < b and cell[a] == cell[b] and cos(rows[a], rows[b]) >= 0.9
     }
     assert got == want and got  # exact set equality, non-empty
+
+
+def test_semdedup_cell_cap_drops_are_observed(blobs, spark):
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    # cap below the blob size (8): every cell is over-cap -> zero pairs,
+    # and the observation reports exactly what was dropped
+    out = semdedup_pairs(blobs, k=3, n_iter=3, threshold=0.9,
+                         max_cell=4, drop_stats=obs)
+    assert out.count() == 0
+    got = dict(obs.get)
+    assert got["dropped_cells"] == 3 and got["dropped_ids"] == 24
+    # generous cap: nothing dropped, pairs return
+    obs2 = Observation()
+    out2 = semdedup_pairs(blobs, k=3, n_iter=3, threshold=0.9,
+                          max_cell=100, drop_stats=obs2)
+    assert out2.count() > 0
+    assert dict(obs2.get)["dropped_cells"] == 0
