@@ -88,6 +88,7 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
         [int(v) for v in r["e"]]
         for r in fp.orderBy(id_col).limit(k).collect()
     ]
+    k = len(cents)  # a corpus smaller than k seeds fewer cells
     for _ in range(n_iter):
         assigned = _assign(fp, cents)
         rows = (

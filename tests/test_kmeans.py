@@ -76,6 +76,16 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     assert len(cents) == 2  # no crash, both centroids present
 
 
+def test_k_larger_than_corpus(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = kmeans_fit(df, k=8, n_iter=2)
+    assert len(cents) == 2  # seeds clamp to the corpus size
+    assert assigned.count() == 2
+
+
 def test_semdedup_equals_in_cell_brute_force(blobs):
     got = {(r["a"], r["b"]) for r in
            semdedup_pairs(blobs, k=3, n_iter=3, threshold=0.9).collect()}
