@@ -25,30 +25,84 @@ parallelism AND replayable in ANSI SQL):
 * Iteration count is FIXED (no convergence float test); the DuckDB oracle
   unrolls it as chained CTEs exactly like ``pagerank_oracle_sql``.
 
-Scale shape: each assignment pass is ONE in-row projection against k
-literal centroid arrays (zero shuffle — the IVF pattern); each update is
-one posexplode + grouped integer aggregation (k × dim result rows, a few
-KB collected to the driver per iteration).  Bounds: |x| ≤ 2 pre-scale
-(offset dominance), cluster size ≤ ~3e12 rows (sum fits int64).
+Scale shape — TWO gated assignment strategies, same arithmetic:
+
+* ``k ≤ large_k_gate`` (**literal path**): each assignment pass is ONE
+  in-row projection against k literal centroid arrays (zero shuffle — the
+  IVF pattern) and the update collects the k × dim grouped means to the
+  driver.  Cheapest at small k; the expression tree and the per-iteration
+  driver transfer both grow with k × dim, which is exactly what breaks at
+  the SemDeDup-realistic k ≈ n / cell_size (10⁴-10⁵ on a web corpus:
+  ~10⁷ literals in one SQL expression — parser/codegen/driver blowup).
+* ``k > large_k_gate`` (**table path**): centroids live in a k-row
+  DataFrame ``(cid, c: array<long>)`` that is packed into ONE array-of-
+  structs row and broadcast; assignment is the SAME
+  ``array_min(transform(...))`` integer argmin, but over the broadcast
+  column instead of literals — the plan is O(1) in k, centroids travel as
+  DATA.  The update never leaves the cluster: grouped integer means are
+  re-assembled into the next centroid table (k rows) and
+  ``localCheckpoint``-ed; the driver transfers O(k) rows ONCE at the end
+  (the returned centroid list), never per iteration.
+
+Both paths share the seed rule, the offset-space arithmetic, and the
+struct-min tie-break, so they are bit-identical on the same input
+(pinned by a test) and the DuckDB oracle replays either.  Bounds:
+``KM_MIN_X ≤ x ≤ KM_MAX_X`` pre-scale (offset positivity below, int64
+headroom above — ENFORCED in :func:`_fp`, because a violation silently
+de-syncs Spark's truncating ``div`` from DuckDB's flooring ``//`` on
+negative operands), cluster size ≤ ~9e9 rows at the max operand (sum
+fits int64).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: micro-units per 1.0 of embedding value
 KM_SCALE = 1_000_000
 #: added to every scaled component so all fixed-point operands are positive
 KM_OFFSET = 1 << 21
+#: pre-scale input bounds enforced by :func:`_fp`.  The LOWER bound is the
+#: one that guards cross-engine parity: x < -OFFSET/SCALE makes the offset
+#: operand negative, where Spark's truncating ``div`` and DuckDB's flooring
+#: ``//`` disagree.  The upper bound keeps (a-b)² and per-cluster sums
+#: comfortably inside int64 (x ≤ 1e3 → operand ≤ ~1e9 → squared diff ≤
+#: ~4e18... headroom retained by the margin below).
+KM_MIN_X = -(KM_OFFSET / KM_SCALE)  # ≈ -2.097152
+KM_MAX_X = 1000.0
+#: above this k, assignment switches from k literal arrays in the plan to a
+#: broadcast centroid TABLE (plan size O(1) in k, update stays distributed)
+LARGE_K_GATE = 256
 
 
 def _fp(vec_col: str):
-    """array<float> -> array<long> in positive fixed-point offset space."""
+    """array<float> -> array<long> in positive fixed-point offset space.
+
+    Enforces ``KM_MIN_X ≤ x ≤ KM_MAX_X``: below the lower bound the scaled
+    value overruns the offset, operands go negative, and Spark ``div``
+    (truncate) diverges from DuckDB ``//`` (floor) — a silent cross-engine
+    parity break; above the upper bound squared distances risk int64
+    overflow.  The guard is a JVM-side ``assert_true`` folded into the
+    arithmetic as ``+ 0`` (coalesce of its NULL-on-success), so the checked
+    plan stays one codegen projection."""
+    guard_msg = (
+        f"kmeans fixed-point input out of range: x must be in "
+        f"[{KM_MIN_X}, {KM_MAX_X}] (offset-space positivity / int64 "
+        f"headroom; rescale embeddings before kmeans_fit)"
+    )
     return F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * KM_SCALE).cast("long")
-        + F.lit(KM_OFFSET).cast("long"),
+        + F.lit(KM_OFFSET).cast("long")
+        + F.coalesce(
+            F.assert_true(
+                (x.cast("double") >= KM_MIN_X)
+                & (x.cast("double") <= KM_MAX_X),
+                F.lit(guard_msg),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ),
     )
 
 
@@ -59,7 +113,8 @@ def _assign(fp_df: DataFrame, cents: list) -> DataFrame:
     equivalent Column-algebra construction costs one py4j round trip per
     literal (k × dim of them) and measured ~2 s PER ITERATION at k=8,
     dim=64 before any row was touched; one expr string parses JVM-side in
-    milliseconds."""
+    milliseconds.  Small-k only — the expression tree grows with k × dim;
+    :func:`_assign_table` is the same argmin over a broadcast TABLE."""
     parts = []
     for cid, c in enumerate(cents):
         arr = ",".join(f"{int(v)}L" for v in c)
@@ -73,8 +128,64 @@ def _assign(fp_df: DataFrame, cents: list) -> DataFrame:
     )
 
 
+#: the table-path argmin: identical struct-min/tie-break semantics to
+#: :func:`_assign`, but iterating a broadcast ``cents`` column (array of
+#: ``(cid, c)`` structs, sorted by cid) instead of k inlined literals —
+#: the parsed plan is O(1) in k.
+_ASSIGN_TABLE_EXPR = (
+    "array_min(transform(cents, ct -> named_struct("
+    "'dist', aggregate(zip_with(e, ct.c, (a, b) -> (a - b) * (a - b)),"
+    " 0L, (acc, x) -> acc + x),"
+    " 'cid', ct.cid))).cid"
+)
+
+
+def _pack_cents(cent_df: DataFrame) -> DataFrame:
+    """k-row ``(cid, c)`` table -> ONE row ``cents: array<struct<cid,c>>``
+    sorted by cid (array_sort on structs orders by the first field, so the
+    argmin's first-wins tie-break sees ascending cids — same order the
+    literal path enumerates)."""
+    return cent_df.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+    )
+
+
+def _assign_table(fp_df: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Large-k assignment: broadcast the packed centroid row into a
+    nested-loop join (1 row — no shuffle of ``fp_df``) and run the shared
+    integer argmin over it.  Centroids travel as DATA, so the plan neither
+    re-parses nor re-compiles as k grows."""
+    return (
+        fp_df.join(F.broadcast(_pack_cents(cent_df)))
+        .withColumn("cluster", F.expr(_ASSIGN_TABLE_EXPR))
+        .drop("cents")
+    )
+
+
+def _update_table(assigned: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Distributed Lloyd update: grouped integer means re-assembled into
+    the next ``(cid, c)`` table.  Empty clusters keep their previous
+    centroid via the left join — nothing is collected to the driver."""
+    new = (
+        assigned.select("cluster", F.posexplode("e").alias("d", "v"))
+        .groupBy("cluster", "d")
+        .agg(F.expr("sum(v) div count(*)").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, m))), s -> s.m)"
+            ).alias("c_new")
+        )
+        .withColumnRenamed("cluster", "cid")
+    )
+    return cent_df.join(new, "cid", "left").select(
+        "cid", F.coalesce("c_new", "c").alias("c")
+    )
+
+
 def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
-               id_col: str = "vec_id", vec_col: str = "embedding"):
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               large_k_gate: int = LARGE_K_GATE):
     """Run ``n_iter`` fixed-point Lloyd iterations; returns
     ``(assignments_df, centroids)`` where assignments are
     ``(id_col, cluster)`` under the FINAL centroids and ``centroids`` is a
@@ -82,36 +193,65 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
 
     Init: the embeddings of the ``k`` smallest ids (deterministic and
     trivially SQL-replayable; quality-sensitive users pass more iterations
-    or a larger k — the engine contract here is reproducibility)."""
+    or a larger k — the engine contract here is reproducibility).
+
+    ``k > large_k_gate`` switches to the table path (see module
+    docstring): same seeds, same integer arithmetic, same tie-break —
+    bit-identical assignments (pinned by ``test_kmeans.py``) — but the
+    centroids stay in a k-row DataFrame end to end; the only driver
+    transfer is the final returned centroid list (k rows, once)."""
     fp = embeddings.select(F.col(id_col), _fp(vec_col).alias("e")).localCheckpoint()
-    cents = [
-        [int(v) for v in r["e"]]
-        for r in fp.orderBy(id_col).limit(k).collect()
-    ]
-    k = len(cents)  # a corpus smaller than k seeds fewer cells
-    for _ in range(n_iter):
-        assigned = _assign(fp, cents)
-        rows = (
-            assigned.select("cluster", F.posexplode("e").alias("d", "v"))
-            .groupBy("cluster", "d")
-            .agg(F.expr("sum(v) div count(*)").alias("m"))
-            .collect()
-        )
-        by_cluster: dict = {}
-        for r in rows:
-            by_cluster.setdefault(r["cluster"], {})[r["d"]] = r["m"]
+    if k <= large_k_gate:
         cents = [
-            [dims[d] for d in sorted(dims)] if (dims := by_cluster.get(cid))
-            else cents[cid]  # empty cluster keeps its previous centroid
-            for cid in range(k)
+            [int(v) for v in r["e"]]
+            for r in fp.orderBy(id_col).limit(k).collect()
         ]
-    return _assign(fp, cents).select(F.col(id_col), "cluster"), cents
+        k = len(cents)  # a corpus smaller than k seeds fewer cells
+        for _ in range(n_iter):
+            assigned = _assign(fp, cents)
+            rows = (
+                assigned.select("cluster", F.posexplode("e").alias("d", "v"))
+                .groupBy("cluster", "d")
+                .agg(F.expr("sum(v) div count(*)").alias("m"))
+                .collect()
+            )
+            by_cluster: dict = {}
+            for r in rows:
+                by_cluster.setdefault(r["cluster"], {})[r["d"]] = r["m"]
+            cents = [
+                [dims[d] for d in sorted(dims)] if (dims := by_cluster.get(cid))
+                else cents[cid]  # empty cluster keeps its previous centroid
+                for cid in range(k)
+            ]
+        return _assign(fp, cents).select(F.col(id_col), "cluster"), cents
+    # ---- table path: centroids never touch the driver until the end ----
+    # seeds = k smallest ids, numbered 0..k-1 (the window runs over the k
+    # LIMIT-ed rows only, so the single-partition sort is k rows, not n)
+    cent_df = (
+        fp.orderBy(id_col).limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
+            F.col("e").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assigned = _assign_table(fp, cent_df)
+        # k-row eager checkpoint per iteration: truncates the otherwise
+        # exponentially nesting plan and materializes the update ONCE
+        cent_df = _update_table(assigned, cent_df).localCheckpoint()
+    final = _assign_table(fp, cent_df).select(F.col(id_col), "cluster")
+    cents = [
+        [int(v) for v in r["c"]] for r in cent_df.orderBy("cid").collect()
+    ]
+    return final, cents
 
 
 def semdedup_pairs(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
                    threshold: float = 0.4, id_col: str = "vec_id",
                    vec_col: str = "embedding", max_cell: int = 100_000,
-                   drop_stats=None) -> DataFrame:
+                   drop_stats=None,
+                   large_k_gate: int = LARGE_K_GATE) -> DataFrame:
     """SemDeDup: exact-cosine near-duplicate pairs restricted to k-means
     cells — ``(a, b, cluster, cosine)`` with cosine rounded to 5 decimals
     and ``a < b``.  The cell equi-join is the blocking structure: per-cell
@@ -129,7 +269,8 @@ def semdedup_pairs(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
     from kgist_spark.operators.similarity import _dot, _norm
 
     assigned, _ = kmeans_fit(embeddings, k=k, n_iter=n_iter,
-                             id_col=id_col, vec_col=vec_col)
+                             id_col=id_col, vec_col=vec_col,
+                             large_k_gate=large_k_gate)
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cell_n"))
     if drop_stats is not None:
         # one row per cell here, so plain sums count the drops (observed

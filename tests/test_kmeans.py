@@ -107,6 +107,69 @@ def test_semdedup_equals_in_cell_brute_force(blobs):
     assert got == want and got  # exact set equality, non-empty
 
 
+def test_table_path_bit_equals_literal_path(blobs):
+    """The large-k (broadcast centroid TABLE) path must produce byte-for-byte
+    the same assignments and centroids as the literal path: same seeds, same
+    offset-space integer arithmetic, same struct-min tie-break."""
+    a_lit, c_lit = kmeans_fit(blobs, k=3, n_iter=3)
+    a_tab, c_tab = kmeans_fit(blobs, k=3, n_iter=3, large_k_gate=0)
+    assert c_lit == c_tab
+    assert sorted(map(tuple, a_lit.collect())) == sorted(map(tuple, a_tab.collect()))
+
+
+def test_large_k_plan_is_constant_size(spark):
+    """At k=512 the assignment plan must carry the centroids as DATA: no
+    fixed-point literal in the plan and a plan-string size that does not
+    grow with k (the literal path at k=64 is already an order of magnitude
+    larger).  This pins the parser/codegen blowup fix: k ≈ n/cell_size at
+    web scale means ~1e7 literals in one expression on the old path."""
+    import re
+
+    n, dim = 600, 8
+    df = spark.createDataFrame(
+        [(i, [((i * 31 + d * 7) % 400 - 200) / 100.0 for d in range(dim)])
+         for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = kmeans_fit(df, k=512, n_iter=2)
+    plan = assigned._jdf.queryExecution().analyzed().toString()
+    # no offset-space centroid literal (all are 7-digit-plus longs) ...
+    assert not re.findall(r"\d{7,}", plan)
+    # ... and the whole plan stays small regardless of k
+    assert len(plan) < 5_000
+    assert len(cents) == 512 and len(cents[0]) == dim
+    # the gated literal path at a FRACTION of that k is already far bigger
+    lit_plan = kmeans_fit(df, k=64, n_iter=1)[0]._jdf.queryExecution()
+    assert len(plan) < len(lit_plan.analyzed().toString()) / 2
+
+
+def test_semdedup_paths_agree(blobs):
+    """semdedup_pairs under the table path returns the identical pair set."""
+    base = {tuple(r) for r in
+            semdedup_pairs(blobs, k=3, n_iter=3, threshold=0.9).collect()}
+    tab = {tuple(r) for r in
+           semdedup_pairs(blobs, k=3, n_iter=3, threshold=0.9,
+                          large_k_gate=0).collect()}
+    assert base == tab and base
+
+
+def test_fp_bound_is_enforced(spark):
+    """x below KM_MIN_X must raise, not silently de-sync the cross-engine
+    fixed-point parity (Spark div truncates, DuckDB // floors — they only
+    agree while every operand stays positive)."""
+    df = spark.createDataFrame(
+        [(0, [-3.0, 0.0]), (1, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="out of range"):
+        kmeans_fit(df, k=1, n_iter=1)[0].collect()
+    big = spark.createDataFrame(
+        [(0, [2000.0, 0.0])], "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="out of range"):
+        kmeans_fit(big, k=1, n_iter=1)[0].collect()
+
+
 def test_semdedup_cell_cap_drops_are_observed(blobs, spark):
     from pyspark.sql import Observation
 
