@@ -149,7 +149,14 @@ def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
     probe = sorted(range(len(cents)), key=lambda i: -sims[i])[:n_probe]
     assign = ivf_assignments(embeddings, cents, id_col, vec_col)
     cand = assign.where(F.col("cell").isin(probe)).select(id_col)
-    subset = embeddings.join(F.broadcast(cand), id_col)
+    # LEFT SEMI, no forced hint: the candidate set is n_probe/n_centroids
+    # of the CORPUS (25% at the defaults) — a forced broadcast caps the
+    # operator at the broadcast limit on exactly the large inputs ANN
+    # exists for.  Unhinted, AQE still picks a broadcast join while the
+    # probed cells fit and falls back to a shuffled semi join when they
+    # don't; at real scale the `cell` column is precomputed and the table
+    # partitioned by it, so the probe prunes partitions instead.
+    subset = embeddings.join(cand, id_col, "leftsemi")
     return cosine_topk(subset, query, k, id_col, vec_col)
 
 
@@ -169,5 +176,8 @@ def ann_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
     cand = sigs.where(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
     ).select(id_col)
-    subset = embeddings.join(F.broadcast(cand), id_col)
+    # same discipline as ivf_topk: the Hamming ball can hold a large
+    # corpus fraction (probe_hamming=3 of 8 bits covers ~36% of signature
+    # space) — let AQE size the join instead of forcing a broadcast
+    subset = embeddings.join(cand, id_col, "leftsemi")
     return cosine_topk(subset, query, k, id_col, vec_col)

@@ -152,3 +152,26 @@ def test_decontaminate_gram_construction_stays_below_generate(spark):
     assert plan.count("array_distinct") == 2
     # and the aggregate derives n_doc_grams from the flowing rows
     assert "count(gram" in plan
+
+
+def test_ann_candidate_joins_are_not_force_broadcast(spark):
+    """ivf_topk / ann_topk candidate sets are corpus FRACTIONS
+    (n_probe/n_centroids ≈ 25% at the IVF defaults), so a forced broadcast
+    hint would cap the operator at the broadcast limit on exactly the large
+    inputs ANN exists for.  The logical plan must carry a plain left-semi
+    join (AQE broadcasts while small, shuffles when not) — no ResolvedHint
+    over the candidate subtree."""
+    from kgist_spark.operators.similarity import ann_topk, ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 5) % 7 - 3) for d in range(8)])
+         for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0] * 8
+    for df in (ivf_topk(emb, q, k=5, n_centroids=8, n_probe=2),
+               ann_topk(emb, q, k=5, n_planes=4)):
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical
+        assert "LeftSemi" in logical
+        assert df.count() > 0
