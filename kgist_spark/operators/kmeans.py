@@ -305,3 +305,42 @@ def semdedup_pairs(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
         .select("a", "b", "cluster", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semdedup_keep_table(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
+                        threshold: float = 0.4, id_col: str = "vec_id",
+                        vec_col: str = "embedding", max_cell: int = 100_000,
+                        drop_stats=None,
+                        large_k_gate: int = LARGE_K_GATE) -> DataFrame:
+    """The semantic-dedup DECISION table — ``(id, keep_id, is_dup)`` for
+    every vector: :func:`semdedup_pairs` closed into clusters by
+    distributed connected components, each cluster keeping its minimum id.
+    This is what a pipeline actually APPLIES (filter ``is_dup``), the
+    SemDeDup analogue of the near-dup families' decision tables
+    (``kgist_spark.operators.dedup.neardup_keep_table``), and it reuses
+    their component/closure machinery and oracle pattern verbatim.
+
+    Scale shape: the pair graph is dedup-sparse (|pairs| << |vectors| at a
+    meaningful threshold), so components run on the pair graph only; the
+    final assembly is ONE left join of the corpus against the
+    (node, component) table."""
+    from kgist_spark.operators.components import connected_components
+
+    # materialize the sparse pair set ONCE: connected_components issues
+    # several actions (size probe + convergence probes) and each would
+    # otherwise re-run the whole kmeans + cell-join pipeline
+    pairs = semdedup_pairs(
+        embeddings, k=k, n_iter=n_iter, threshold=threshold, id_col=id_col,
+        vec_col=vec_col, max_cell=max_cell, drop_stats=drop_stats,
+        large_k_gate=large_k_gate,
+    ).localCheckpoint()
+    comp = connected_components(pairs.select("a", "b"), "a", "b")
+    return (
+        embeddings.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", id_col).alias("keep_id"),
+        )
+        .withColumn("is_dup", F.col("keep_id") != F.col(id_col))
+    )

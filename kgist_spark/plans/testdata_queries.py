@@ -916,6 +916,17 @@ def q_semdedup_pairs(spark, sf_dir):
                           k=8, n_iter=3, threshold=0.4)
 
 
+def q_semdedup_clusters(spark, sf_dir):
+    """Semantic-dedup DECISION table: semdedup pairs closed into clusters
+    by distributed connected components; every vector maps to its
+    cluster's min-id representative (keep_id) with an is_dup flag — the
+    SemDeDup analogue of ``neardup_clusters``."""
+    from kgist_spark.operators.kmeans import semdedup_keep_table
+
+    return semdedup_keep_table(_t(spark, sf_dir, "embeddings"),
+                               k=8, n_iter=3, threshold=0.4)
+
+
 
 QUERIES = {
     "kg_triples": q_kg_triples,
@@ -972,6 +983,7 @@ QUERIES = {
     "curate_summary": q_curate_summary,
     "embedding_kmeans": q_embedding_kmeans,
     "semdedup_pairs": q_semdedup_pairs,
+    "semdedup_clusters": q_semdedup_clusters,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1978,7 +1990,9 @@ ORACLE_SQL["embedding_kmeans"] = (
     _kmeans_cte_chain() + "\nSELECT vec_id, cluster FROM af"
 )
 
-ORACLE_SQL["semdedup_pairs"] = _kmeans_cte_chain() + """
+#: the in-cell exact-cosine pair CTE shared by the semdedup oracles — the
+#: same select the ``semdedup_pairs`` query returns directly
+_SEMDEDUP_PAIRS_SELECT = """
     SELECT a, b, cluster, cosine FROM (
         SELECT al.vec_id AS a, ar.vec_id AS b, al.cluster,
                round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
@@ -1991,6 +2005,29 @@ ORACLE_SQL["semdedup_pairs"] = _kmeans_cte_chain() + """
         JOIN embeddings r ON r.vec_id = ar.vec_id
     ) WHERE cosine >= 0.4
 """
+
+ORACLE_SQL["semdedup_pairs"] = _kmeans_cte_chain() + _SEMDEDUP_PAIRS_SELECT
+
+# semdedup decision table: the pair CTE closed by the SAME recursive
+# reachability closure the neardup_clusters oracle uses (min reachable id
+# is the cluster representative)
+ORACLE_SQL["semdedup_clusters"] = (
+    _kmeans_cte_chain().replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    pr AS ({_SEMDEDUP_PAIRS_SELECT}),
+    und AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v != r.u
+    ),
+    comp AS (SELECT u AS vec_id, least(u, min(v)) AS keep_id FROM reach GROUP BY u)
+    SELECT e.vec_id,
+           COALESCE(c.keep_id, e.vec_id) AS keep_id,
+           COALESCE(c.keep_id, e.vec_id) != e.vec_id AS is_dup
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+"""
+)
 
 
 def _curate_oracle(final_select: str) -> str:
