@@ -17,6 +17,10 @@ every flag, the final ``keep`` decision and the FIRST failing gate as
 
 Scale shape:
 
+* The corpus is scanned ONCE: the fanned projection is eagerly
+  localCheckpoint-ed and every gate (features, md5 groups, the LSH
+  shingle substrate) reads the same materialized blocks — pinned by a
+  scan-count plan test.
 * Gates 1-4 are ONE zero-shuffle codegen projection over the corpus scan —
   the token and bigram arrays are let-bound once per row via the
   ``transform(array(struct(...)), ...)[0]`` trick (see
@@ -71,11 +75,16 @@ def curate_table(docs: DataFrame, id_col: str = "doc_id",
     """
     from kgist_spark.operators.dedup import fan_out_scan, neardup_keep_table
 
+    # ONE corpus scan feeds everything: the fanned projection is eagerly
+    # localCheckpoint-ed so the feature gates, the md5 group-by AND the
+    # near-dup shingle substrate (gate 6) all read the same materialized
+    # blocks — without the cut, gate 6 re-ran fan_out_scan on the raw
+    # input and the 100-TB source was scanned twice end-to-end
     base = fan_out_scan(
         docs.select(F.col(id_col).alias("doc_id"),
                     F.col(lang_col).alias("lang"),
                     F.col(text_col).alias("text"))
-    )
+    ).localCheckpoint()
 
     # gates 1-4: one in-row projection; arrays let-bound once per row
     bound = F.transform(
@@ -111,9 +120,11 @@ def curate_table(docs: DataFrame, id_col: str = "doc_id",
         F.coalesce(F.col("doc_id") != F.col("grp_keep_id"), F.lit(False)),
     )
 
-    # gate 6: sparse near-dup membership from the LSH decision table
+    # gate 6: sparse near-dup membership from the LSH decision table,
+    # fed from the SAME checkpointed scan as the feature gates (its inner
+    # fan_out_scan is a passthrough on the already-fanned base)
     nd = (
-        neardup_keep_table(docs, id_col=id_col, text_col=text_col,
+        neardup_keep_table(base, id_col="doc_id", text_col="text",
                            threshold=threshold, drop_stats=drop_stats)
         .where(F.col("is_dup"))
         .select("doc_id", F.lit(True).alias("is_near_dup"))

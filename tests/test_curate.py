@@ -127,3 +127,24 @@ def test_short_doc_null_bigram_frac(spark):
     d = curate_table(one).collect()[0]
     assert d["dup_bigram_frac"] is None
     assert d["drop_reason"] == "too_short"
+
+
+def test_single_corpus_scan(spark, tmp_path):
+    """The decision table must read the documents source ONCE: the fanned
+    projection is checkpointed and every gate (features, md5 groups, the
+    near-dup shingle substrate) consumes the materialized blocks.  Before
+    this pin, gate 6 re-ran fan_out_scan on the raw input — a second full
+    pass over a 100-TB corpus."""
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "en", f"unique document body {i} " + "alpha beta gamma " * 8)
+         for i in range(30)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = curate_table(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # zero parquet relations downstream: only the checkpointed RDD is read
+    assert "Relation" not in plan or "parquet" not in plan
+    assert "LogicalRDD" in plan
+    assert out.count() == 30
