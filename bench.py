@@ -39,7 +39,13 @@ def main():
     from kgist_spark.pipeline.extract import extract_triples
     from kgist_spark.sources.webpages import World, generate_pages
 
-    spark = get_spark(app_name="kgist-bench", cpus=cpus)
+    # no console progress bars: they are carriage-return spam that polluted
+    # the driver's recorded bench tails (round 3's tail was 100% progress
+    # bars); the result must be the ONLY thing on stdout
+    spark = get_spark(
+        app_name="kgist-bench", cpus=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = [
@@ -65,6 +71,7 @@ def main():
         "asof_enrich",
         "dedup_embedding",
         "semdedup_pairs",
+        "semdedup_clusters",
         "kg_degree_stats",
         "kg_path2_stats",
         "kg_pagerank",
@@ -153,27 +160,40 @@ def main():
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    extra = {
+        "cpus": cpus,
+        "reps": reps,
+        "extract_docs_per_sec": docs_per_sec,
+        "extract_jvm_docs_per_sec": jvm_docs_per_sec,
+        "pipeline_docs_per_sec": round(n_bench_docs / timings["pipeline_e2e"], 1),
+        "n_bench_docs": n_bench_docs,
+        "n_extracted_triples": n_triples,
+        "n_kg_triples": n_kg_triples,
+    }
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "extra": {
-            "cpus": cpus,
-            "reps": reps,
-            "spread": spread,
-            "cold": cold,
-            "extract_docs_per_sec": docs_per_sec,
-            "extract_jvm_docs_per_sec": jvm_docs_per_sec,
-            "pipeline_docs_per_sec": round(n_bench_docs / timings["pipeline_e2e"], 1),
-            "n_bench_docs": n_bench_docs,
-            "n_extracted_triples": n_triples,
-            "n_kg_triples": n_kg_triples,
-        },
+        "extra": extra,
     }
-    print(json.dumps(out))
+    # per-query spread/cold detail goes to a SIDE file: the driver records
+    # only the trailing bytes of stdout, and a final line fat enough to
+    # overflow that window loses its head (round 4 lost the start of the
+    # per-query dict).  The printed line stays compact and self-contained.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({**out, "extra": {**extra, "spread": spread, "cold": cold}},
+                      f, indent=1)
+    except OSError:
+        pass  # detail is best-effort; the headline line below is the record
+    # stop Spark BEFORE printing so no executor-shutdown logging can trail
+    # the result: the JSON must be the final line on stdout
     spark.stop()
+    sys.stderr.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
