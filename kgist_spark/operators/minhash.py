@@ -156,14 +156,28 @@ def log_drop_stats(observation, context: str) -> dict:
     observation = getattr(observation, "_drop_stats", observation)
     try:
         got = dict(observation.get)
-    except Exception:
+    except Exception as exc:
         # a degenerate input (e.g. a one-document corpus) can collapse the
         # observed subtree to a LocalRelation before execution — the
         # observation row then never materializes and the JVM-side fetch
-        # asserts.  Nothing flowed, so nothing was dropped.
-        logging.getLogger(__name__).debug(
-            "%s: drop observation unavailable (plan collapsed on a "
-            "degenerate input); treating as zero drops", context)
+        # asserts.  Nothing flowed, so nothing was dropped.  ONLY that
+        # known collapse signature stays at debug; anything else (py4j
+        # connection loss, get before any action, ...) is a REAL failure
+        # of the drop-accounting contract and must stay visible, so it
+        # logs at warning with the exception text.
+        msg = str(exc)
+        collapsed = ("assert" in msg.lower() or "toPyRow" in msg
+                     or "IllegalState" in msg)
+        log = logging.getLogger(__name__)
+        if collapsed:
+            log.debug(
+                "%s: drop observation unavailable (plan collapsed on a "
+                "degenerate input); treating as zero drops", context)
+        else:
+            log.warning(
+                "%s: drop observation FAILED (%s: %s) — drop accounting "
+                "for this run is unknown, not zero",
+                context, type(exc).__name__, msg.splitlines()[0] if msg else "")
         return {}
     if got.get("dropped_buckets"):
         logging.getLogger(__name__).warning(

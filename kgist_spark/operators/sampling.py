@@ -130,6 +130,11 @@ def distribution_report(df: DataFrame, strata_col: str, value_col: str,
     from pyspark.sql.window import Window
 
     s, v = F.col(strata_col), F.col(value_col)
+    # NULL values are excluded from BOTH the histogram and the totals:
+    # DuckDB's quantile_cont ignores NULLs, while Spark's window would
+    # order them FIRST and shift every percentile position — leaving them
+    # in silently de-syncs the oracle on nullable columns
+    df = df.where(v.isNotNull())
     hist = df.groupBy(strata_col, value_col).agg(F.count("*").alias("cnt"))
     w = (
         Window.partitionBy(strata_col)

@@ -166,3 +166,28 @@ def test_distribution_report_matches_builtin_percentile(spark):
     for s in want:
         for c in ("p25", "p50", "p75", "p95"):
             assert got[s][c] == want[s][c], (s, c, got[s][c], want[s][c])
+
+
+def test_distribution_report_ignores_nulls(spark):
+    """NULL values must not shift percentile positions: DuckDB's
+    quantile_cont (the oracle function) ignores NULLs, while an unfiltered
+    Spark window would order them FIRST and occupy the leading cumulative
+    positions.  The report must equal the all-non-null report and count
+    only non-null rows."""
+    from kgist_spark.operators.sampling import distribution_report
+
+    rows = [("A", 1), ("A", None), ("A", 2), ("A", 2), ("A", None), ("A", 10)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    clean = df.where("v IS NOT NULL")
+    got = distribution_report(df, "s", "v").collect()[0]
+    want = distribution_report(clean, "s", "v").collect()[0]
+    assert got == want
+    assert got["n_rows"] == 4 and got["p50"] == 2.0
+
+    import duckdb
+
+    duck = duckdb.sql(
+        "SELECT quantile_cont(v, 0.5) FROM (VALUES (1), (NULL), (2), (2), "
+        "(NULL), (10)) t(v)"
+    ).fetchone()[0]
+    assert got["p50"] == duck
