@@ -63,6 +63,61 @@ GATES = ("lang", "too_short", "low_diversity", "repetitive",
          "exact_dup", "near_dup")
 
 
+def row_features(base: DataFrame) -> DataFrame:
+    """Gates 1-4 features + ``text_md5`` as ONE zero-shuffle codegen
+    projection over a ``(doc_id, lang, text)`` frame.  Stateless, so it is
+    shared VERBATIM by the batch decision table and the streaming
+    admission gate (:mod:`kgist_spark.streaming.curate`) — the two
+    surfaces cannot drift.  The token and bigram arrays are let-bound once
+    per row via the ``transform(array(struct(...)), ...)[0]`` trick (see
+    :func:`kgist_spark.operators.text.repetition_stats` for why)."""
+    bound = F.transform(
+        F.array(F.struct(tokens("text").alias("t"),
+                         word_ngrams("text", 2).alias("bg"))),
+        lambda r: F.struct(
+            F.size(r["t"]).alias("n_tokens"),
+            F.round(F.size(F.array_distinct(r["t"])) / F.size(r["t"]), 5)
+            .alias("unique_ratio"),
+            F.when(
+                F.size(r["bg"]) > 0,
+                F.round(1 - F.size(F.array_distinct(r["bg"])) / F.size(r["bg"]), 5),
+            ).alias("dup_bigram_frac"),
+        ),
+    )[0]
+    return base.select(
+        "doc_id", "lang",
+        bound["n_tokens"].alias("n_tokens"),
+        bound["unique_ratio"].alias("unique_ratio"),
+        bound["dup_bigram_frac"].alias("dup_bigram_frac"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def gate_conditions(include=GATES):
+    """The ordered ``(gate_name, failing_condition)`` chain over feature
+    columns — the single definition both decision surfaces (and the DuckDB
+    oracle's CASE chain, by constant import) replay."""
+    all_gates = {
+        "lang": F.col("lang") != F.lit(KEEP_LANG),
+        "too_short": F.col("n_tokens") < MIN_TOKENS,
+        "low_diversity": F.col("unique_ratio") < MIN_UNIQUE_RATIO,
+        "repetitive": F.col("dup_bigram_frac") > MAX_DUP_BIGRAM_FRAC,
+        "exact_dup": F.col("is_exact_dup"),
+        "near_dup": F.col("is_near_dup"),
+    }
+    return [(g, all_gates[g]) for g in include]
+
+
+def reason_expr(include=GATES):
+    """FIRST-failing-gate CASE chain (NULL = kept) over the gates in
+    ``include``."""
+    conds = gate_conditions(include)
+    reason = F.when(conds[0][1], F.lit(conds[0][0]))
+    for name, cond in conds[1:]:
+        reason = reason.when(cond, F.lit(name))
+    return reason
+
+
 def curate_table(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", lang_col: str = "lang",
                  threshold: float = 0.4, drop_stats=None) -> DataFrame:
@@ -86,27 +141,8 @@ def curate_table(docs: DataFrame, id_col: str = "doc_id",
                     F.col(text_col).alias("text"))
     ).localCheckpoint()
 
-    # gates 1-4: one in-row projection; arrays let-bound once per row
-    bound = F.transform(
-        F.array(F.struct(tokens("text").alias("t"),
-                         word_ngrams("text", 2).alias("bg"))),
-        lambda r: F.struct(
-            F.size(r["t"]).alias("n_tokens"),
-            F.round(F.size(F.array_distinct(r["t"])) / F.size(r["t"]), 5)
-            .alias("unique_ratio"),
-            F.when(
-                F.size(r["bg"]) > 0,
-                F.round(1 - F.size(F.array_distinct(r["bg"])) / F.size(r["bg"]), 5),
-            ).alias("dup_bigram_frac"),
-        ),
-    )[0]
-    feats = base.select(
-        "doc_id", "lang",
-        bound["n_tokens"].alias("n_tokens"),
-        bound["unique_ratio"].alias("unique_ratio"),
-        bound["dup_bigram_frac"].alias("dup_bigram_frac"),
-        F.md5(F.col("text")).alias("text_md5"),
-    )
+    # gates 1-4: one in-row projection (shared with the streaming surface)
+    feats = row_features(base)
 
     # gate 5: sparse md5 duplicate groups (n > 1 only), joined back
     dup_groups = (
@@ -133,14 +169,7 @@ def curate_table(docs: DataFrame, id_col: str = "doc_id",
         "is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False))
     )
 
-    reason = (
-        F.when(F.col("lang") != F.lit(KEEP_LANG), F.lit("lang"))
-        .when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
-        .when(F.col("unique_ratio") < MIN_UNIQUE_RATIO, F.lit("low_diversity"))
-        .when(F.col("dup_bigram_frac") > MAX_DUP_BIGRAM_FRAC, F.lit("repetitive"))
-        .when(F.col("is_exact_dup"), F.lit("exact_dup"))
-        .when(F.col("is_near_dup"), F.lit("near_dup"))
-    )
+    reason = reason_expr(GATES)
     return full.select(
         "doc_id", "lang", "n_tokens", "unique_ratio", "dup_bigram_frac",
         "is_exact_dup", "is_near_dup",
