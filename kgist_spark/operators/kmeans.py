@@ -191,9 +191,17 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
     ``(id_col, cluster)`` under the FINAL centroids and ``centroids`` is a
     ``k × dim`` list of offset-space longs.
 
-    Init: the embeddings of the ``k`` smallest ids (deterministic and
-    trivially SQL-replayable; quality-sensitive users pass more iterations
-    or a larger k — the engine contract here is reproducibility).
+    Init: the embeddings of the ``k`` smallest ``md5(id)`` values (ties by
+    id) — a deterministic HASH-SPREAD draw, so seeds come from all over
+    the table instead of its head: a front-of-table degenerate region
+    (constant boilerplate embeddings with the smallest ids) would hand a
+    first-k init k identical seeds and collapse every cell into one.
+    md5-order is engine-portable (one expression in both Spark and the
+    DuckDB oracle) and independent of row order.  kmeans++ is deliberately
+    EXCLUDED: its seed choice consumes an RNG stream ordered by float
+    distances, which is neither cross-engine replayable nor stable under
+    re-partitioning — the engine contract here is bit-reproducibility;
+    quality-sensitive users pass more iterations or a larger k.
 
     ``k > large_k_gate`` switches to the table path (see module
     docstring): same seeds, same integer arithmetic, same tie-break —
@@ -201,10 +209,11 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
     centroids stay in a k-row DataFrame end to end; the only driver
     transfer is the final returned centroid list (k rows, once)."""
     fp = embeddings.select(F.col(id_col), _fp(vec_col).alias("e")).localCheckpoint()
+    seed_key = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     if k <= large_k_gate:
         cents = [
             [int(v) for v in r["e"]]
-            for r in fp.orderBy(id_col).limit(k).collect()
+            for r in fp.orderBy(*seed_key).limit(k).collect()
         ]
         k = len(cents)  # a corpus smaller than k seeds fewer cells
         for _ in range(n_iter):
@@ -225,12 +234,13 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
             ]
         return _assign(fp, cents).select(F.col(id_col), "cluster"), cents
     # ---- table path: centroids never touch the driver until the end ----
-    # seeds = k smallest ids, numbered 0..k-1 (the window runs over the k
-    # LIMIT-ed rows only, so the single-partition sort is k rows, not n)
+    # seeds = k smallest md5(id), numbered 0..k-1 in md5 order (the window
+    # runs over the k LIMIT-ed rows only, so the single-partition sort is
+    # k rows, not n)
     cent_df = (
-        fp.orderBy(id_col).limit(k)
+        fp.orderBy(*seed_key).limit(k)
         .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
+            (F.row_number().over(Window.orderBy(*seed_key)) - 1).alias("cid"),
             F.col("e").alias("c"),
         )
         .localCheckpoint()

@@ -1964,8 +1964,13 @@ def _kmeans_cte_chain(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
                    x -> CAST(round(x * {KM_SCALE}.0) AS BIGINT) + {KM_OFFSET}) AS e
         FROM embeddings)""",
         f"""c0 AS (
+        -- hash-spread seeding in lockstep with kmeans_fit: k smallest
+        -- md5(id), ties by id (NOT first-k ids — see the operator
+        -- docstring on degenerate front-of-table corpora)
         SELECT CAST(rn - 1 AS INT) AS cid, e AS c FROM (
-            SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM e
+            SELECT row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, e
+            FROM e
         ) WHERE rn <= {k})""",
     ]
     for i in range(1, n_iter + 1):

@@ -19,8 +19,8 @@ pytestmark = pytest.mark.spark
 
 
 def _blob_rows():
-    """Three well-separated 4-d blobs, 8 points each; ids interleaved so
-    the first-k init picks one seed per blob."""
+    """Three well-separated 4-d blobs, 8 points each; under the md5-spread
+    init the 3 smallest-md5 ids (6, 19, 23) land one per blob."""
     centers = [(10.0, 0.0, 0.0, 0.0), (0.0, 10.0, 0.0, 0.0), (0.0, 0.0, 10.0, 0.0)]
     rows = []
     for i in range(8):
@@ -151,6 +151,30 @@ def test_semdedup_paths_agree(blobs):
            semdedup_pairs(blobs, k=3, n_iter=3, threshold=0.9,
                           large_k_gate=0).collect()}
     assert base == tab and base
+
+
+def test_hash_spread_seeding_survives_degenerate_table_head(spark):
+    """A constant boilerplate region holding the SMALLEST ids (a sorted
+    web-corpus reality) must not collapse the cells: a first-k init would
+    take k identical seeds there (one effective cell); the md5-spread init
+    draws from the whole table.  Both paths, same corpus."""
+    dim = 4
+    rows = [(i, [0.5] * dim) for i in range(8)]  # degenerate head, ids 0-7
+    for b in range(4):                            # 4 separated blobs behind it
+        for j in range(10):
+            v = [0.0] * dim
+            v[b] = 1.5 + (j % 3) * 0.01
+            rows.append((8 + b * 10 + j, v))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    for gate in (256, 0):  # literal and table paths
+        assigned, _ = kmeans_fit(df, k=4, n_iter=3, large_k_gate=gate)
+        sizes = [r["n"] for r in assigned.groupBy("cluster")
+                 .agg(F.count("*").alias("n")).collect()]
+        assert len(sizes) >= 3  # cells did not collapse to one
+        assert max(sizes) <= 30  # no single cell swallowed the corpus
 
 
 def test_fp_bound_is_enforced(spark):
