@@ -72,6 +72,7 @@ def main():
         "dedup_embedding",
         "semdedup_pairs",
         "semdedup_clusters",
+        "semdedup_keep_best",
         "kg_degree_stats",
         "kg_path2_stats",
         "kg_pagerank",

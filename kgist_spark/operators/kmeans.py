@@ -276,11 +276,21 @@ def semdedup_pairs(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
     join (two-phase — sizes first, never a collect of members) and the
     loss is counted on ``drop_stats`` (an ``Observation``; readable after
     the first action with zero extra jobs — no silent caps)."""
-    from kgist_spark.operators.similarity import _dot, _norm
-
     assigned, _ = kmeans_fit(embeddings, k=k, n_iter=n_iter,
                              id_col=id_col, vec_col=vec_col,
                              large_k_gate=large_k_gate)
+    return _cell_pairs(embeddings, assigned, threshold, id_col, vec_col,
+                       max_cell, drop_stats)
+
+
+def _cell_pairs(embeddings: DataFrame, assigned: DataFrame, threshold: float,
+                id_col: str, vec_col: str, max_cell: int,
+                drop_stats) -> DataFrame:
+    """The cell-restricted exact-cosine pair kernel shared by
+    :func:`semdedup_pairs` and :func:`semdedup_keep_best` (one k-means fit
+    feeds both the pairs and the keeper choice)."""
+    from kgist_spark.operators.similarity import _dot, _norm
+
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cell_n"))
     if drop_stats is not None:
         # one row per cell here, so plain sums count the drops (observed
@@ -351,6 +361,80 @@ def semdedup_keep_table(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
         .select(
             id_col,
             F.coalesce("component", id_col).alias("keep_id"),
+        )
+        .withColumn("is_dup", F.col("keep_id") != F.col(id_col))
+    )
+
+
+def semdedup_keep_best(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
+                       threshold: float = 0.4, id_col: str = "vec_id",
+                       vec_col: str = "embedding", max_cell: int = 100_000,
+                       drop_stats=None,
+                       large_k_gate: int = LARGE_K_GATE) -> DataFrame:
+    """Keep-BEST semantic dedup: each duplicate cluster keeps the member
+    FARTHEST from its k-means cell centroid — SemDeDup's published keeper
+    rule (Abbas et al. 2023 keep the lowest-centroid-similarity example:
+    near-dup groups sit in a tight ball, and retaining the edge member
+    preserves more diversity than the min-id representative).  Distance is
+    the SAME integer offset-space metric the assignment uses (ties to the
+    smaller id), so the keeper choice is bit-deterministic and replayed by
+    the oracle from the unrolled centroid CTEs.
+
+    Scale shape mirrors :func:`semdedup_keep_table`: one k-means fit feeds
+    both the pair kernel and the keeper metric; components run on the
+    sparse pair graph; the distance computation touches only component
+    MEMBERS (semi-joined) against a k-row centroid table; final assembly
+    is one left join of the corpus."""
+    from kgist_spark.operators.components import connected_components
+
+    assigned, cents = kmeans_fit(embeddings, k=k, n_iter=n_iter,
+                                 id_col=id_col, vec_col=vec_col,
+                                 large_k_gate=large_k_gate)
+    assigned = assigned.localCheckpoint()  # reused by pairs AND keeper metric
+    pairs = _cell_pairs(embeddings, assigned, threshold, id_col, vec_col,
+                        max_cell, drop_stats).localCheckpoint()
+    comp = connected_components(pairs.select("a", "b"), "a", "b")
+
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, [int(v) for v in c]) for cid, c in enumerate(cents)],
+        "cid int, c array<long>",
+    )
+    # members only: fixed-point vectors + their cell centroid + distance
+    members = (
+        comp.withColumnRenamed("node", id_col)
+        .join(assigned, id_col)
+        .join(embeddings.select(F.col(id_col), _fp(vec_col).alias("e")), id_col)
+        .join(F.broadcast(cent_df), F.col("cluster") == F.col("cid"))
+        .select(
+            id_col, "component",
+            F.expr(
+                "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("cdist"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc("cdist"), F.asc(id_col)
+    )
+    keeper = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("component"), F.col(id_col).alias("best_id"))
+    )
+    resolved = (
+        comp.withColumnRenamed("node", id_col)
+        .join(keeper, "component")
+        .select(id_col, F.col("best_id").alias("keep_id"))
+    )
+    return (
+        embeddings.select(F.col(id_col))
+        .join(resolved, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("keep_id", F.col(id_col)).alias("keep_id"),
         )
         .withColumn("is_dup", F.col("keep_id") != F.col(id_col))
     )

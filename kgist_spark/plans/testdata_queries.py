@@ -927,6 +927,17 @@ def q_semdedup_clusters(spark, sf_dir):
                                k=8, n_iter=3, threshold=0.4)
 
 
+def q_semdedup_keep_best(spark, sf_dir):
+    """Keep-BEST semantic dedup: each duplicate cluster keeps the member
+    farthest from its cell centroid (SemDeDup's lowest-centroid-similarity
+    keeper rule), computed in the same integer offset-space metric the
+    assignment uses."""
+    from kgist_spark.operators.kmeans import semdedup_keep_best
+
+    return semdedup_keep_best(_t(spark, sf_dir, "embeddings"),
+                              k=8, n_iter=3, threshold=0.4)
+
+
 
 QUERIES = {
     "kg_triples": q_kg_triples,
@@ -984,6 +995,7 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "semdedup_pairs": q_semdedup_pairs,
     "semdedup_clusters": q_semdedup_clusters,
+    "semdedup_keep_best": q_semdedup_keep_best,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2031,6 +2043,48 @@ ORACLE_SQL["semdedup_clusters"] = (
            COALESCE(c.keep_id, e.vec_id) AS keep_id,
            COALESCE(c.keep_id, e.vec_id) != e.vec_id AS is_dup
     FROM embeddings e LEFT JOIN comp c USING (vec_id)
+"""
+)
+
+# keep-BEST semantic dedup: same pair closure, then each component keeps
+# its member FARTHEST from the final (c3) cell centroid — the identical
+# integer offset-space distance the assignment CTE computes, ties to the
+# smaller id (SemDeDup's lowest-centroid-similarity keeper)
+ORACLE_SQL["semdedup_keep_best"] = (
+    _kmeans_cte_chain().replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    pr AS ({_SEMDEDUP_PAIRS_SELECT}),
+    und AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v != r.u
+    ),
+    comp AS (SELECT u AS vec_id, least(u, min(v)) AS comp FROM reach GROUP BY u),
+    members AS (
+        SELECT m.vec_id, m.comp,
+               list_sum([(x.e[j] - c.c[j]) * (x.e[j] - c.c[j])
+                         FOR j IN generate_series(1, 64)]) AS cdist
+        FROM comp m
+        JOIN af a ON a.vec_id = m.vec_id
+        JOIN e x ON x.vec_id = m.vec_id
+        JOIN c3 c ON a.cluster = c.cid
+    ),
+    keeper AS (
+        SELECT comp, vec_id AS best_id FROM (
+            SELECT comp, vec_id,
+                   row_number() OVER (
+                       PARTITION BY comp ORDER BY cdist DESC, vec_id ASC
+                   ) AS rn
+            FROM members
+        ) WHERE rn = 1
+    )
+    SELECT emb.vec_id,
+           COALESCE(k.best_id, emb.vec_id) AS keep_id,
+           COALESCE(k.best_id, emb.vec_id) != emb.vec_id AS is_dup
+    FROM embeddings emb
+    LEFT JOIN comp c ON c.vec_id = emb.vec_id
+    LEFT JOIN keeper k ON k.comp = c.comp
 """
 )
 

@@ -194,6 +194,56 @@ def test_fp_bound_is_enforced(spark):
         kmeans_fit(big, k=1, n_iter=1)[0].collect()
 
 
+def test_semdedup_keep_best_keeps_farthest_from_centroid(blobs):
+    """SemDeDup keeper rule: within each duplicate component the member
+    FARTHEST (integer offset-space distance) from its cell centroid
+    survives; everyone else maps to it; non-members keep themselves."""
+    from kgist_spark.operators.kmeans import (
+        _fp, semdedup_keep_best, semdedup_pairs,
+    )
+
+    table = {r["vec_id"]: r for r in
+             semdedup_keep_best(blobs, k=3, n_iter=3, threshold=0.9).collect()}
+    assert set(table) == {r[0] for r in _blob_rows()}
+    # recompute the expected keeper per component from first principles
+    pairs = semdedup_pairs(blobs, k=3, n_iter=3, threshold=0.9).collect()
+    assigned, cents = kmeans_fit(blobs, k=3, n_iter=3)
+    cell = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    fpv = {r["vec_id"]: list(r["e"])
+           for r in blobs.select("vec_id", _fp("embedding").alias("e")).collect()}
+    # union-find over the pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for v in list(parent):
+        comps.setdefault(find(v), set()).add(v)
+    n_dups = 0
+    for comp in comps.values():
+        def cdist(v):
+            c = cents[cell[v]]
+            return sum((a - b) * (a - b) for a, b in zip(fpv[v], c))
+        best = min(comp, key=lambda v: (-cdist(v), v))
+        for v in comp:
+            assert table[v]["keep_id"] == best
+            assert table[v]["is_dup"] == (v != best)
+            n_dups += v != best
+    assert n_dups > 0  # the fixture really exercises the rule
+    members = set().union(*comps.values()) if comps else set()
+    for v in set(table) - members:
+        assert table[v]["keep_id"] == v and not table[v]["is_dup"]
+
+
 def test_semdedup_cell_cap_drops_are_observed(blobs, spark):
     from pyspark.sql import Observation
 
