@@ -185,7 +185,8 @@ def _update_table(assigned: DataFrame, cent_df: DataFrame) -> DataFrame:
 
 def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               large_k_gate: int = LARGE_K_GATE):
+               large_k_gate: int = LARGE_K_GATE,
+               centroids: list | None = None):
     """Run ``n_iter`` fixed-point Lloyd iterations; returns
     ``(assignments_df, centroids)`` where assignments are
     ``(id_col, cluster)`` under the FINAL centroids and ``centroids`` is a
@@ -207,7 +208,28 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
     docstring): same seeds, same integer arithmetic, same tie-break —
     bit-identical assignments (pinned by ``test_kmeans.py``) — but the
     centroids stay in a k-row DataFrame end to end; the only driver
-    transfer is the final returned centroid list (k rows, once)."""
+    transfer is the final returned centroid list (k rows, once).
+
+    ``centroids`` short-circuits the fit: when a previously returned
+    centroid list is passed back, no iterations run — the call is ONE
+    assignment pass under those exact centroids (identical output to the
+    fit that produced them, since the returned assignment is always the
+    argmin under the FINAL centroids).  This is the production shape for
+    a pipeline with several downstream consumers of one fit (assignment
+    table, SemDeDup pairs, keeper metric): fit once, reuse everywhere —
+    the offset-space longs are engine- and session-independent data."""
+    if centroids is not None:
+        fp = embeddings.select(F.col(id_col), _fp(vec_col).alias("e"))
+        cents = [[int(v) for v in c] for c in centroids]
+        if len(cents) <= large_k_gate:
+            return _assign(fp, cents).select(F.col(id_col), "cluster"), cents
+        cent_df = embeddings.sparkSession.createDataFrame(
+            [(cid, c) for cid, c in enumerate(cents)], "cid int, c array<long>"
+        )
+        return (
+            _assign_table(fp, cent_df).select(F.col(id_col), "cluster"),
+            cents,
+        )
     fp = embeddings.select(F.col(id_col), _fp(vec_col).alias("e")).localCheckpoint()
     seed_key = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     if k <= large_k_gate:
@@ -261,7 +283,8 @@ def semdedup_pairs(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
                    threshold: float = 0.4, id_col: str = "vec_id",
                    vec_col: str = "embedding", max_cell: int = 100_000,
                    drop_stats=None,
-                   large_k_gate: int = LARGE_K_GATE) -> DataFrame:
+                   large_k_gate: int = LARGE_K_GATE,
+                   centroids: list | None = None) -> DataFrame:
     """SemDeDup: exact-cosine near-duplicate pairs restricted to k-means
     cells — ``(a, b, cluster, cosine)`` with cosine rounded to 5 decimals
     and ``a < b``.  The cell equi-join is the blocking structure: per-cell
@@ -278,7 +301,7 @@ def semdedup_pairs(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
     the first action with zero extra jobs — no silent caps)."""
     assigned, _ = kmeans_fit(embeddings, k=k, n_iter=n_iter,
                              id_col=id_col, vec_col=vec_col,
-                             large_k_gate=large_k_gate)
+                             large_k_gate=large_k_gate, centroids=centroids)
     return _cell_pairs(embeddings, assigned, threshold, id_col, vec_col,
                        max_cell, drop_stats)
 
@@ -331,7 +354,8 @@ def semdedup_keep_table(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
                         threshold: float = 0.4, id_col: str = "vec_id",
                         vec_col: str = "embedding", max_cell: int = 100_000,
                         drop_stats=None,
-                        large_k_gate: int = LARGE_K_GATE) -> DataFrame:
+                        large_k_gate: int = LARGE_K_GATE,
+                        centroids: list | None = None) -> DataFrame:
     """The semantic-dedup DECISION table — ``(id, keep_id, is_dup)`` for
     every vector: :func:`semdedup_pairs` closed into clusters by
     distributed connected components, each cluster keeping its minimum id.
@@ -352,7 +376,7 @@ def semdedup_keep_table(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
     pairs = semdedup_pairs(
         embeddings, k=k, n_iter=n_iter, threshold=threshold, id_col=id_col,
         vec_col=vec_col, max_cell=max_cell, drop_stats=drop_stats,
-        large_k_gate=large_k_gate,
+        large_k_gate=large_k_gate, centroids=centroids,
     ).localCheckpoint()
     comp = connected_components(pairs.select("a", "b"), "a", "b")
     return (
@@ -370,7 +394,8 @@ def semdedup_keep_best(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
                        threshold: float = 0.4, id_col: str = "vec_id",
                        vec_col: str = "embedding", max_cell: int = 100_000,
                        drop_stats=None,
-                       large_k_gate: int = LARGE_K_GATE) -> DataFrame:
+                       large_k_gate: int = LARGE_K_GATE,
+                       centroids: list | None = None) -> DataFrame:
     """Keep-BEST semantic dedup: each duplicate cluster keeps the member
     FARTHEST from its k-means cell centroid — SemDeDup's published keeper
     rule (Abbas et al. 2023 keep the lowest-centroid-similarity example:
@@ -389,7 +414,8 @@ def semdedup_keep_best(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
 
     assigned, cents = kmeans_fit(embeddings, k=k, n_iter=n_iter,
                                  id_col=id_col, vec_col=vec_col,
-                                 large_k_gate=large_k_gate)
+                                 large_k_gate=large_k_gate,
+                                 centroids=centroids)
     assigned = assigned.localCheckpoint()  # reused by pairs AND keeper metric
     pairs = _cell_pairs(embeddings, assigned, threshold, id_col, vec_col,
                         max_cell, drop_stats).localCheckpoint()

@@ -897,13 +897,32 @@ def q_curate_summary(spark, sf_dir):
     )
 
 
+#: one k-means fit per (sf_dir, k, n_iter) shared by the four semantic-dedup
+#: queries — the production shape (a pipeline fits once and feeds every
+#: downstream consumer), same memo pattern as ``_fit_model_over``.  The
+#: cached value is the plain offset-space centroid list: engine- and
+#: session-independent integers, so reuse is safe across SparkSessions.
+_KMEANS_CENTS_CACHE: dict = {}
+
+
+def _kmeans_cents(spark, sf_dir, k=8, n_iter=3):
+    from kgist_spark.operators.kmeans import kmeans_fit
+
+    key = (os.path.abspath(sf_dir), k, n_iter)
+    if key not in _KMEANS_CENTS_CACHE:
+        _, cents = kmeans_fit(_t(spark, sf_dir, "embeddings"), k=k, n_iter=n_iter)
+        _KMEANS_CENTS_CACHE[key] = cents
+    return _KMEANS_CENTS_CACHE[key]
+
+
 def q_embedding_kmeans(spark, sf_dir):
     """Fixed-point Lloyd k-means cell assignment over the embeddings table
     (all-integer arithmetic — bit-identical at any parallelism and
     replayed by iteration-unrolled DuckDB CTEs, the PageRank pattern)."""
     from kgist_spark.operators.kmeans import kmeans_fit
 
-    assigned, _ = kmeans_fit(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
+    assigned, _ = kmeans_fit(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3,
+                             centroids=_kmeans_cents(spark, sf_dir))
     return assigned
 
 
@@ -913,7 +932,8 @@ def q_semdedup_pairs(spark, sf_dir):
     from kgist_spark.operators.kmeans import semdedup_pairs
 
     return semdedup_pairs(_t(spark, sf_dir, "embeddings"),
-                          k=8, n_iter=3, threshold=0.4)
+                          k=8, n_iter=3, threshold=0.4,
+                          centroids=_kmeans_cents(spark, sf_dir))
 
 
 def q_semdedup_clusters(spark, sf_dir):
@@ -924,7 +944,8 @@ def q_semdedup_clusters(spark, sf_dir):
     from kgist_spark.operators.kmeans import semdedup_keep_table
 
     return semdedup_keep_table(_t(spark, sf_dir, "embeddings"),
-                               k=8, n_iter=3, threshold=0.4)
+                               k=8, n_iter=3, threshold=0.4,
+                               centroids=_kmeans_cents(spark, sf_dir))
 
 
 def q_semdedup_keep_best(spark, sf_dir):
@@ -935,7 +956,8 @@ def q_semdedup_keep_best(spark, sf_dir):
     from kgist_spark.operators.kmeans import semdedup_keep_best
 
     return semdedup_keep_best(_t(spark, sf_dir, "embeddings"),
-                              k=8, n_iter=3, threshold=0.4)
+                              k=8, n_iter=3, threshold=0.4,
+                              centroids=_kmeans_cents(spark, sf_dir))
 
 
 

@@ -261,3 +261,28 @@ def test_semdedup_cell_cap_drops_are_observed(blobs, spark):
                           max_cell=100, drop_stats=obs2)
     assert out2.count() > 0
     assert dict(obs2.get)["dropped_cells"] == 0
+
+
+def test_precomputed_centroids_reproduce_fit(blobs):
+    """Passing a fit's returned centroids back runs ZERO iterations and
+    reproduces the identical assignment — in both the literal (small-k)
+    and table (large-k) regimes.  This is the fit-once/reuse-everywhere
+    production path the semantic-dedup query family shares."""
+    a_fit, cents = kmeans_fit(blobs, k=3, n_iter=3)
+    want = sorted(map(tuple, a_fit.collect()))
+    for gate in (256, 1):  # literal path, then force the table path
+        a_re, c_re = kmeans_fit(blobs, k=3, n_iter=3, centroids=cents,
+                                large_k_gate=gate)
+        assert c_re == cents
+        assert sorted(map(tuple, a_re.collect())) == want
+
+
+def test_precomputed_centroids_semdedup_agrees(blobs):
+    from kgist_spark.operators.kmeans import semdedup_keep_best, semdedup_keep_table
+
+    _, cents = kmeans_fit(blobs, k=3, n_iter=3)
+    for fn in (semdedup_pairs, semdedup_keep_table, semdedup_keep_best):
+        fresh = sorted(map(tuple, fn(blobs, k=3, n_iter=3, threshold=0.4).collect()))
+        reused = sorted(map(tuple, fn(blobs, k=3, n_iter=3, threshold=0.4,
+                                      centroids=cents).collect()))
+        assert fresh == reused
