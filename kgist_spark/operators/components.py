@@ -238,3 +238,90 @@ def _driver_components(spark, pairs, id_type):
         [T.StructField("node", id_type), T.StructField("component", id_type)]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def minlabel_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
+                    rounds: int = 8) -> DataFrame:
+    """``(node, component)`` after EXACTLY ``rounds`` synchronous min-label
+    rounds — component(v) = min node id within v's ``rounds``-hop ball.
+
+    The oracle-replayable face of :func:`connected_components`: a fixed
+    round count (no convergence probe, no driver path, no star handoff)
+    makes the computation a pure dataflow an ANSI-SQL oracle replays as
+    ``rounds`` chained CTEs — the PageRank pattern applied to components.
+    When ``rounds`` ≥ the distance from each component's minimum-id node
+    to its farthest member, the output IS connected components (tests pin
+    round-R == round-R+1 on the target graph); either way the result is
+    deterministic at any parallelism (min over ids commutes).
+
+    Scale shape per round: ONE equi-join of the symmetric edge list against
+    the current label table + ONE grouped min — the same shuffle keys every
+    round, and ``localCheckpoint`` cuts the otherwise-growing plan lineage.
+    At 100× the edge list dwarfs the label table only until AQE notices;
+    both sides stay partitioned on the join key across rounds."""
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    try:
+        comp = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint()
+        )
+        for _ in range(rounds):
+            neighbor = (
+                sym.join(comp.withColumnRenamed("node", "v"), "v")
+                .select(F.col("u").alias("node"), "component")
+            )
+            comp = (
+                comp.unionByName(neighbor)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint()
+            )
+    finally:
+        sym.unpersist()
+    return comp
+
+
+def minlabel_oracle_sql(edges_sql: str, rounds: int = 8,
+                        src: str = "a", dst: str = "b") -> str:
+    """ANSI-SQL replay of :func:`minlabel_rounds`: the same ``rounds``
+    synchronous min-label rounds unrolled as chained CTEs (the PageRank
+    oracle pattern) over ``edges_sql`` (a query producing columns
+    ``src, dst``).  Hash equality of the final (node, component) table
+    proves the distributed loop round-for-round."""
+    ctes = [
+        f"""e_in AS ({edges_sql}),
+    und AS (
+        SELECT {src} AS u, {dst} AS v FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {dst}, {src} FROM e_in WHERE {src} != {dst}
+    ),
+    r0 AS (SELECT DISTINCT u AS node, u AS component FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""r{i} AS (
+        SELECT c.node,
+               min(least(c.component, coalesce(n.component, c.component))) AS component
+        FROM r{i - 1} c
+        LEFT JOIN und e ON e.u = c.node
+        LEFT JOIN r{i - 1} n ON n.node = e.v
+        GROUP BY c.node
+    )"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, component FROM r{rounds}"

@@ -731,6 +731,30 @@ def q_kg_pagerank(spark, sf_dir):
 _BM25_TERMS = ["spark", "join", "hash"]
 
 
+#: synchronous min-label rounds for kg_components — the derived KG is one
+#: giant component (nations hub everything) with min-label convergence
+#: measured at round 7 on BOTH sf0.001 and sf0.01; 8 leaves a margin and
+#: the fixed count keeps Spark and the oracle round-for-round identical
+#: whether or not the graph has converged.
+_CC_ROUNDS = 8
+
+
+def q_kg_components(spark, sf_dir):
+    """Connected components of the derived KG (undirected) via EXACTLY
+    ``_CC_ROUNDS`` synchronous min-label rounds — the oracle-replayable
+    variant of the X4 components family (the adaptive
+    ``connected_components`` driver/star paths are pinned by pytest;
+    this row pins the distributed min-label loop itself against chained
+    unrolled CTEs, the PageRank pattern)."""
+    from kgist_spark.operators.components import minlabel_rounds
+
+    t = derived_triples(spark, sf_dir)
+    return minlabel_rounds(
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b")),
+        rounds=_CC_ROUNDS,
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 keyword search over documents: top-10 for a 3-term query —
     one corpus pass, fixed-order float expression (no sum-order drift),
@@ -1003,6 +1027,7 @@ QUERIES = {
     "repetition": q_repetition,
     "domain_cap": q_domain_cap,
     "kg_pagerank": q_kg_pagerank,
+    "kg_components": q_kg_components,
     "kg_degree_stats": q_kg_degree_stats,
     "kg_path2_stats": q_kg_path2_stats,
     "bm25_topk": q_bm25_topk,
@@ -1562,6 +1587,19 @@ def _pagerank_oracle() -> str:
 # integer fixed-point PageRank: bit-exact in both engines (truncating int
 # division, order-independent int sums), iterations unrolled as chained CTEs
 ORACLE_SQL["kg_pagerank"] = _pagerank_oracle()
+
+
+def _components_oracle() -> str:
+    from kgist_spark.operators.components import minlabel_oracle_sql
+
+    edges = f"SELECT subj AS a, obj AS b FROM ({DERIVED_TRIPLES_SQL})"
+    return minlabel_oracle_sql(edges, rounds=_CC_ROUNDS)
+
+
+# fixed-round synchronous min-label: both engines run exactly _CC_ROUNDS
+# rounds, so the tables agree round-for-round (convergence at round 7 on the
+# test SFs makes the result true connected components — pinned by pytest)
+ORACLE_SQL["kg_components"] = _components_oracle()
 
 
 def _bm25_oracle() -> str:
