@@ -76,6 +76,7 @@ def main():
         "kg_degree_stats",
         "kg_path2_stats",
         "kg_pagerank",
+        "kg_components",
         "bm25_topk",
         "pii_scrub",
         "line_dedup",
