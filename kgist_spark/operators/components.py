@@ -255,10 +255,13 @@ def minlabel_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
     deterministic at any parallelism (min over ids commutes).
 
     Scale shape per round: ONE equi-join of the symmetric edge list against
-    the current label table + ONE grouped min — the same shuffle keys every
-    round, and ``localCheckpoint`` cuts the otherwise-growing plan lineage.
-    At 100× the edge list dwarfs the label table only until AQE notices;
-    both sides stay partitioned on the join key across rounds."""
+    the current label table + ONE grouped min.  The edge list — the big
+    side at 100× — is hash-partitioned on the join key ``v`` ONCE and
+    persisted, so every round's join reuses that layout shuffle-free on
+    the edge side (the label table arrives already partitioned on the
+    same values from the previous round's group-by); the grouped min over
+    ``u`` is the round's only shuffle, and ``localCheckpoint`` cuts the
+    otherwise-growing plan lineage."""
     sym = (
         edges.select(
             F.explode(
@@ -272,6 +275,7 @@ def minlabel_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .repartition("v")
         .persist()
     )
     try:
