@@ -10,8 +10,11 @@ an hourly window aggregation over events, and the stage-1 extraction
 throughput over a generated web corpus (docs/sec recorded under "extra").
 
 Protocol: every timed region runs SPARK_GRAFT_BENCH_REPS times (default 3)
-and the MEDIAN is reported; per-query [min, max] spreads ship under
-extra.spread.  One cold run per round proved noise-dominated on this box
+and the MEDIAN is reported; per-query [min, max] spreads and the discarded
+cold run ship in the $SPARK_GRAFT_BENCH_DETAIL side file (default
+bench_detail.json) — the printed line stays compact because the driver
+records only the trailing bytes of stdout.  One cold run per round proved
+noise-dominated on this box
 (±40% run-to-run from GC/idle state — see BENCH.md), so round-over-round
 deltas compare medians, and the spread shows how settled the box was.
 """
@@ -101,11 +104,17 @@ def main():
         # (it pays parquet footer reads + codegen compilation, not operator
         # cost) but RECORDED under extra.cold so the cold-start story stays
         # visible.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(reps):
+            # queries that persist() an intermediate (e.g. curate's fanned
+            # corpus scan) register it with the session CacheManager, which
+            # dedupes by plan — without this clear, rep N would silently
+            # read rep N-1's cache and the median would time a warm plan
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop write, not count(): a bare count on an aggregate lets

@@ -130,16 +130,26 @@ def curate_table(docs: DataFrame, id_col: str = "doc_id",
     """
     from kgist_spark.operators.dedup import fan_out_scan, neardup_keep_table
 
-    # ONE corpus scan feeds everything: the fanned projection is eagerly
-    # localCheckpoint-ed so the feature gates, the md5 group-by AND the
-    # near-dup shingle substrate (gate 6) all read the same materialized
-    # blocks — without the cut, gate 6 re-ran fan_out_scan on the raw
-    # input and the 100-TB source was scanned twice end-to-end
+    # ONE corpus scan feeds everything: the fanned projection is persisted
+    # so the feature gates, the md5 group-by AND the near-dup shingle
+    # substrate (gate 6) all read the same cached blocks — without it,
+    # gate 6 re-ran fan_out_scan on the raw input and the 100-TB source
+    # was scanned twice end-to-end.  persist(), NOT localCheckpoint():
+    # localCheckpoint severs lineage, so one lost executor makes the whole
+    # job unrecoverable — acceptable for the engine's SMALL iteration
+    # tables (centroids, frontiers), not for a materialized full-corpus
+    # projection; a persisted block that is lost or evicted is simply
+    # recomputed from the parquet lineage.  The cache is session-managed
+    # (LRU to disk, spilled past memory) and lives as long as its
+    # consumers — callers doing repeated timing runs should clearCache
+    # between repetitions.
+    from pyspark import StorageLevel
+
     base = fan_out_scan(
         docs.select(F.col(id_col).alias("doc_id"),
                     F.col(lang_col).alias("lang"),
                     F.col(text_col).alias("text"))
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # gates 1-4: one in-row projection (shared with the streaming surface)
     feats = row_features(base)

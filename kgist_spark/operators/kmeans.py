@@ -47,11 +47,15 @@ Scale shape — TWO gated assignment strategies, same arithmetic:
 Both paths share the seed rule, the offset-space arithmetic, and the
 struct-min tie-break, so they are bit-identical on the same input
 (pinned by a test) and the DuckDB oracle replays either.  Bounds:
-``KM_MIN_X ≤ x ≤ KM_MAX_X`` pre-scale (offset positivity below, int64
-headroom above — ENFORCED in :func:`_fp`, because a violation silently
-de-syncs Spark's truncating ``div`` from DuckDB's flooring ``//`` on
-negative operands), cluster size ≤ ~9e9 rows at the max operand (sum
-fits int64).
+``KM_MIN_X ≤ x ≤ sqrt(KM_DIST_HEADROOM / dim)`` pre-scale (offset
+positivity below; a DIM-AWARE int64 ceiling above, because the
+assignment distance sums ``dim`` squared operand differences — a flat
+per-element cap that ignores dim admits inputs whose distance SUM wraps
+int64 silently on Spark while DuckDB raises) — ENFORCED in :func:`_fp`,
+because a violation silently de-syncs Spark's truncating ``div`` from
+DuckDB's flooring ``//`` on negative operands (below) or wraps the
+distance accumulator (above).  Per-cluster mean sums stay safe for
+clusters up to ``int64_max / max_operand`` rows (≥3.6e10 at dim=64).
 """
 
 from __future__ import annotations
@@ -64,13 +68,16 @@ KM_SCALE = 1_000_000
 #: added to every scaled component so all fixed-point operands are positive
 KM_OFFSET = 1 << 21
 #: pre-scale input bounds enforced by :func:`_fp`.  The LOWER bound is the
-#: one that guards cross-engine parity: x < -OFFSET/SCALE makes the offset
+#: one that guards cross-engine parity: x < -OFFSET/SCALE makes the scaled
 #: operand negative, where Spark's truncating ``div`` and DuckDB's flooring
-#: ``//`` disagree.  The upper bound keeps (a-b)² and per-cluster sums
-#: comfortably inside int64 (x ≤ 1e3 → operand ≤ ~1e9 → squared diff ≤
-#: ~4e18... headroom retained by the margin below).
+#: ``//`` disagree.  The UPPER bound is dim-aware: the assignment sums dim
+#: squared diffs, each ≤ max_operand², so max_operand = sqrt(HEADROOM/dim)
+#: keeps the whole distance inside int64 (HEADROOM = 4e18 leaves >2× margin
+#: under int64_max ≈ 9.22e18).  At dim=2 that allows |x| ≲ 1412; at dim=64,
+#: |x| ≲ 248; at dim=1024, |x| ≲ 60 — embeddings are unit-ish scaled, so
+#: real inputs sit orders of magnitude below the bound.
 KM_MIN_X = -(KM_OFFSET / KM_SCALE)  # ≈ -2.097152
-KM_MAX_X = 1000.0
+KM_DIST_HEADROOM = 4_000_000_000_000_000_000  # int64 budget for one distance
 #: above this k, assignment switches from k literal arrays in the plan to a
 #: broadcast centroid TABLE (plan size O(1) in k, update stays distributed)
 LARGE_K_GATE = 256
@@ -79,17 +86,31 @@ LARGE_K_GATE = 256
 def _fp(vec_col: str):
     """array<float> -> array<long> in positive fixed-point offset space.
 
-    Enforces ``KM_MIN_X ≤ x ≤ KM_MAX_X``: below the lower bound the scaled
-    value overruns the offset, operands go negative, and Spark ``div``
-    (truncate) diverges from DuckDB ``//`` (floor) — a silent cross-engine
-    parity break; above the upper bound squared distances risk int64
-    overflow.  The guard is a JVM-side ``assert_true`` folded into the
-    arithmetic as ``+ 0`` (coalesce of its NULL-on-success), so the checked
-    plan stays one codegen projection."""
-    guard_msg = (
-        f"kmeans fixed-point input out of range: x must be in "
-        f"[{KM_MIN_X}, {KM_MAX_X}] (offset-space positivity / int64 "
-        f"headroom; rescale embeddings before kmeans_fit)"
+    Enforces ``KM_MIN_X ≤ x`` and ``operand ≤ sqrt(KM_DIST_HEADROOM /
+    dim)``: below the lower bound the scaled value overruns the offset,
+    operands go negative, and Spark ``div`` (truncate) diverges from
+    DuckDB ``//`` (floor) — a silent cross-engine parity break; above the
+    dim-aware upper bound the SUM of dim squared diffs wraps int64 on
+    Spark (non-ANSI long arithmetic is silent) while DuckDB raises — the
+    other silent de-sync.  The guard is a JVM-side ``assert_true`` folded
+    into the arithmetic as ``+ 0`` (coalesce of its NULL-on-success), so
+    the checked plan stays one codegen projection; the bound is computed
+    from ``size(vec)`` per row (an outer-column reference inside the
+    ``transform`` lambda), so mixed-dim inputs are each held to their own
+    safe ceiling."""
+    max_op = F.floor(
+        F.sqrt(F.lit(float(KM_DIST_HEADROOM)) / F.size(F.col(vec_col)).cast("double"))
+    ).cast("long")
+    guard_msg = F.concat(
+        F.lit(
+            f"kmeans fixed-point input out of range: x must be >= {KM_MIN_X} "
+            f"(offset-space positivity) and the scaled operand <= "
+        ),
+        max_op.cast("string"),
+        F.lit(
+            " = sqrt(KM_DIST_HEADROOM/dim) (int64 distance headroom); "
+            "rescale embeddings before kmeans_fit"
+        ),
     )
     return F.transform(
         F.col(vec_col),
@@ -98,8 +119,12 @@ def _fp(vec_col: str):
         + F.coalesce(
             F.assert_true(
                 (x.cast("double") >= KM_MIN_X)
-                & (x.cast("double") <= KM_MAX_X),
-                F.lit(guard_msg),
+                & (
+                    F.round(x.cast("double") * KM_SCALE).cast("long")
+                    + F.lit(KM_OFFSET).cast("long")
+                    <= max_op
+                ),
+                guard_msg,
             ).cast("long"),
             F.lit(0).cast("long"),
         ),
@@ -440,8 +465,6 @@ def semdedup_keep_best(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
             ).alias("cdist"),
         )
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("component").orderBy(
         F.desc("cdist"), F.asc(id_col)
     )

@@ -157,17 +157,21 @@ def log_drop_stats(observation, context: str) -> dict:
     try:
         got = dict(observation.get)
     except Exception as exc:
-        # a degenerate input (e.g. a one-document corpus) can collapse the
-        # observed subtree to a LocalRelation before execution — the
-        # observation row then never materializes and the JVM-side fetch
-        # asserts.  Nothing flowed, so nothing was dropped.  ONLY that
-        # known collapse signature stays at debug; anything else (py4j
-        # connection loss, get before any action, ...) is a REAL failure
-        # of the drop-accounting contract and must stay visible, so it
-        # logs at warning with the exception text.
+        # a degenerate input can let AQE's empty-relation propagation prune
+        # the CollectMetrics node — the observation row then never
+        # materializes and PySpark's JVM-side fetch raises EXACTLY
+        # "toPyRow ... java.lang.AssertionError: assertion failed"
+        # (signature reproduced under spark 4.1.2 with the engine-wide
+        # AQEPropagateEmptyRelation exclusion lifted).  Nothing flowed, so
+        # nothing was dropped.  ONLY that signature stays at debug — a
+        # looser match (any "assert"/"IllegalState" substring) would
+        # swallow real failures like a stopped-SparkContext
+        # IllegalStateException; anything else (py4j connection loss, get
+        # before any action, ...) is a REAL failure of the drop-accounting
+        # contract and must stay visible, so it logs at warning with the
+        # exception text.
         msg = str(exc)
-        collapsed = ("assert" in msg.lower() or "toPyRow" in msg
-                     or "IllegalState" in msg)
+        collapsed = "toPyRow" in msg and "AssertionError" in msg
         log = logging.getLogger(__name__)
         if collapsed:
             log.debug(

@@ -1701,13 +1701,17 @@ ORACLE_SQL["incident_clicks"] = """
 """
 
 ORACLE_SQL["corpus_percentiles"] = """
+    -- WHERE mirrors the operator's NULL semantics exactly: NULL values are
+    -- excluded from n_rows AND an all-NULL stratum disappears (quantile_cont
+    -- alone ignores NULLs but COUNT(*)/GROUP BY would not — a half-applied
+    -- filter de-syncs on nullable columns)
     SELECT lang,
            COUNT(*) AS n_rows,
            round(quantile_cont(n_chars, 0.25), 5) AS p25,
            round(quantile_cont(n_chars, 0.50), 5) AS p50,
            round(quantile_cont(n_chars, 0.75), 5) AS p75,
            round(quantile_cont(n_chars, 0.95), 5) AS p95
-    FROM documents GROUP BY lang
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
 """
 
 # part_triangles: the oracle builds the same capped co-occurrence graph and

@@ -131,10 +131,14 @@ def test_short_doc_null_bigram_frac(spark):
 
 def test_single_corpus_scan(spark, tmp_path):
     """The decision table must read the documents source ONCE: the fanned
-    projection is checkpointed and every gate (features, md5 groups, the
-    near-dup shingle substrate) consumes the materialized blocks.  Before
-    this pin, gate 6 re-ran fan_out_scan on the raw input — a second full
-    pass over a 100-TB corpus."""
+    projection is persisted (lineage-preserving — a lost executor's blocks
+    recompute from parquet, unlike a localCheckpoint which would fail the
+    whole job) and every gate (features, md5 groups, the near-dup shingle
+    substrate) consumes the cached blocks.  Before this pin, gate 6 re-ran
+    fan_out_scan on the raw input — a second full pass over a 100-TB
+    corpus.  The pin reads the plan's LEAVES: every corpus consumer must
+    be an InMemoryTableScan and no file-source leaf may appear — the
+    parquet scan exists only inside the one cached-relation build."""
     path = str(tmp_path / "docs")
     spark.createDataFrame(
         [(i, "en", f"unique document body {i} " + "alpha beta gamma " * 8)
@@ -143,8 +147,9 @@ def test_single_corpus_scan(spark, tmp_path):
     ).write.parquet(path)
     docs = spark.read.parquet(path)
     out = curate_table(docs)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # zero parquet relations downstream: only the checkpointed RDD is read
-    assert "Relation" not in plan or "parquet" not in plan
-    assert "LogicalRDD" in plan
+    leaves = out._jdf.queryExecution().sparkPlan().collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    assert names.count("InMemoryTableScan") >= 2  # gates share one cache
+    assert not any("FileScan" in n or "Scan parquet" in n for n in names)
     assert out.count() == 30
+    spark.catalog.clearCache()  # don't leak the corpus cache to other tests

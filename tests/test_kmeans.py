@@ -194,6 +194,28 @@ def test_fp_bound_is_enforced(spark):
         kmeans_fit(big, k=1, n_iter=1)[0].collect()
 
 
+def test_fp_upper_bound_is_dim_aware(spark):
+    """The int64 ceiling must shrink with dimension: the assignment sums
+    `dim` squared operand diffs, so a flat per-element cap that admits
+    x=500 at dim=2 would let a 64-dim input wrap the distance accumulator
+    silently (Spark long arithmetic is non-ANSI) while DuckDB raises —
+    the exact cross-engine de-sync the guard exists to prevent."""
+    ok_2d = spark.createDataFrame(
+        [(0, [500.0, 0.0]), (1, [0.0, 500.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # dim=2 admits |x| up to ~1412: this must fit
+    assigned, _ = kmeans_fit(ok_2d, k=1, n_iter=1)
+    assert assigned.count() == 2
+    bad_64d = spark.createDataFrame(
+        [(0, [500.0] * 64), (1, [0.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    # dim=64 caps |x| at ~248: 500 would overflow sum((a-b)^2) over 64 dims
+    with pytest.raises(Exception, match="out of range"):
+        kmeans_fit(bad_64d, k=1, n_iter=1)[0].collect()
+
+
 def test_semdedup_keep_best_keeps_farthest_from_centroid(blobs):
     """SemDeDup keeper rule: within each duplicate component the member
     FARTHEST (integer offset-space distance) from its cell centroid
