@@ -84,6 +84,7 @@ def main():
         "pii_scrub",
         "line_dedup",
         "lm_score",
+        "dsir_weights",
         "part_triangles",
         "corpus_percentiles",
         "incident_clicks",

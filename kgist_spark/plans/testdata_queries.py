@@ -879,6 +879,21 @@ def q_lm_score(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag log-likelihood ratio of every corpus document under
+    target(src0)-vs-raw add-one bucket distributions; md5-prefix bucket
+    hash and fixed-point log-ratios make the whole computation
+    integer-hash-replayable by the DuckDB oracle."""
+    from kgist_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction audit: emails / IPv4s / phone numbers counted and
     replaced in one zero-shuffle codegen pass; ``clean_fp`` fingerprints
@@ -1034,6 +1049,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
     "lm_score": q_lm_score,
+    "dsir_weights": q_dsir_weights,
     "part_triangles": q_part_triangles,
     "corpus_percentiles": q_corpus_percentiles,
     "incident_clicks": q_incident_clicks,
@@ -1773,6 +1789,66 @@ ORACLE_SQL["lm_score"] = r"""
            COUNT(*) FILTER (WHERE oov) AS n_oov,
            CAST((-SUM(logp)) // COUNT(*) AS BIGINT) AS bits_per_token_x1e6
     FROM j GROUP BY doc_id
+"""
+
+# dsir_weights: the oracle replays the identical hashed-gram bucketing
+# (md5-prefix hex -> int, the engine's only cross-engine hash) and the
+# identical fixed-point log-ratio table; per-document sums are integer, so
+# hash equality pins bucketing, smoothing, and weight arithmetic at once.
+# N_BUCKETS is imported from the operator so the two sides cannot diverge.
+from kgist_spark.operators.dsir import N_BUCKETS as _DSIR_B
+
+ORACLE_SQL["dsir_weights"] = rf"""
+    WITH tgt AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE source = 'src0'
+    ),
+    cor AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE source <> 'src0'
+    ),
+    tg AS (
+        SELECT CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+               % {_DSIR_B} AS bucket
+        FROM (
+            SELECT unnest(t) AS gram FROM tgt
+            UNION ALL
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1]))
+            FROM tgt
+        )
+    ),
+    cg AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+               % {_DSIR_B} AS bucket
+        FROM (
+            SELECT doc_id, unnest(t) AS gram FROM cor
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1]))
+            FROM cor
+        )
+    ),
+    q AS (SELECT bucket, COUNT(*) AS q_cnt FROM cg GROUP BY bucket),
+    p AS (SELECT bucket, COUNT(*) AS p_cnt FROM tg GROUP BY bucket),
+    qt AS (SELECT COALESCE(SUM(q_cnt), 0) AS q_tot FROM q),
+    pt AS (SELECT COALESCE(SUM(p_cnt), 0) AS p_tot FROM p),
+    ratio AS (
+        SELECT q.bucket,
+               CAST(round((log2(COALESCE(p.p_cnt, 0) + 1.0)
+                           - log2(pt.p_tot + {_DSIR_B}.0)
+                           - log2(q.q_cnt + 1.0)
+                           + log2(qt.q_tot + {_DSIR_B}.0)) * 1000000)
+                    AS BIGINT) AS logr
+        FROM q LEFT JOIN p USING (bucket), qt, pt
+    )
+    SELECT cg.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(r.logr) AS BIGINT) AS importance_x1e6
+    FROM cg JOIN ratio r USING (bucket)
+    GROUP BY cg.doc_id
 """
 
 ORACLE_SQL["line_dedup"] = """
