@@ -241,7 +241,8 @@ def _driver_components(spark, pairs, id_type):
 
 
 def minlabel_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
-                    rounds: int = 8) -> DataFrame:
+                    rounds: int = 8, rows_per_partition: int = 200_000,
+                    broadcast_max_nodes: int = 2_000_000) -> DataFrame:
     """``(node, component)`` after EXACTLY ``rounds`` synchronous min-label
     rounds — component(v) = min node id within v's ``rounds``-hop ball.
 
@@ -254,14 +255,27 @@ def minlabel_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
     round-R == round-R+1 on the target graph); either way the result is
     deterministic at any parallelism (min over ids commutes).
 
-    Scale shape per round: ONE equi-join of the symmetric edge list against
-    the current label table + ONE grouped min.  The edge list — the big
-    side at 100× — is hash-partitioned on the join key ``v`` ONCE and
-    persisted, so every round's join reuses that layout shuffle-free on
-    the edge side (the label table arrives already partitioned on the
-    same values from the previous round's group-by); the grouped min over
-    ``u`` is the round's only shuffle, and ``localCheckpoint`` cuts the
-    otherwise-growing plan lineage."""
+    Loop shape — the ``pagerank_fixed_point`` discipline applied to labels
+    (the first cut ran ~20 s at sf0.1 where the PageRank twin over the
+    same KG ran ~6 s; this shape closes that gap):
+
+    * when the MEASURED node count fits ``broadcast_max_nodes`` the label
+      table (the graph's node set — orders of magnitude narrower than the
+      edge list) is BROADCAST into the per-round join, leaving the grouped
+      min as the round's only shuffle, and that shuffle moves map-side
+      partials (≤ one row per node per partition), never the exploded
+      neighbor stream; the hint is size-GATED, never forced;
+    * above the gate the loop falls back to a shuffle join with the
+      symmetric edge list pre-partitioned (and persisted) on the join key
+      ``v``, so only the narrow label table re-shuffles each round;
+    * the loop's shuffle width is sized from the measured edge count and
+      scoped to the loop (a fixed global width pays per-task scheduling
+      overhead ~width×rounds times on small graphs);
+    * ``localCheckpoint(eager=False)`` per round pins lineage at depth 1
+      without forcing a job per round; the LAST round's checkpoint is
+      eager and sweeps the whole chain in one job while the scoped width
+      and the edge cache are still in effect."""
+    spark = edges.sparkSession
     sym = (
         edges.select(
             F.explode(
@@ -275,28 +289,50 @@ def minlabel_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .repartition("v")
         .persist()
     )
+    conf = spark.conf
+    old_width = conf.get("spark.sql.shuffle.partitions")
     try:
+        n_edges = sym.count()  # materializes the pin; sizes the loop width
+        width = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_edges // rows_per_partition),
+        ))
+        conf.set("spark.sql.shuffle.partitions", str(width))
         comp = (
             sym.select(F.col("u").alias("node"))
             .distinct()
             .withColumn("component", F.col("node"))
             .localCheckpoint()
         )
-        for _ in range(rounds):
+        n_nodes = comp.count()  # cheap: reads the checkpoint
+        bcast = n_nodes <= broadcast_max_nodes
+        if not bcast:
+            # huge-graph regime only: repartition the fat side ONCE so every
+            # round's shuffle join reuses the layout edge-side-shuffle-free
+            resym = sym.repartition("v").persist()
+            resym.count()
+            sym.unpersist()
+            sym = resym
+        for i in range(rounds):
+            lab = comp.withColumnRenamed("node", "v")
+            if bcast:
+                lab = F.broadcast(lab)
             neighbor = (
-                sym.join(comp.withColumnRenamed("node", "v"), "v")
+                sym.join(lab, "v")
                 .select(F.col("u").alias("node"), "component")
             )
             comp = (
                 comp.unionByName(neighbor)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
-                .localCheckpoint()
+                # lineage pinned at depth 1; only the LAST round pays an
+                # eager job, sweeping the lazy chain while caches hold
+                .localCheckpoint(eager=i == rounds - 1)
             )
     finally:
+        conf.set("spark.sql.shuffle.partitions", old_width)
         sym.unpersist()
     return comp
 
