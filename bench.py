@@ -85,6 +85,9 @@ def main():
         "line_dedup",
         "lm_score",
         "dsir_weights",
+        "dup_ngrams",
+        "token_pmi",
+        "kg_kcore",
         "part_triangles",
         "corpus_percentiles",
         "incident_clicks",

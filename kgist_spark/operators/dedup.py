@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgist_spark.operators import minhash as MH
+from kgist_spark.operators.text import tokens
 
 
 def fan_out_scan(docs: DataFrame) -> DataFrame:
@@ -449,4 +450,67 @@ def neardup_keep_best(docs: DataFrame, weight_col: str, id_col: str = "doc_id",
             F.coalesce("best_id", "doc_id").alias("keep_id"),
         )
         .withColumn("is_dup", F.col("keep_id") != F.col("doc_id"))
+    )
+
+
+def dup_ngram_stats(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 5,
+                    frac_scale: int = 1_000_000) -> DataFrame:
+    """Per-document repeated-n-gram statistics (Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better", the ExactSubstr
+    signal re-expressed over word n-grams): for every document, how many of
+    its n-gram windows also occur in at least one OTHER document.
+
+    ``(id_col, n_grams, n_dup_grams, dup_frac_x1e6)`` — one row per document
+    that has at least one window (>= n tokens); ``dup_frac_x1e6`` is the
+    integer-truncated fraction ``n_dup_grams * frac_scale / n_grams`` (both
+    engines truncate positive integer division identically, so the row is
+    hash-comparable without float-order risk).
+
+    100 TB shape: windows are built IN-ROW (one ``transform`` over a token
+    index sequence — no self-join, no Python), keyed by their md5 so the
+    gram shuffle moves 32-byte keys instead of n-word strings.  Two
+    aggregations: (1) distinct (gram, doc) pairs -> per-gram distinct-doc
+    counts (map-side partials; the distinct collapses a document's internal
+    repetitions BEFORE the global shuffle), (2) the per-document rollup.
+    The gram->count join is AQE-sized, never forced broadcast (the gram
+    table is corpus-scale).  Suffix-array ExactSubstr finds arbitrary-length
+    matches; the fixed-n window trades that generality for an all-JVM
+    two-shuffle plan, the standard scale approximation.
+    """
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = fan_out_scan(docs).select(
+        F.col(id_col), F.explode(grams).alias("g")
+    )
+    # distinct-doc count per gram; the (g, doc) distinct is the map-side
+    # collapse that keeps a million-fold internal repetition from shuffling
+    gcnt = (
+        exploded.select("g", id_col).distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+    )
+    return (
+        exploded.join(gcnt, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            # integer DIV: truncating on these (non-negative) operands in
+            # both engines, so no float ever enters the row
+            F.expr(f"n_dup_grams * {frac_scale} DIV n_grams")
+            .cast("long")
+            .alias("dup_frac_x1e6"),
+        )
     )

@@ -400,3 +400,118 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b",
         .select("n_nodes", F.lit(m).cast("long").alias("n_edges"),
                 "n_triangles")
     )
+
+
+def kcore_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
+                 k: int = 3, rounds: int = 8,
+                 rows_per_partition: int = 200_000,
+                 broadcast_max_nodes: int = 2_000_000) -> DataFrame:
+    """``(node, degree)`` for nodes surviving EXACTLY ``rounds`` synchronous
+    k-core peeling rounds — each round simultaneously removes every node
+    whose degree in the surviving subgraph is below ``k``, then recomputes
+    degrees.  When ``rounds`` reaches the peel's fixpoint the output IS the
+    exact k-core (Seidman 1983); a fixed round count (no convergence probe)
+    keeps the computation a pure dataflow an ANSI-SQL oracle replays as
+    ``rounds`` chained CTEs, and the result is deterministic at any
+    parallelism either way (degree counts are integers).
+
+    No reference counterpart (GemsLab/KGist has no core decomposition); the
+    operator exists because a constructed web-scale KG needs a density
+    filter — the k-core is the standard "drop the sparse fringe before
+    expensive mining" step, and its peel is the same loop discipline as
+    :func:`pagerank_fixed_point` / ``components.minlabel_rounds``:
+
+    * the symmetric edge list is persisted once; each round's degree table
+      (one grouped count, map-side partials) is node-sized and BROADCAST
+      into the two survivor semi-joins while the MEASURED node count fits
+      ``broadcast_max_nodes`` (size-gated, never forced) — above the gate
+      the edge list is pre-partitioned on ``u`` once so each round only
+      shuffles the narrow degree table;
+    * the loop's shuffle width is sized from the measured edge count and
+      scoped to the loop;
+    * ``localCheckpoint(eager=False)`` pins lineage at depth 1 per round;
+      only the LAST round's checkpoint is eager.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    conf = spark.conf
+    old_width = conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_edges = sym.count()
+        width = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_edges // rows_per_partition),
+        ))
+        conf.set("spark.sql.shuffle.partitions", str(width))
+        n_nodes = sym.select("u").distinct().count()
+        bcast = n_nodes <= broadcast_max_nodes
+        cur = sym
+        if not bcast:
+            cur = sym.repartition("u").persist()
+            cur.count()
+        for i in range(rounds):
+            deg = cur.groupBy("u").agg(F.count("*").alias("du"))
+            keep_u = deg.where(F.col("du") >= k).select("u")
+            keep_v = keep_u.withColumnRenamed("u", "v")
+            if bcast:
+                keep_u, keep_v = F.broadcast(keep_u), F.broadcast(keep_v)
+            cur = (
+                cur.join(keep_u, "u", "leftsemi")
+                .join(keep_v, "v", "leftsemi")
+                .localCheckpoint(eager=i == rounds - 1)
+            )
+        return cur.groupBy(F.col("u").alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_width)
+        sym.unpersist()
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 8,
+                     src: str = "a", dst: str = "b") -> str:
+    """ANSI-SQL replay of :func:`kcore_rounds`: ``rounds`` synchronous peel
+    rounds unrolled as chained CTEs over ``edges_sql`` (a query producing
+    columns ``src, dst``).  Each round CTE references its predecessor
+    exactly ONCE (the ``minlabel_oracle_sql`` lesson: engines that inline
+    CTEs re-evaluate the whole chain per reference) — both endpoint degrees
+    come from two window counts over the symmetric edge list in a single
+    subquery, which equals the Spark loop's grouped-count + two semi-joins
+    because the list carries both directions."""
+    ctes = [
+        f"""e_in AS ({edges_sql}),
+    e0 AS (
+        SELECT {src} AS u, {dst} AS v FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {dst}, {src} FROM e_in WHERE {src} != {dst}
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""e{i} AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   COUNT(*) OVER (PARTITION BY u) AS du,
+                   COUNT(*) OVER (PARTITION BY v) AS dv
+            FROM e{i - 1}
+        ) WHERE du >= {k} AND dv >= {k}
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT u AS node, COUNT(*) AS degree FROM e{rounds} GROUP BY u"
+    )

@@ -276,3 +276,81 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         bound["top_bigram_frac"].alias("top_bigram_frac"),
         bound["dup_trigram_frac"].alias("dup_trigram_frac"),
     )
+
+
+def pmi_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              window: int = 5, min_count: int = 10, k: int = 50,
+              pmi_scale: int = 1_000_000) -> DataFrame:
+    """Top-k within-window token pairs by pointwise mutual information —
+    the classic relation-discovery signal (Church & Hanks 1990) a KG
+    pipeline mines to PROPOSE predicates before pattern extraction runs.
+
+    A pair is counted once per ordered position pair ``(i, j)`` with
+    ``i < j <= i + window``, normalized to ``(least, greatest)`` so the
+    co-occurrence is undirected.  PMI uses corpus totals::
+
+        pmi = log2( (c_ab / P) / ((c_a / N) * (c_b / N)) )
+
+    with N = total token occurrences, P = total in-window pairs.  The float
+    enters exactly one per-row expression with a FIXED evaluation order
+    (same literal structure in the SQL oracle) and is immediately rounded
+    to an int (× ``pmi_scale``) — the ``dsir`` discipline, so rows hash
+    identically across engines.  Output: ``(a, b, n_pair, pmi_x1e6)``,
+    ordered by (pmi desc, a, b), limited to ``k`` (deterministic: the
+    tiebreak is total on distinct pairs).
+
+    100 TB shape: pair generation is IN-ROW (nested ``transform`` over the
+    token array — O(tokens × window) values, no self-join, no Python);
+    both count tables collapse map-side before their single shuffles; the
+    unigram count table (vocabulary-sized) joins the pair table twice under
+    AQE sizing — vocabularies are Zipf-bounded, so AQE broadcasts them in
+    practice without a forced hint.  Totals ride a 1-row cross join.
+    """
+    t = tokens(text_col)
+    pair_structs = F.flatten(
+        F.transform(
+            t,
+            lambda x, i: F.transform(
+                F.slice(t, i + 2, window),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
+    )
+    src = docs.where(F.length(F.trim(F.col(text_col))) > 0)
+    pairs = src.select(F.explode(pair_structs).alias("p")).select("p.a", "p.b")
+    uni = src.select(F.explode(t).alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    n_tot = uni.agg(F.sum("c").alias("n_tok"))
+    pc = pairs.groupBy("a", "b").agg(F.count("*").alias("n_pair"))
+    p_tot = pc.agg(F.sum("n_pair").alias("n_pairs"))
+    ca = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    return (
+        pc.where(F.col("n_pair") >= min_count)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(n_tot)
+        .crossJoin(p_tot)
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(
+                (
+                    F.log2("n_pair")
+                    - F.log2("n_pairs")
+                    - F.log2("c_a")
+                    - F.log2("c_b")
+                    + F.lit(2.0) * F.log2("n_tok")
+                )
+                * pmi_scale
+            )
+            .cast("long")
+            .alias("pmi_x1e6"),
+        )
+        .orderBy(F.col("pmi_x1e6").desc(), "a", "b")
+        .limit(k)
+    )

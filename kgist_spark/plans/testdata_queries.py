@@ -894,6 +894,53 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Per-document repeated-5-gram statistics (the Lee et al. 2022
+    ExactSubstr dedup signal over word windows): windows built in-row,
+    32-byte md5 gram keys, two shuffles total, integer-DIV duplicate
+    fraction so the row is float-free."""
+    from kgist_spark.operators.dedup import dup_ngram_stats
+
+    return dup_ngram_stats(_t(spark, sf_dir, "documents"), n=5)
+
+
+#: PMI query params — shared by the Spark query and its SQL oracle
+_PMI_WINDOW, _PMI_MIN_COUNT, _PMI_K = 5, 10, 50
+
+
+def q_token_pmi(spark, sf_dir):
+    """Top-50 within-window token pairs by PMI (Church & Hanks 1990) —
+    the relation-proposal mining pass of a KG pipeline; in-row pair
+    generation, fixed-order log2 expression rounded straight to an int."""
+    from kgist_spark.operators.text import pmi_pairs
+
+    return pmi_pairs(
+        _t(spark, sf_dir, "documents"),
+        window=_PMI_WINDOW, min_count=_PMI_MIN_COUNT, k=_PMI_K,
+    )
+
+
+#: k-core query params — k=5 peels ~40% of the derived KG and converges at
+#: round 5 on the test SFs; 6 leaves a margin, and the FIXED round count
+#: keeps Spark and the oracle round-for-round identical either way
+_KCORE_K, _KCORE_ROUNDS = 5, 6
+
+
+def q_kg_kcore(spark, sf_dir):
+    """k-core of the derived KG (undirected) via EXACTLY ``_KCORE_ROUNDS``
+    synchronous peel rounds — the density filter that drops the sparse
+    fringe before expensive mining; same loop discipline (size-gated
+    broadcast, scoped shuffle width, lazy checkpoints) as kg_pagerank /
+    kg_components."""
+    from kgist_spark.operators.graph import kcore_rounds
+
+    t = derived_triples(spark, sf_dir)
+    return kcore_rounds(
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b")),
+        k=_KCORE_K, rounds=_KCORE_ROUNDS,
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction audit: emails / IPv4s / phone numbers counted and
     replaced in one zero-shuffle codegen pass; ``clean_fp`` fingerprints
@@ -1059,6 +1106,9 @@ QUERIES = {
     "semdedup_pairs": q_semdedup_pairs,
     "semdedup_clusters": q_semdedup_clusters,
     "semdedup_keep_best": q_semdedup_keep_best,
+    "dup_ngrams": q_dup_ngrams,
+    "token_pmi": q_token_pmi,
+    "kg_kcore": q_kg_kcore,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1616,6 +1666,79 @@ def _components_oracle() -> str:
 # rounds, so the tables agree round-for-round (convergence at round 7 on the
 # test SFs makes the result true connected components — pinned by pytest)
 ORACLE_SQL["kg_components"] = _components_oracle()
+
+
+def _kcore_oracle() -> str:
+    from kgist_spark.operators.graph import kcore_oracle_sql
+
+    edges = f"SELECT subj AS a, obj AS b FROM ({DERIVED_TRIPLES_SQL})"
+    return kcore_oracle_sql(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# fixed-round synchronous k-core peel, rounds unrolled as chained CTEs (one
+# predecessor reference per round: both endpoint degrees come from two
+# window counts over the symmetric list in a single subquery)
+ORACLE_SQL["kg_kcore"] = _kcore_oracle()
+
+# dup_ngrams: the oracle replays the identical in-row 5-gram windows (md5
+# over the space-joined token slice), the distinct-(gram, doc) collapse,
+# and the integer-DIV fraction — every output column is integer-exact
+ORACLE_SQL["dup_ngrams"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+        SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS g
+        FROM toks, LATERAL unnest(range(1, len(t) - 3)) s(i)
+        WHERE len(t) >= 5
+    ),
+    gcnt AS (
+        SELECT g, COUNT(*) AS nd
+        FROM (SELECT DISTINCT g, doc_id FROM grams) GROUP BY g
+    )
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS dup_frac_x1e6
+    FROM grams JOIN gcnt USING (g)
+    GROUP BY grams.doc_id
+"""
+
+# token_pmi: the oracle enumerates position pairs by self-join where Spark
+# builds them in-row (same multiset); the PMI float enters ONE fixed-order
+# expression, identical literal structure on both sides, rounded straight
+# to the int the hash compares
+ORACLE_SQL["token_pmi"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tok AS (
+        SELECT doc_id, i, t[i] AS w
+        FROM toks, LATERAL unnest(range(1, len(t) + 1)) s(i)
+    ),
+    pairs AS (
+        SELECT least(x.w, y.w) AS a, greatest(x.w, y.w) AS b
+        FROM tok x JOIN tok y
+          ON x.doc_id = y.doc_id AND y.i > x.i AND y.i <= x.i + {_PMI_WINDOW}
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    nt AS (SELECT SUM(c) AS n_tok FROM uni),
+    pc AS (SELECT a, b, COUNT(*) AS n_pair FROM pairs GROUP BY a, b),
+    pt AS (SELECT SUM(n_pair) AS n_pairs FROM pc)
+    SELECT pc.a, pc.b, pc.n_pair,
+           CAST(round((log2(n_pair) - log2(n_pairs) - log2(ua.c) - log2(ub.c)
+                       + 2.0 * log2(n_tok)) * 1000000) AS BIGINT) AS pmi_x1e6
+    FROM pc
+    JOIN uni ua ON ua.w = pc.a
+    JOIN uni ub ON ub.w = pc.b, nt, pt
+    WHERE n_pair >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_x1e6 DESC, pc.a, pc.b
+    LIMIT {_PMI_K}
+"""
 
 
 def _bm25_oracle() -> str:

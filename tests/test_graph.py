@@ -219,3 +219,73 @@ def test_cooccur_edges_cap_and_triangles(spark):
     assert drops == {"dropped_buckets": 1, "dropped_ids": 6}
     row = triangle_count(edges).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (3, 3, 1)
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def _py_kcore(edges, k, rounds):
+    """Independent driver-side replay of the synchronous peel."""
+    cur = set()
+    for a, b in edges:
+        if a != b:
+            cur.add((a, b))
+            cur.add((b, a))
+    for _ in range(rounds):
+        deg = {}
+        for u, _ in cur:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, d in deg.items() if d >= k}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+    out = {}
+    for u, _ in cur:
+        out[u] = out.get(u, 0) + 1
+    return out
+
+
+def _kcore_spark(spark, edges, k, rounds, **kw):
+    from kgist_spark.operators.graph import kcore_rounds
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    out = kcore_rounds(df, k=k, rounds=rounds, **kw)
+    return {r["node"]: r["degree"] for r in out.collect()}
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle a-b-c (2-core) with a pendant chain c-d-e: the chain peels
+    # off over TWO rounds (e first, then d), pinning the synchronous
+    # round-by-round semantics
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    assert _kcore_spark(spark, edges, k=2, rounds=1) == {
+        "a": 2, "b": 2, "c": 3, "d": 1,  # e gone; d keeps its edge to c
+    }
+    assert _kcore_spark(spark, edges, k=2, rounds=2) == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_matches_python_replay(spark):
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(120)]
+    for k, rounds in ((2, 3), (3, 4), (4, 6)):
+        assert _kcore_spark(spark, edges, k=k, rounds=rounds) == _py_kcore(
+            edges, k, rounds
+        )
+
+
+def test_kcore_fixpoint_is_exact_kcore(spark):
+    # once the peel stabilizes, extra rounds change nothing — the fixed
+    # round count in the query is the exact k-core plus margin
+    rng = random.Random(11)
+    edges = [(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(90)]
+    a = _kcore_spark(spark, edges, k=3, rounds=8)
+    b = _kcore_spark(spark, edges, k=3, rounds=9)
+    assert a == b
+    # and every survivor meets the degree bound (k-core property)
+    assert all(d >= 3 for d in a.values())
+
+
+def test_kcore_broadcast_and_shuffle_paths_identical(spark):
+    rng = random.Random(13)
+    edges = [(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}") for _ in range(70)]
+    bcast = _kcore_spark(spark, edges, k=2, rounds=4)
+    shuffled = _kcore_spark(spark, edges, k=2, rounds=4, broadcast_max_nodes=0)
+    assert bcast == shuffled
