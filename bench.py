@@ -84,6 +84,7 @@ def main():
         "pii_scrub",
         "line_dedup",
         "lm_score",
+        "lm2_score",
         "dsir_weights",
         "dup_ngrams",
         "token_pmi",

@@ -276,19 +276,27 @@ def minlabel_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
       eager and sweeps the whole chain in one job while the scoped width
       and the edge cache are still in effect."""
     spark = edges.sparkSession
+    # canonical (least, greatest) distinct FIRST, symmetric explode AFTER:
+    # the dedup shuffle moves half the rows of the explode-then-distinct
+    # order (at web scale the distinct is the prep's dominant shuffle)
     sym = (
-        edges.select(
+        edges.where(
+            F.col(src).isNotNull() & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least(src, dst).alias("cu"), F.greatest(src, dst).alias("cv")
+        )
+        .distinct()
+        .select(
             F.explode(
                 F.array(
-                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                    F.struct(F.col("cu").alias("u"), F.col("cv").alias("v")),
+                    F.struct(F.col("cv").alias("u"), F.col("cu").alias("v")),
                 )
             ).alias("p")
         )
         .select("p.u", "p.v")
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .where(F.col("u") != F.col("v"))
-        .distinct()
         .persist()
     )
     conf = spark.conf

@@ -433,19 +433,27 @@ def kcore_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
       only the LAST round's checkpoint is eager.
     """
     spark = edges.sparkSession
+    # canonical (least, greatest) distinct FIRST, symmetric explode AFTER:
+    # the dedup shuffle moves half the rows of the explode-then-distinct
+    # order (at web scale the distinct is the prep's dominant shuffle)
     sym = (
-        edges.select(
+        edges.where(
+            F.col(src).isNotNull() & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least(src, dst).alias("cu"), F.greatest(src, dst).alias("cv")
+        )
+        .distinct()
+        .select(
             F.explode(
                 F.array(
-                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                    F.struct(F.col("cu").alias("u"), F.col("cv").alias("v")),
+                    F.struct(F.col("cv").alias("u"), F.col("cu").alias("v")),
                 )
             ).alias("p")
         )
         .select("p.u", "p.v")
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .where(F.col("u") != F.col("v"))
-        .distinct()
         .persist()
     )
     conf = spark.conf
@@ -464,6 +472,12 @@ def kcore_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
             cur = sym.repartition("u").persist()
             cur.count()
         for i in range(rounds):
+            # the survivor set appears on BOTH join sides; the duplicate
+            # degree aggregation this costs stays inside the ONE fused job
+            # the lazy checkpoint chain executes (map-side partials over
+            # checkpointed rows).  An eager per-round pin was tried and
+            # measured ~2x SLOWER here: it trades the fused plan for
+            # 2×rounds scheduled jobs + per-round broadcast builds.
             deg = cur.groupBy("u").agg(F.count("*").alias("du"))
             keep_u = deg.where(F.col("du") >= k).select("u")
             keep_v = keep_u.withColumnRenamed("u", "v")

@@ -357,15 +357,25 @@ def _cell_pairs(embeddings: DataFrame, assigned: DataFrame, threshold: float,
         # comes back empty — losing the metric exactly when everything was
         # dropped.  The join below reuses the materialized sizes.
     assigned = assigned.join(sizes, "cluster").where(F.col("cell_n") <= max_cell)
+    # norms are per-VECTOR, so compute them on the O(n) side BEFORE the
+    # pair join, not per pair: higher-order array folds are interpreted
+    # (no codegen), and paying 3 of them per O(cell²) pair row instead of
+    # 1 measured 4.8 s vs 1.8 s on 250k pairs.  Same expression, same fold
+    # order, same double — the hoist is bit-identical (pinned: 0 rounded
+    # mismatches over the full pair set), only the row count it runs at
+    # changes.
     side = embeddings.join(assigned, id_col).select(
         F.col(id_col), F.col("cluster"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    a = side.select(F.col(id_col).alias("a"), "cluster", F.col("v").alias("va"))
+    side = side.withColumn("nrm", _norm(F.col("v")))
+    a = side.select(F.col(id_col).alias("a"), "cluster",
+                    F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = side.select(F.col(id_col).alias("b"),
-                    F.col("cluster").alias("cluster_b"), F.col("v").alias("vb"))
+                    F.col("cluster").alias("cluster_b"),
+                    F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         5,
     )
     return (

@@ -104,3 +104,127 @@ def lm_score(
             ).alias("bits_per_token_x1e6"),
         )
     )
+
+
+def bigram_lm(reference: DataFrame, text_col: str = "text"):
+    """Interpolated-bigram model tables from a reference corpus.
+
+    Returns ``(uni, denom_u, bi, ctx, vocab)``:
+
+    * ``uni``: ``(token, cnt)`` unigram counts;
+    * ``denom_u``: one-row ``(denom,)`` = total + V + 1 (the
+      :func:`unigram_lm` convention — one shared OOV bucket);
+    * ``bi``: ``(w1, w2, cnt2)`` bigram counts;
+    * ``ctx``: ``(w1, ctx_cnt)`` bigram-context totals (= ``sum(cnt2)``
+      per ``w1`` — NOT the unigram count: the last token of each reference
+      document opens no bigram);
+    * ``vocab``: one-row ``(v,)`` distinct-unigram count, funding the
+      add-one denominator of unseen contexts.
+
+    All five are reference-slice-sized aggregations computed ONCE; at CCNet
+    scale this side is a fixed pruned artifact, not per-run work.
+    """
+    t = tokens(text_col)
+    tok = reference.select(F.explode(t).alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    denom_u = uni.agg((F.sum("cnt") + F.count("*") + 1).alias("denom"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    pair_structs = F.when(
+        F.size(t) > 1,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        reference.select(F.explode(pair_structs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt2"))
+    )
+    ctx = bi.groupBy("w1").agg(F.sum("cnt2").alias("ctx_cnt"))
+    return uni, denom_u, bi, ctx, vocab
+
+
+def bigram_score(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: tuple[int, int] = (7, 10),
+) -> DataFrame:
+    """Bits-per-transition of each corpus document under an interpolated
+    add-one bigram LM trained on the reference slice — the next rung above
+    :func:`lm_score` on the CCNet quality ladder (a unigram LM cannot see
+    word ORDER; shuffled gibberish scores as well as prose under it).
+
+    ``(id, n_tokens, n_trans, bits_per_trans_x1e6)`` for documents with at
+    least one transition (>= 2 tokens); LOWER is more reference-like.  The
+    per-transition probability is::
+
+        p(w2 | w1) = (ln * pb + (ld - ln) * pu) / ld        lam = (ln, ld)
+        pb = (cnt2(w1,w2) + 1) / (ctx(w1) + V + 1)
+        pu = (cnt(w2) + 1) / denom_u
+
+    evaluated as ONE fixed-order double expression per transition row and
+    rounded straight to an int (× 1e6) BEFORE the per-document sum — the
+    module's fixed-point discipline, so the result is order-free at any
+    parallelism and hash-replayable by the SQL oracle.
+
+    100 TB shape: one corpus pass — transitions are built IN-ROW (zip_with
+    over the token array, no self-join), the model tables are broadcast
+    (reference-slice-sized artifacts, the same justification as
+    :func:`lm_score`), and the per-document aggregation collapses map-side
+    before the only shuffle.
+    """
+    from kgist_spark.operators.dedup import fan_out_scan
+
+    ln, ld = lam
+    uni, denom_u, bi, ctx, vocab = bigram_lm(reference, text_col)
+    t = tokens(text_col)
+    pair_structs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    trans = (
+        fan_out_scan(corpus.select(F.col(id_col), F.col(text_col)))
+        .where(F.size(t) > 1)
+        .select(F.col(id_col), F.size(t).alias("n_tokens"),
+                F.explode(pair_structs).alias("p"))
+        .select(id_col, "n_tokens", "p.w1", "p.w2")
+    )
+    scored = (
+        trans.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(uni.withColumnRenamed("token", "w2")), "w2", "left")
+        .crossJoin(F.broadcast(denom_u))
+        .crossJoin(F.broadcast(vocab))
+    )
+    pb = (F.coalesce(F.col("cnt2"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("ctx_cnt"), F.lit(0)) + F.col("v") + F.lit(1.0)
+    )
+    pu = (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0)) / F.col("denom")
+    logp = (
+        F.round(
+            F.log2((F.lit(float(ln)) * pb + F.lit(float(ld - ln)) * pu)
+                   / F.lit(float(ld)))
+            * LOGP_SCALE
+        )
+        .cast("long")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_trans"),
+            F.sum(logp).alias("sum_logp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_trans",
+            F.expr("(-sum_logp) div n_trans").alias("bits_per_trans_x1e6"),
+        )
+    )

@@ -894,6 +894,19 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_lm2_score(spark, sf_dir):
+    """Interpolated bigram-LM bits-per-transition under a src0-trained
+    model — the word-ORDER-aware rung above lm_score; per-transition
+    log-probs fixed-point BEFORE the per-doc integer sum."""
+    from kgist_spark.operators.lm import bigram_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_score(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+
+
 def q_dup_ngrams(spark, sf_dir):
     """Per-document repeated-5-gram statistics (the Lee et al. 2022
     ExactSubstr dedup signal over word windows): windows built in-row,
@@ -1109,6 +1122,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "token_pmi": q_token_pmi,
     "kg_kcore": q_kg_kcore,
+    "lm2_score": q_lm2_score,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1705,6 +1719,53 @@ ORACLE_SQL["dup_ngrams"] = r"""
                 AS BIGINT) AS dup_frac_x1e6
     FROM grams JOIN gcnt USING (g)
     GROUP BY grams.doc_id
+"""
+
+# lm2_score: the oracle trains the identical interpolated bigram tables on
+# the src0 slice and replays the ONE fixed-order per-transition double
+# expression, rounded to int before the per-doc sum — same discipline as
+# lm_score/dsir_weights, so hash equality pins model AND scoring arithmetic
+ORACLE_SQL["lm2_score"] = r"""
+    WITH ref AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE source = 'src0'
+    ),
+    cor AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE source <> 'src0'
+    ),
+    rtok AS (SELECT unnest(t) AS token FROM ref),
+    uni AS (SELECT token, COUNT(*) AS cnt FROM rtok GROUP BY token),
+    du AS (SELECT CAST(SUM(cnt) + COUNT(*) + 1 AS BIGINT) AS denom FROM uni),
+    vv AS (SELECT COUNT(*) AS v FROM uni),
+    rbi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM ref, LATERAL unnest(range(1, len(t))) s(i)
+        WHERE len(t) > 1
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM rbi GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(cnt2) AS BIGINT) AS ctx_cnt FROM bi GROUP BY w1),
+    ctr AS (
+        SELECT doc_id, len(t) AS n_tokens, t[i] AS w1, t[i + 1] AS w2
+        FROM cor, LATERAL unnest(range(1, len(t))) s(i)
+        WHERE len(t) > 1
+    ),
+    sc AS (
+        SELECT doc_id, n_tokens,
+               CAST(round(log2((7.0 * ((COALESCE(cnt2, 0) + 1.0)
+                                       / (COALESCE(ctx_cnt, 0) + v + 1.0))
+                                + 3.0 * ((COALESCE(cnt, 0) + 1.0) / denom))
+                               / 10.0) * 1000000) AS BIGINT) AS logp
+        FROM ctr
+        LEFT JOIN bi USING (w1, w2)
+        LEFT JOIN ctx USING (w1)
+        LEFT JOIN uni ON uni.token = ctr.w2, du, vv
+    )
+    SELECT doc_id,
+           MIN(n_tokens) AS n_tokens,
+           COUNT(*) AS n_trans,
+           CAST((-SUM(logp)) // COUNT(*) AS BIGINT) AS bits_per_trans_x1e6
+    FROM sc GROUP BY doc_id
 """
 
 # token_pmi: the oracle enumerates position pairs by self-join where Spark

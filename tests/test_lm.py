@@ -62,3 +62,57 @@ def test_lm_score_partitioning_independent(spark):
     a = lm_score(_docs(spark, rows).repartition(1), ref).collect()
     b = lm_score(_docs(spark, rows).repartition(16), ref).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -------------------------------------------------- interpolated bigram LM
+
+
+def _py_bigram_score(corpus, reference, lam=(7, 10)):
+    """Independent driver-side replay of bigram_score's exact arithmetic."""
+    ln, ld = lam
+    uni, bi, ctx = {}, {}, {}
+    for _, text in reference:
+        t = text.split()
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    denom = sum(uni.values()) + len(uni) + 1
+    v = len(uni)
+    out = {}
+    for doc_id, text in corpus:
+        t = text.split()
+        if len(t) < 2:
+            continue
+        s = 0
+        for a, b in zip(t, t[1:]):
+            pb = (bi.get((a, b), 0) + 1.0) / (ctx.get(a, 0) + v + 1.0)
+            pu = (uni.get(b, 0) + 1.0) / denom
+            s += round(math.log2((ln * pb + (ld - ln) * pu) / ld) * LOGP_SCALE)
+        n_trans = len(t) - 1
+        out[doc_id] = (len(t), n_trans, (-s) // n_trans if s <= 0 else -((s) // n_trans))
+    return out
+
+
+def test_bigram_score_matches_python_replay(spark):
+    from kgist_spark.operators.lm import bigram_score
+
+    ref = [(100 + i, "the cat sat on the mat and the cat ran") for i in range(3)]
+    ref += [(200, "dogs bark at the moon every night")]
+    cor = [
+        (1, "the cat sat on the mat"),       # reference-like
+        (2, "mat the on sat cat the"),       # same tokens, shuffled order
+        (3, "zebra quantum flux bagel"),     # OOV everywhere
+        (4, "single"),                        # no transition: no row
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_trans"], r["bits_per_trans_x1e6"])
+        for r in bigram_score(_docs(spark, cor), _docs(spark, ref)).collect()
+    }
+    assert got == _py_bigram_score(cor, ref)
+    # word order must matter: the shuffled twin scores strictly worse
+    assert got[1][2] < got[2][2]
+    # OOV gibberish scores worst of all
+    assert got[3][2] > got[2][2]
+    assert 4 not in got
