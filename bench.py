@@ -89,6 +89,10 @@ def main():
         "dup_ngrams",
         "token_pmi",
         "kg_kcore",
+        "kg_reciprocity",
+        "part_clustering",
+        "event_drift",
+        "embedding_ann_q8",
         "part_triangles",
         "corpus_percentiles",
         "incident_clicks",

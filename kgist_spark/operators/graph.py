@@ -529,3 +529,130 @@ def kcore_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 8,
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT u AS node, COUNT(*) AS degree FROM e{rounds} GROUP BY u"
     )
+
+
+def clustering_coefficients(edges: DataFrame, a: str = "a", b: str = "b",
+                            coeff_scale: int = 1_000_000,
+                            broadcast_max_edges: int = 5_000_000) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients of an
+    undirected simple graph: ``(node, deg, n_tri, coeff_x1e6)`` with
+    ``coeff = 2·T(v) / (deg(v)·(deg(v)−1))`` as an integer-DIV fixed-point
+    (NULL when deg < 2 — the coefficient is undefined, no sentinels).
+
+    The node-level refinement of :func:`triangle_count` (Watts & Strogatz
+    1998's C_v): where the census answers "how clustered is the graph",
+    this ranks individual entities — high-coefficient nodes in a KG
+    co-occurrence graph sit inside cliquish communities (catalog
+    families), low ones are bridges.  Same degree-oriented O(m^1.5) wedge
+    enumeration, same size-gated broadcasts; the ONE extra cost vs the
+    census is exploding each closed triangle to its 3 member rows before
+    a grouped count (3 integer rows per triangle, map-side partials).
+    Every closed wedge is one distinct triangle (exactly one triangle
+    vertex sees both others oriented away), so no dedup pass is needed.
+    The oracle ENUMERATES the naive 3-way self-join per node — hash
+    equality proves both the oriented rewrite and the per-node explode.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m = e.count()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    if m <= broadcast_max_edges:
+        da, db = F.broadcast(da), F.broadcast(db)
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, "src")
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .select("src", F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+    )
+    closure = F.broadcast(e) if m <= broadcast_max_edges else e
+    tri_members = (
+        wedges.join(closure, ["a", "b"])
+        .select(F.explode(F.array("src", "a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(tri_members, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    f"2 * coalesce(n_tri, 0) * {coeff_scale}"
+                    " DIV (deg * (deg - 1))"
+                ).cast("long"),
+            ).alias("coeff_x1e6"),
+        )
+    )
+
+
+def pred_reciprocity(triples: DataFrame) -> DataFrame:
+    """Per-predicate reciprocity: ``(pred, n_pairs, n_reciprocal,
+    reciprocity_x1e6)`` where ``n_pairs`` counts distinct directed
+    (subj, obj) pairs and ``n_reciprocal`` those whose reverse pair also
+    exists under the SAME predicate.
+
+    The KG-QA companion to :func:`pred_degree_stats`: a predicate whose
+    reciprocity is ~1 is symmetric in practice (sibling_of, borders) —
+    candidate for canonicalizing to one direction before rule mining —
+    while unexpected reciprocity in a functional predicate (capital_of
+    both ways) is an extraction-bug signal worth a blame pass.
+
+    One scan + one self-join ON THE DEDUPED pair set: pairs are distinct
+    (pred, s, o) rows, the reverse probe is a flag-carrying left self-join
+    keyed (pred, o, s), and the rollup is map-side-partial counts.  Join keys
+    carry the predicate, so a hot predicate spreads over its pair space
+    rather than one key; the fraction is integer DIV (hash-exact)."""
+    pairs = (
+        triples.select("pred", F.col("subj").alias("s"), F.col("obj").alias("o"))
+        .where(F.col("s") != F.col("o"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = pairs.select(
+        "pred", F.col("o").alias("s"), F.col("s").alias("o"),
+        F.lit(1).alias("has_rev"),
+    )
+    return (
+        pairs.join(rev, ["pred", "s", "o"], "left")
+        .groupBy("pred")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.coalesce(F.sum("has_rev"), F.lit(0)).alias("n_reciprocal"),
+        )
+        .select(
+            "pred",
+            "n_pairs",
+            "n_reciprocal",
+            F.expr("n_reciprocal * 1000000 DIV n_pairs")
+            .cast("long")
+            .alias("reciprocity_x1e6"),
+        )
+    )

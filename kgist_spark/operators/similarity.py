@@ -181,3 +181,62 @@ def ann_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
     # space) — let AQE size the join instead of forcing a broadcast
     subset = embeddings.join(cand, id_col, "leftsemi")
     return cosine_topk(subset, query, k, id_col, vec_col)
+
+
+#: int8 quantization step: unit-ish embedding components in [-2, 2] map to
+#: [-128, 128] and clamp to the symmetric int8 range [-127, 127]
+Q8_SCALE = 64.0
+
+
+def _q8_py(x: float, scale: float = Q8_SCALE) -> int:
+    """Round-half-AWAY-from-zero int8 quantization for driver-side (query)
+    vectors — matches Spark's and DuckDB's ``round`` semantics, NOT
+    Python's ``round`` (banker's half-even), which would de-sync the query
+    literal from the corpus-side SQL expression on exact .5 products."""
+    import math
+
+    v = x * scale
+    q = math.floor(abs(v) + 0.5)
+    return int(max(-127, min(127, math.copysign(q, v))))
+
+
+def q8_expr(vec_col: str, scale: float = Q8_SCALE):
+    """``array<long>`` int8-quantized view of a float vector column — the
+    same clamp-round expression the SQL oracle builds, element-exact."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.round(x.cast("double") * scale)),
+        ).cast("long"),
+    )
+
+
+def quantized_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: float = Q8_SCALE) -> DataFrame:
+    """Top-k by INT8-QUANTIZED dot product — the memory-bound rung of the
+    ANN family: at 10^12 vectors the float32 corpus is 4x the quantized
+    one, and scan-and-score throughput is RAM-bandwidth-bound, so int8
+    scoring is how a brute-force pass stays feasible (the standard
+    scalar-quantization trick under every production ANN index; recall
+    loss vs exact cosine is pinned by pytest, not assumed).
+
+    ``(vec_id, qdot)`` ordered by (qdot desc, id) — every score an exact
+    int64 (|q| ≤ 127 so dim 10^5 stays far inside int64), ties broken by
+    id: fully deterministic at any parallelism, and the oracle replays
+    quantization AND scoring exactly, unlike float cosine where only the
+    5-decimal rounding is comparable.  One column-pruned corpus pass, no
+    shuffle until the O(k) TakeOrderedAndProject."""
+    qq = [_q8_py(float(x), scale) for x in query]
+    qlit = F.array(*[F.lit(v).cast("long") for v in qq])
+    qdot = F.aggregate(
+        F.zip_with(q8_expr(vec_col, scale), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        embeddings.select(F.col(id_col), qdot.alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -157,3 +157,60 @@ def range_join_pairs(intervals: DataFrame, probes: DataFrame,
                & (F.col(ts_col) < F.col(end_col)))
         .drop("_bin")
     )
+
+
+def event_drift(events: DataFrame, type_col: str = "event_type",
+                ts_col: str = "ts", trailing: int = 24,
+                z_scale: int = 1_000_000) -> DataFrame:
+    """Per-(type, hour) volume-drift detection: the z-score of each hourly
+    event count against its type's TRAILING ``trailing`` observed hourly
+    buckets — the ingest-monitoring primitive that flags a source whose
+    volume jumps or collapses (a crawler stuck in a loop, a feed gone
+    dark) before the data poisons downstream stages.
+
+    ``(event_type, hour, n, z_x1e6)`` where ``z = (n - mean) / std`` over
+    the previous ``trailing`` buckets (population std).  ``z_x1e6`` is NULL
+    during warm-up (fewer than ``trailing`` prior buckets) and when the
+    trailing window is constant (std = 0) — no sentinel values.  The mean
+    and std derive from INTEGER window sums (count, sum, sum of squares);
+    the float enters exactly one per-row expression with a fixed evaluation
+    order, mirrored literally by the SQL oracle, then rounds to an int —
+    the engine's standard determinism discipline, so the result is
+    independent of partitioning.
+
+    Semantics note: "trailing buckets" means the previous ``trailing``
+    OBSERVED hours of that type (hours with zero events occupy no bucket).
+    Gap-filling to wall-clock hours is a different operator (it needs a
+    calendar spine); drift over observed buckets is the monitoring default.
+
+    100 TB shape: one hourly pre-aggregation (map-side partials collapse
+    the raw stream to |types| × |hours| rows — bounded: a decade is ~88k
+    hours) and one window partitioned by type.  A type's full hourly
+    series lands in one task, which is exactly right: ~88k rows/task
+    ceiling, no skew possible beyond it."""
+    hourly = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("HOUR", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-trailing, -1)
+    )
+    tw = float(trailing)
+    s = F.sum("n").over(w)
+    q = F.sum(F.col("n") * F.col("n")).over(w)
+    c = F.count("n").over(w)
+    var = q / F.lit(tw) - (s / F.lit(tw)) * (s / F.lit(tw))
+    z = (F.col("n").cast("double") - s / F.lit(tw)) / F.sqrt(var)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.when(
+            (c == trailing) & (var > 0), F.round(z * z_scale).cast("long")
+        ).alias("z_x1e6"),
+    )

@@ -894,6 +894,83 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_embedding_ann_q8(spark, sf_dir):
+    """Top-10 by int8-quantized dot product — the memory-bound ANN rung:
+    quantization and scoring are EXACT integers, so the oracle replays the
+    whole computation, not just a rounded result."""
+    from kgist_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_kg_reciprocity(spark, sf_dir):
+    """Per-predicate reciprocity over the derived KG — symmetric-predicate
+    detection for canonicalization + extraction-bug triage; deduped pair
+    set self-probed once, integer-DIV fraction.
+
+    The derived KG's predicates are typed (customer->nation etc.), so its
+    raw reciprocity is identically zero — a hash-green all-zero table
+    would pin nothing.  Like ``pii_scrub``'s synthetic-PII enrichment, the
+    query input unions in the REVERSE of an md5-gated ~third of the
+    triples (the same expression the oracle builds), so every predicate
+    gets a known partial reciprocity the DIV arithmetic must reproduce."""
+    from kgist_spark.operators.graph import pred_reciprocity
+
+    t = derived_triples(spark, sf_dir)
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "subj", "pred", "obj")), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % 3
+        == 0
+    )
+    enriched = t.unionByName(
+        t.where(gate).select(
+            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+        )
+    )
+    return pred_reciprocity(enriched)
+
+
+def q_part_clustering(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficients of the part
+    co-occurrence graph — same degree-oriented O(m^1.5) kernel as
+    part_triangles, plus a 3-row-per-triangle explode and integer-DIV
+    coefficients; the oracle enumerates the naive 3-way self-join per
+    node."""
+    from kgist_spark.operators.graph import clustering_coefficients, cooccur_edges
+
+    edges = cooccur_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        max_group=_COOCCUR_CAP,
+    )
+    return clustering_coefficients(edges)
+
+
+#: event-drift trailing window — shared by the Spark query and its oracle.
+#: 24 observed hourly buckets ≈ one day of warm-up per event type.
+_DRIFT_W = 24
+
+
+def q_event_drift(spark, sf_dir):
+    """Hourly volume-drift z-scores per event type against the trailing
+    ``_DRIFT_W`` observed buckets — integer window sums, one fixed-order
+    float expression rounded to int.  The operator emits warm-up /
+    constant-window buckets with a NULL score (pinned by pytest); the
+    contract row compares the SCORED buckets, because a NULL in a BIGINT
+    oracle column round-trips through pandas as NaN and the row-normalizer
+    cannot tell the two apart."""
+    from kgist_spark.operators.timeseries import event_drift
+
+    return event_drift(_t(spark, sf_dir, "events"), trailing=_DRIFT_W).where(
+        F.col("z_x1e6").isNotNull()
+    )
+
+
 def q_lm2_score(spark, sf_dir):
     """Interpolated bigram-LM bits-per-transition under a src0-trained
     model — the word-ORDER-aware rung above lm_score; per-transition
@@ -1123,6 +1200,10 @@ QUERIES = {
     "token_pmi": q_token_pmi,
     "kg_kcore": q_kg_kcore,
     "lm2_score": q_lm2_score,
+    "event_drift": q_event_drift,
+    "part_clustering": q_part_clustering,
+    "kg_reciprocity": q_kg_reciprocity,
+    "embedding_ann_q8": q_embedding_ann_q8,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1721,6 +1802,38 @@ ORACLE_SQL["dup_ngrams"] = r"""
     GROUP BY grams.doc_id
 """
 
+# event_drift: the oracle replays the same hourly pre-aggregation, the same
+# trailing integer window sums, and the same fixed-order z expression; NULLs
+# (warm-up, constant window) must agree too
+ORACLE_SQL["event_drift"] = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    win AS (
+        SELECT event_type, hour, n,
+               CAST(SUM(n) OVER w AS BIGINT) AS s,
+               CAST(SUM(n * n) OVER w AS BIGINT) AS q,
+               COUNT(n) OVER w AS c
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN {_DRIFT_W} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT * FROM (
+        SELECT event_type, hour, n,
+               CASE WHEN c = {_DRIFT_W}
+                         AND q / {float(_DRIFT_W)} - (s / {float(_DRIFT_W)})
+                             * (s / {float(_DRIFT_W)}) > 0
+                    THEN CAST(round((CAST(n AS DOUBLE) - s / {float(_DRIFT_W)})
+                                    / sqrt(q / {float(_DRIFT_W)}
+                                           - (s / {float(_DRIFT_W)})
+                                           * (s / {float(_DRIFT_W)}))
+                                    * 1000000) AS BIGINT)
+               END AS z_x1e6
+        FROM win
+    ) WHERE z_x1e6 IS NOT NULL
+"""
+
 # lm2_score: the oracle trains the identical interpolated bigram tables on
 # the src0 slice and replays the ONE fixed-order per-transition double
 # expression, rounded to int before the per-doc sum — same discipline as
@@ -1943,6 +2056,102 @@ ORACLE_SQL["part_triangles"] = f"""
     SELECT (SELECT n_nodes FROM nodes) AS n_nodes,
            (SELECT COUNT(*) FROM ed) AS n_edges,
            (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+# embedding_ann_q8: the oracle quantizes the query AND every corpus vector
+# with the identical clamp-round expression and sums the SAME integer
+# products — exact replay of quantization and scoring, no float rounding
+# anywhere (the only ANN row where the score itself is hash-exact)
+ORACLE_SQL["embedding_ann_q8"] = """
+    WITH q AS (
+        SELECT list_transform(
+                   embedding,
+                   x -> CAST(GREATEST(-127.0, LEAST(127.0,
+                            round(CAST(x AS DOUBLE) * 64.0))) AS BIGINT)
+               ) AS qv
+        FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(GREATEST(-127.0, LEAST(127.0,
+                        round(CAST(embedding[i] AS DOUBLE) * 64.0))) AS BIGINT)
+                    * qv[i]
+           )) AS BIGINT) AS qdot
+    FROM embeddings, q
+    ORDER BY qdot DESC, vec_id ASC
+    LIMIT 10
+"""
+
+# kg_reciprocity: the oracle builds the same md5-gated reverse-edge
+# enrichment (the derived KG is typed — raw reciprocity is identically 0),
+# probes the same deduped (pred, s, o) pair set for its (pred, o, s)
+# reverse, and replays the integer-DIV fraction
+ORACLE_SQL["kg_reciprocity"] = f"""
+    WITH base AS ({DERIVED_TRIPLES_SQL}),
+    enriched AS (
+        SELECT subj, pred, obj FROM base
+        UNION ALL
+        SELECT obj, pred, subj FROM base
+        WHERE CAST(('0x' || substr(md5(subj || '|' || pred || '|' || obj), 1, 8))
+                   AS BIGINT) % 3 = 0
+    ),
+    pairs AS (
+        SELECT DISTINCT pred, subj AS s, obj AS o
+        FROM enriched WHERE subj <> obj
+    )
+    SELECT p.pred,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reciprocal,
+           CAST(SUM(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS reciprocity_x1e6
+    FROM pairs p
+    LEFT JOIN pairs r ON r.pred = p.pred AND r.s = p.o AND r.o = p.s
+    GROUP BY p.pred
+"""
+
+# part_clustering: naive per-node triangle enumeration + the same integer
+# coefficient arithmetic; hash equality proves the oriented rewrite AND the
+# 3-member explode (each triangle counted once per member, never more)
+ORACLE_SQL["part_clustering"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem
+    ),
+    sizes AS (SELECT g, COUNT(*) AS n FROM items GROUP BY g),
+    keep AS (
+        SELECT it, i.g FROM items i JOIN sizes s ON i.g = s.g
+        WHERE s.n >= 2 AND s.n <= {_COOCCUR_CAP}
+    ),
+    ed AS (
+        SELECT DISTINCT x.it AS a, y.it AS b
+        FROM keep x JOIN keep y ON x.g = y.g AND x.it < y.it
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM ed UNION ALL SELECT b FROM ed
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ed e1
+        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tn AS (
+        SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.deg >= 2
+                THEN CAST(2 * COALESCE(tn.n_tri, 0) * 1000000
+                          // (d.deg * (d.deg - 1)) AS BIGINT)
+           END AS coeff_x1e6
+    FROM deg d LEFT JOIN tn ON tn.node = d.node
 """
 
 # lm_score: add-one unigram LM trained on src0, scored over the rest; the

@@ -228,3 +228,48 @@ def test_range_join_plan_is_equi_join(spark):
     plan = range_join_pairs(intervals, probes)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------ event drift
+
+
+def test_event_drift_hand_computed(spark):
+    from kgist_spark.operators.timeseries import event_drift
+
+    # type "a": counts 1,1,1,1 then a burst of 5 — with trailing=3 the
+    # burst's window is (1,1,1): mean 1, std 0 -> NULL; make the window
+    # varied so std > 0: counts 1,2,3 then 6
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h, n in enumerate([1, 2, 3, 6]):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=1), "a"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {
+        r["hour"].hour: (r["n"], r["z_x1e6"])
+        for r in event_drift(ev, trailing=3).collect()
+    }
+    # hours 0-2: warm-up (fewer than 3 prior buckets) -> NULL z
+    assert out[0] == (1, None) and out[1] == (2, None) and out[2] == (3, None)
+    # hour 3: window (1,2,3): mean 2, var (1+4+9)/3 - 4 = 2/3, z = 4/sqrt(2/3)
+    import math
+
+    expected = round((6 - 2.0) / math.sqrt(14 / 3.0 - 4.0) * 1_000_000)
+    assert out[3] == (6, expected)
+
+
+def test_event_drift_constant_window_is_null(spark):
+    from kgist_spark.operators.timeseries import event_drift
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h in range(5):  # constant volume: every window has std 0
+        for _ in range(2):
+            rows.append((eid, base + dt.timedelta(hours=h), "a"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = event_drift(ev, trailing=3).collect()
+    assert all(r["z_x1e6"] is None for r in out)
