@@ -928,11 +928,18 @@ def q_kg_reciprocity(spark, sf_dir):
         % 3
         == 0
     )
-    enriched = t.unionByName(
-        t.where(gate).select(
-            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
-        )
+    # conditional explode, not a union: a union's two branches would each
+    # re-execute the derived-KG join pipeline (the symmetric-edge lesson —
+    # one scan, rows fanned in-row)
+    fwd = F.struct(F.col("subj"), F.col("pred"), F.col("obj"))
+    rev = F.struct(
+        F.col("obj").alias("subj"), F.col("pred"), F.col("subj").alias("obj")
     )
+    enriched = t.select(
+        F.explode(
+            F.when(gate, F.array(fwd, rev)).otherwise(F.array(fwd))
+        ).alias("x")
+    ).select("x.subj", "x.pred", "x.obj")
     return pred_reciprocity(enriched)
 
 
