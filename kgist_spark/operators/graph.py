@@ -472,20 +472,27 @@ def kcore_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
             cur = sym.repartition("u").persist()
             cur.count()
         for i in range(rounds):
-            # the survivor set appears on BOTH join sides; the duplicate
-            # degree aggregation this costs stays inside the ONE fused job
-            # the lazy checkpoint chain executes (map-side partials over
-            # checkpointed rows).  An eager per-round pin was tried and
-            # measured ~2x SLOWER here: it trades the fused plan for
-            # 2×rounds scheduled jobs + per-round broadcast builds.
-            deg = cur.groupBy("u").agg(F.count("*").alias("du"))
-            keep_u = deg.where(F.col("du") >= k).select("u")
-            keep_v = keep_u.withColumnRenamed("u", "v")
+            # the survivor set gates BOTH endpoints, so it feeds two joins.
+            # Join it with EXPLICIT conditions on one un-renamed plan (not
+            # a withColumnRenamed twin): the two exchanges then canonicalize
+            # identically and ReuseExchange builds ONE broadcast per round —
+            # the renamed twin forced two, each re-running the degree
+            # aggregation (measured 4x on the loop body at sf0.1).  An
+            # eager per-round pin was also tried and measured ~2x slower
+            # than the fused lazy chain (2×rounds scheduled jobs).
+            keep = (
+                cur.groupBy("u").agg(F.count("*").alias("du"))
+                .where(F.col("du") >= k)
+                .select("u")
+            )
             if bcast:
-                keep_u, keep_v = F.broadcast(keep_u), F.broadcast(keep_v)
+                keep = F.broadcast(keep)
+            c = cur.alias("c")
             cur = (
-                cur.join(keep_u, "u", "leftsemi")
-                .join(keep_v, "v", "leftsemi")
+                c.join(keep.alias("k1"),
+                       F.col("c.u") == F.col("k1.u"), "leftsemi")
+                .join(keep.alias("k2"),
+                      F.col("c.v") == F.col("k2.u"), "leftsemi")
                 .localCheckpoint(eager=i == rounds - 1)
             )
         return cur.groupBy(F.col("u").alias("node")).agg(
