@@ -96,6 +96,10 @@ def main():
         "part_triangles",
         "corpus_percentiles",
         "incident_clicks",
+        "kg_bfs",
+        "kg_labelprop",
+        "kg_linkpred",
+        "tfidf_terms",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

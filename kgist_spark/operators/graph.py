@@ -620,6 +620,315 @@ def clustering_coefficients(edges: DataFrame, a: str = "a", b: str = "b",
     )
 
 
+def _symmetric_selfloop_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge list exploded to both directions PLUS a
+    zero-weight self-loop per node: ``(u, v, w)`` with ``w`` the hop cost
+    (1 for a real edge, 0 for the self-loop).  The self-loop is the
+    single-CTE-reference trick from ``minlabel_oracle_sql``: a propagation
+    round that must keep a node's own value ("min over neighbors AND
+    self") becomes ONE join + ONE grouped min instead of a union that
+    references the previous round twice (which inlining engines
+    re-evaluate exponentially).  Dedup runs on the canonical (least,
+    greatest) pairs BEFORE the 2x explode — half the shuffle."""
+    canon = (
+        edges.where(
+            F.col(src).isNotNull() & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least(src, dst).alias("cu"), F.greatest(src, dst).alias("cv")
+        )
+        .distinct()
+    )
+    return (
+        canon.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("cu").alias("u"), F.col("cv").alias("v")),
+                    F.struct(F.col("cv").alias("u"), F.col("cu").alias("v")),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v", F.lit(1).alias("w"))
+        .unionAll(
+            canon.select(F.explode(F.array("cu", "cv")).alias("u"))
+            .distinct()
+            .select("u", F.col("u").alias("v"), F.lit(0).alias("w"))
+        )
+    )
+
+
+def bfs_rounds(edges: DataFrame, seed_predicate, src: str = "a",
+               dst: str = "b", rounds: int = 4,
+               rows_per_partition: int = 200_000,
+               broadcast_max_nodes: int = 2_000_000) -> DataFrame:
+    """``(node, dist)`` = minimum hop count from any SEED node reachable
+    within EXACTLY ``rounds`` synchronous frontier rounds over the
+    UNDIRECTED graph; nodes not reached within ``rounds`` are absent.
+    ``seed_predicate`` is a Column predicate over ``node`` selecting the
+    seed set (dist 0).
+
+    The multi-source-BFS member of the fixed-round loop family
+    (:func:`pagerank_fixed_point` / ``components.minlabel_rounds`` /
+    :func:`kcore_rounds`) — in a constructed KG this is the "entity
+    neighborhood radius" primitive: how far is every node from the seed
+    class (QA: orphaned islands have no row; curation: cap crawl depth
+    from trusted hubs).  No reference counterpart (GemsLab/KGist has no
+    traversal op).
+
+    Determinism: dist is an integer min over (previous dist + hop cost)
+    including a zero-cost self-loop, so each round is one join + one
+    grouped MIN — commutes at any parallelism, and the oracle unrolls the
+    identical rounds as chained CTEs each referencing its predecessor
+    exactly once (:func:`bfs_oracle_sql`).  Loop discipline as everywhere:
+    edge list persisted once, dist table (node-sized) size-gate-broadcast
+    into the round join, scoped shuffle width, lazy checkpoints with one
+    eager sweep."""
+    spark = edges.sparkSession
+    sl = _symmetric_selfloop_edges(edges, src, dst).persist()
+    conf = spark.conf
+    old_width = conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_rows = sl.count()
+        width = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_rows // rows_per_partition),
+        ))
+        conf.set("spark.sql.shuffle.partitions", str(width))
+        nodes = sl.where("w = 0").select(F.col("u").alias("node"))
+        n_nodes = nodes.count()
+        bcast = n_nodes <= broadcast_max_nodes
+        if not bcast:
+            sl = sl.repartition("u").persist()
+            sl.count()
+        dist = nodes.where(seed_predicate).select(
+            "node", F.lit(0).cast("long").alias("dist")
+        ).localCheckpoint(eager=rounds == 0)
+        for i in range(rounds):
+            d = dist.withColumnRenamed("node", "u")
+            if bcast:
+                d = F.broadcast(d)
+            dist = (
+                sl.join(d, "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+                .localCheckpoint(eager=i == rounds - 1)
+            )
+        return dist
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_width)
+        sl.unpersist()
+
+
+def bfs_oracle_sql(edges_sql: str, seed_where: str, rounds: int = 4,
+                   src: str = "a", dst: str = "b") -> str:
+    """ANSI-SQL replay of :func:`bfs_rounds` — ``rounds`` frontier rounds
+    unrolled as chained CTEs over ``edges_sql`` (columns ``src, dst``),
+    seeds selected by the SQL predicate ``seed_where`` over ``node``.
+    The symmetric list carries zero-weight self-loops so each round CTE
+    references its predecessor exactly ONCE (the ``minlabel_oracle_sql``
+    inlining lesson)."""
+    ctes = [
+        f"""e_in AS ({edges_sql}),
+    und AS (
+        SELECT {src} AS u, {dst} AS v, 1 AS w FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {dst}, {src}, 1 FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {src}, {src}, 0 FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {dst}, {dst}, 0 FROM e_in WHERE {src} != {dst}
+    ),
+    d0 AS (
+        SELECT node, CAST(0 AS BIGINT) AS dist
+        FROM (SELECT DISTINCT u AS node FROM und) WHERE {seed_where}
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (
+        SELECT e.v AS node, MIN(d.dist + e.w) AS dist
+        FROM und e JOIN d{i - 1} d ON d.node = e.u
+        GROUP BY e.v
+    )"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, dist FROM d{rounds}"
+
+
+def labelprop_rounds(edges: DataFrame, src: str = "a", dst: str = "b",
+                     rounds: int = 4, rows_per_partition: int = 200_000,
+                     broadcast_max_nodes: int = 2_000_000) -> DataFrame:
+    """``(node, community)`` after EXACTLY ``rounds`` synchronous label-
+    propagation rounds (Raghavan et al. 2007): every node simultaneously
+    adopts the most frequent label among its neighbors-including-self,
+    ties to the LEXICOGRAPHICALLY SMALLEST label.  Communities (dense
+    locally-connected groups), not components — the min-label loop
+    (``components.minlabel_rounds``) floods one id per connected region;
+    LPA stops at frequency boundaries, which is the KG-curation signal
+    ("this entity cluster is one topic") a components pass cannot give.
+
+    Determinism: synchronous updates + a total tie order make each round a
+    pure function of the last — label counts are integers and the pick is
+    the lexicographic MIN of ``(-n, label)``, one grouped count + one
+    grouped min-struct (both map-side-partial aggregations; a window
+    row_number pick would sort-shuffle every neighbor row instead).
+    Including self in the vote uses the zero-weight self-loop row from the
+    shared symmetric list, keeping the oracle's per-round CTE to a single
+    predecessor reference.  Fixed rounds, no convergence probe — the
+    known LPA label-oscillation regime is harmless here because EXACTLY
+    ``rounds`` synchronous rounds is the defined (and replayed) semantics.
+    Same loop discipline as every fixed-round graph op in this module."""
+    spark = edges.sparkSession
+    sl = _symmetric_selfloop_edges(edges, src, dst).persist()
+    conf = spark.conf
+    old_width = conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_rows = sl.count()
+        width = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_rows // rows_per_partition),
+        ))
+        conf.set("spark.sql.shuffle.partitions", str(width))
+        nodes = sl.where("w = 0").select(F.col("u").alias("node"))
+        n_nodes = nodes.count()
+        bcast = n_nodes <= broadcast_max_nodes
+        if not bcast:
+            sl = sl.repartition("u").persist()
+            sl.count()
+        lab = nodes.select(
+            "node", F.col("node").alias("community")
+        ).localCheckpoint(eager=rounds == 0)
+        for i in range(rounds):
+            l = lab.withColumnRenamed("node", "u")
+            if bcast:
+                l = F.broadcast(l)
+            lab = (
+                sl.join(l, "u")
+                .groupBy(F.col("v").alias("node"), "community")
+                .agg(F.count("*").alias("n"))
+                .groupBy("node")
+                .agg(F.min(F.struct((-F.col("n")).alias("negn"),
+                                    F.col("community").alias("community"))).alias("m"))
+                .select("node", F.col("m.community").alias("community"))
+                .localCheckpoint(eager=i == rounds - 1)
+            )
+        return lab
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_width)
+        sl.unpersist()
+
+
+def labelprop_oracle_sql(edges_sql: str, rounds: int = 4,
+                         src: str = "a", dst: str = "b") -> str:
+    """ANSI-SQL replay of :func:`labelprop_rounds`: per round, one count
+    CTE + one pick CTE (row_number over ``n DESC, community`` — the same
+    total order as Spark's min-struct on ``(-n, community)``), each CTE
+    referencing its predecessor exactly once."""
+    ctes = [
+        f"""e_in AS ({edges_sql}),
+    und AS (
+        SELECT {src} AS u, {dst} AS v FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {dst}, {src} FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {src}, {src} FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {dst}, {dst} FROM e_in WHERE {src} != {dst}
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS community FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""c{i} AS (
+        SELECT e.v AS node, l.community, COUNT(*) AS n
+        FROM und e JOIN l{i - 1} l ON l.node = e.u
+        GROUP BY e.v, l.community
+    ),
+    l{i} AS (
+        SELECT node, community FROM (
+            SELECT node, community,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY n DESC, community) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT node, community FROM l{rounds}")
+
+
+def linkpred_ra(edges: DataFrame, a: str = "a", b: str = "b",
+                max_junction_deg: int = 64, k: int = 50,
+                scale: int = 1_000_000) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009): for
+    every NON-adjacent node pair sharing ≥1 common neighbor, score
+    ``RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z)`` — the top-``k`` rows
+    ``(a, b, n_common, ra_x1e6)`` ordered by score (ties to the smaller
+    pair).  The KG-completion companion to :func:`path2_stats`: path2
+    counts what IS connected per predicate; this ranks which missing
+    edges the neighborhood structure most strongly implies (candidate
+    triples for a human-QA queue).
+
+    Integer fixed-point: each junction contributes ``scale div deg(z)``
+    (truncating div, positive operands — both engines agree), so the
+    score SUM commutes and the row is hash-exact; RA is chosen over
+    Adamic-Adar precisely because its hub discount is ``1/deg`` (exact in
+    integers) rather than ``1/log deg`` (float, sum-order-sensitive).
+
+    Scale shape: pairs are enumerated per JUNCTION ``z`` (wedge
+    self-join on z's adjacency), so a degree-``d`` junction emits
+    ``d(d-1)/2`` rows — the celebrity-hub quadratic.  Junctions with
+    ``deg > max_junction_deg`` are excluded BY SEMANTICS (the filter is
+    part of the operator's definition and the oracle applies it
+    identically): a hub's per-pair contribution is ≤ ``scale/deg`` —
+    vanishing exactly when the pair volume explodes — so the cutoff
+    drops the quadratic cost where the signal is weakest.  Wedge volume
+    is then ≤ ``max_junction_deg × m``; everything downstream is grouped
+    map-side-partial sums, one anti-join against the (canonical) edge
+    set, and a TakeOrderedAndProject top-k."""
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    junctions = deg.where(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_junction_deg)
+    )
+    # adjacency of junction nodes only: (z, nbr, deg_z)
+    adj = (
+        e.select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("z"), F.col("a").alias("nbr")))
+        .join(junctions.withColumnRenamed("node", "z"), "z")
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    wedges = (
+        x.join(y, "z")
+        .where(F.col("x.nbr") < F.col("y.nbr"))
+        .select(
+            F.col("x.nbr").alias("a"), F.col("y.nbr").alias("b"),
+            F.expr(f"{scale} div x.deg").alias("c"),
+        )
+    )
+    scored = (
+        wedges.groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"), F.sum("c").alias("ra_x1e6"))
+        .join(e, ["a", "b"], "left_anti")
+    )
+    return scored.orderBy(
+        F.desc("ra_x1e6"), F.asc("a"), F.asc("b")
+    ).limit(k)
+
+
 def pred_reciprocity(triples: DataFrame) -> DataFrame:
     """Per-predicate reciprocity: ``(pred, n_pairs, n_reciprocal,
     reciprocity_x1e6)`` where ``n_pairs`` counts distinct directed

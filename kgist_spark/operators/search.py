@@ -96,6 +96,97 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     )
 
 
+def tfidf_top_terms(docs: DataFrame, per_doc_k: int = 3,
+                    scale: int = 1_000_000, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document keyword extraction: the ``per_doc_k`` highest-scoring
+    terms of every document — ``(doc_id, term, tf, df, score_x1e6)``,
+    ties to the lexicographically smaller term.  The corpus-wide
+    companion to :func:`bm25_topk`: BM25 ranks docs for a given query;
+    this labels every doc with its most distinctive terms (dedup
+    explanations, topic spot-checks, mixture audits over a 100 TB crawl).
+
+    The score is an integer fixed-point tf-idf with a LINEAR rarity
+    weight: ``score = tf * ((n_docs * scale) div df)``.  Linear idf is
+    deliberate — the engine's hash-exact discipline: ``log(N/df)`` is
+    float and its per-term evaluation would have to round identically in
+    both engines to survive the value-hash gate, while the truncating
+    integer div is bit-identical by construction (positive operands).
+    Within one document df is the only varying rarity input, and both
+    weights are strictly decreasing in df, so the top-k membership
+    differs only where log-idf ties linear-idf breaks — acceptable for a
+    QA/labeling surface, and exactly replayable.
+
+    One corpus pass (explode → (doc, term) counts), one vocab-sized df
+    aggregation joined back on ``term`` (AQE broadcasts it while it
+    fits), and a per-doc ROW_NUMBER window for the top-k — spill-safe for
+    pathological documents (no per-doc collect_list: a single 10⁹-token
+    crawl artifact must not become one driver-sized array row).
+    int64 bound: ``n_docs * scale < 2^63`` holds past 9×10^12 documents."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_x1e6"), F.asc("term")
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_x1e6",
+            F.expr(f"tf * ((n_docs * {scale}) div df)").cast("long"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_doc_k)
+        .select("doc_id", "term", "tf", "df", "score_x1e6")
+    )
+
+
+def tfidf_oracle_sql(per_doc_k: int = 3, scale: int = 1_000_000,
+                     table: str = "documents") -> str:
+    """DuckDB replay of :func:`tfidf_top_terms` — same tokenization, same
+    truncating integer div, same (score DESC, term ASC) pick."""
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, t.term FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+            FROM {table}
+        ) t WHERE t.term <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM {table})
+    SELECT doc_id, term, tf, df, score_x1e6 FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf * ((n.n_docs * {scale}) // dfreq.df) AS BIGINT) AS score_x1e6,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * ((n.n_docs * {scale}) // dfreq.df) DESC,
+                                           tf.term ASC) AS rn
+        FROM tf JOIN dfreq USING (term), n
+    ) WHERE rn <= {per_doc_k}
+    """
+
+
 def bm25_topk_oracle_sql(terms: list[str], k: int = 10,
                          k1: float = 1.2, b: float = 0.75,
                          table: str = "documents") -> str:

@@ -1144,6 +1144,74 @@ def q_semdedup_keep_best(spark, sf_dir):
 
 
 
+#: synchronous BFS frontier rounds for kg_bfs — the derived KG's diameter
+#: from the nation seed class is 3 (n→c/s→o/p closes at round 3 on both
+#: test SFs); 4 leaves a margin and the fixed count keeps Spark and the
+#: oracle round-for-round identical either way
+_BFS_ROUNDS = 4
+#: synchronous label-propagation rounds for kg_labelprop (fixed-round
+#: semantics — EXACTLY this many rounds IS the contract, convergence not
+#: required; see labelprop_rounds)
+_LP_ROUNDS = 4
+#: link-prediction knobs: junction degree cutoff (hub discount ~0 there
+#: anyway — the quadratic wedge cost is dropped exactly where the signal
+#: vanishes) and the returned top-k
+_LINKPRED_MAX_DEG = 64
+_LINKPRED_K = 50
+
+
+def q_kg_bfs(spark, sf_dir):
+    """Multi-source BFS over the undirected derived KG from the nation
+    seed class ('n'-prefixed nodes): (node, dist) = min hops within
+    EXACTLY _BFS_ROUNDS synchronous frontier rounds — integer min over a
+    self-loop-carrying symmetric list, bit-exact at any parallelism."""
+    from kgist_spark.operators.graph import bfs_rounds
+
+    t = derived_triples(spark, sf_dir)
+    return bfs_rounds(
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b")),
+        seed_predicate=F.col("node").startswith("n"),
+        rounds=_BFS_ROUNDS,
+    )
+
+
+def q_kg_labelprop(spark, sf_dir):
+    """Synchronous label-propagation communities over the undirected
+    derived KG — EXACTLY _LP_ROUNDS rounds, most-frequent neighbor label
+    with ties to the smallest (lexicographic min of (-n, label)): dense
+    local communities, not components."""
+    from kgist_spark.operators.graph import labelprop_rounds
+
+    t = derived_triples(spark, sf_dir)
+    return labelprop_rounds(
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b")),
+        rounds=_LP_ROUNDS,
+    )
+
+
+def q_kg_linkpred(spark, sf_dir):
+    """Resource-allocation link prediction over the undirected derived KG:
+    top-50 non-adjacent pairs by integer fixed-point RA score
+    (sum of 1e6 div deg(z) over common neighbors z, junction degree
+    capped by semantics) — candidate missing edges for a QA queue."""
+    from kgist_spark.operators.graph import linkpred_ra
+
+    t = derived_triples(spark, sf_dir)
+    return linkpred_ra(
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b")),
+        max_junction_deg=_LINKPRED_MAX_DEG, k=_LINKPRED_K,
+    )
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms per document by
+    integer fixed-point tf-idf (linear rarity weight — log-free so the
+    truncating div is bit-identical across engines)."""
+    from kgist_spark.operators.search import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), per_doc_k=3)
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1211,6 +1279,10 @@ QUERIES = {
     "part_clustering": q_part_clustering,
     "kg_reciprocity": q_kg_reciprocity,
     "embedding_ann_q8": q_embedding_ann_q8,
+    "kg_bfs": q_kg_bfs,
+    "kg_labelprop": q_kg_labelprop,
+    "kg_linkpred": q_kg_linkpred,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1781,6 +1853,81 @@ def _kcore_oracle() -> str:
 # predecessor reference per round: both endpoint degrees come from two
 # window counts over the symmetric list in a single subquery)
 ORACLE_SQL["kg_kcore"] = _kcore_oracle()
+
+
+def _bfs_oracle() -> str:
+    from kgist_spark.operators.graph import bfs_oracle_sql
+
+    edges = f"SELECT subj AS a, obj AS b FROM ({DERIVED_TRIPLES_SQL})"
+    return bfs_oracle_sql(edges, seed_where="node LIKE 'n%'",
+                          rounds=_BFS_ROUNDS)
+
+
+# fixed-round multi-source BFS: integer min over a self-loop-carrying
+# symmetric list, rounds unrolled as chained CTEs (one predecessor
+# reference per round)
+ORACLE_SQL["kg_bfs"] = _bfs_oracle()
+
+
+def _labelprop_oracle() -> str:
+    from kgist_spark.operators.graph import labelprop_oracle_sql
+
+    edges = f"SELECT subj AS a, obj AS b FROM ({DERIVED_TRIPLES_SQL})"
+    return labelprop_oracle_sql(edges, rounds=_LP_ROUNDS)
+
+
+# fixed-round synchronous label propagation: the oracle's per-round
+# ROW_NUMBER pick (n DESC, community ASC) is the same total order as
+# Spark's grouped min-struct on (-n, community)
+ORACLE_SQL["kg_labelprop"] = _labelprop_oracle()
+
+# resource-allocation link prediction: identical junction-degree cutoff,
+# truncating integer div contribution, anti-join of existing canonical
+# edges, and (score DESC, a, b) top-k in both engines
+ORACLE_SQL["kg_linkpred"] = f"""
+    WITH e AS (
+        SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+        FROM ({DERIVED_TRIPLES_SQL}) WHERE subj != obj
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY node
+    ),
+    adj AS (
+        SELECT x.z, x.nbr, d.deg FROM (
+            SELECT a AS z, b AS nbr FROM e
+            UNION ALL SELECT b, a FROM e
+        ) x JOIN deg d ON d.node = x.z
+        WHERE d.deg BETWEEN 2 AND {_LINKPRED_MAX_DEG}
+    ),
+    wedges AS (
+        SELECT x.nbr AS a, y.nbr AS b, CAST(1000000 // x.deg AS BIGINT) AS c
+        FROM adj x JOIN adj y ON x.z = y.z AND x.nbr < y.nbr
+    ),
+    scored AS (
+        SELECT w.a, w.b, CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(w.c) AS BIGINT) AS ra_x1e6
+        FROM wedges w
+        LEFT JOIN e ON e.a = w.a AND e.b = w.b
+        WHERE e.a IS NULL
+        GROUP BY w.a, w.b
+    )
+    SELECT a, b, n_common, ra_x1e6 FROM scored
+    ORDER BY ra_x1e6 DESC, a ASC, b ASC
+    LIMIT {_LINKPRED_K}
+"""
+
+
+def _tfidf_oracle() -> str:
+    from kgist_spark.operators.search import tfidf_oracle_sql
+
+    return tfidf_oracle_sql(per_doc_k=3)
+
+
+# integer fixed-point tf-idf (linear rarity weight — log-free, truncating
+# div), same tokenization and (score DESC, term ASC) per-doc pick
+ORACLE_SQL["tfidf_terms"] = _tfidf_oracle()
 
 # dup_ngrams: the oracle replays the identical in-row 5-gram windows (md5
 # over the space-joined token slice), the distinct-(gram, doc) collapse,

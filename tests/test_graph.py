@@ -289,3 +289,199 @@ def test_kcore_broadcast_and_shuffle_paths_identical(spark):
     bcast = _kcore_spark(spark, edges, k=2, rounds=4)
     shuffled = _kcore_spark(spark, edges, k=2, rounds=4, broadcast_max_nodes=0)
     assert bcast == shuffled
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS (bfs_rounds)
+
+
+def _py_bfs(edges, seeds, rounds):
+    """Independent replay: synchronous frontier rounds over the undirected
+    simple graph, min over (prev dist + hop cost) including the zero-cost
+    self-loop — identical recurrence, no shortest-path shortcuts."""
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    sym = [(u, v, 1) for u, v in canon] + [(v, u, 1) for u, v in canon]
+    nodes = {n for e in canon for n in e}
+    sym += [(n, n, 0) for n in nodes]
+    dist = {n: 0 for n in nodes if n in seeds}
+    for _ in range(rounds):
+        nxt = {}
+        for u, v, w in sym:
+            if u in dist:
+                d = dist[u] + w
+                if v not in nxt or d < nxt[v]:
+                    nxt[v] = d
+        dist = nxt
+    return dist
+
+
+def _bfs_spark(spark, edges, seeds, rounds, **kw):
+    from kgist_spark.operators.graph import bfs_rounds
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    out = bfs_rounds(df, F.col("node").isin(list(seeds)), rounds=rounds, **kw)
+    return {r["node"]: r["dist"] for r in out.collect()}
+
+
+def test_bfs_path_hand_computed(spark):
+    # path a-b-c-d-e seeded at a: frontier reaches one node per round
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    assert _bfs_spark(spark, edges, {"a"}, rounds=2) == {"a": 0, "b": 1, "c": 2}
+    assert _bfs_spark(spark, edges, {"a"}, rounds=4) == {
+        "a": 0, "b": 1, "c": 2, "d": 3, "e": 4,
+    }
+
+
+def test_bfs_multi_seed_matches_python_replay(spark):
+    rng = random.Random(17)
+    edges = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(100)]
+    seeds = {f"n{i}" for i in range(5)}
+    for rounds in (0, 1, 3):
+        assert _bfs_spark(spark, edges, seeds, rounds) == _py_bfs(
+            edges, seeds, rounds
+        )
+
+
+def test_bfs_unreached_nodes_absent(spark):
+    # two components; seeding one must never emit rows for the other
+    edges = [("a", "b"), ("x", "y")]
+    assert _bfs_spark(spark, edges, {"a"}, rounds=3) == {"a": 0, "b": 1}
+
+
+def test_bfs_broadcast_and_shuffle_paths_identical(spark):
+    rng = random.Random(19)
+    edges = [(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}") for _ in range(70)]
+    bcast = _bfs_spark(spark, edges, {"n0", "n1"}, rounds=3)
+    shuffled = _bfs_spark(
+        spark, edges, {"n0", "n1"}, rounds=3, broadcast_max_nodes=0
+    )
+    assert bcast == shuffled
+
+
+# ---------------------------------------------------------------------------
+# synchronous label propagation (labelprop_rounds)
+
+
+def _py_labelprop(edges, rounds):
+    """Independent replay: every node simultaneously adopts the most
+    frequent label among neighbors-including-self, ties to the smallest."""
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs = {}
+    for u, v in canon:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    lab = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for v in nbrs:
+            votes = {}
+            for u in nbrs[v] | {v}:
+                votes[lab[u]] = votes.get(lab[u], 0) + 1
+            nxt[v] = min(votes, key=lambda c: (-votes[c], c))
+        lab = nxt
+    return lab
+
+
+def _labelprop_spark(spark, edges, rounds, **kw):
+    from kgist_spark.operators.graph import labelprop_rounds
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    out = labelprop_rounds(df, rounds=rounds, **kw)
+    return {r["node"]: r["community"] for r in out.collect()}
+
+
+def test_labelprop_two_cliques_with_bridge(spark):
+    # two triangles joined by one bridge edge: labels flood to each
+    # clique's lexicographic min and the bridge does NOT merge them
+    clique1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    clique2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    got = _labelprop_spark(spark, clique1 + clique2 + [("c", "x")], rounds=4)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "a" or (
+        got["y"] == got["z"] == got["x"]
+    )
+    # the two triangle interiors stay internally uniform
+    assert len({got["x"], got["y"], got["z"]}) == 1
+
+
+def test_labelprop_matches_python_replay(spark):
+    rng = random.Random(23)
+    edges = [(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(90)]
+    for rounds in (1, 2, 4):
+        assert _labelprop_spark(spark, edges, rounds) == _py_labelprop(
+            edges, rounds
+        )
+
+
+def test_labelprop_broadcast_and_shuffle_paths_identical(spark):
+    rng = random.Random(29)
+    edges = [(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}") for _ in range(70)]
+    bcast = _labelprop_spark(spark, edges, rounds=3)
+    shuffled = _labelprop_spark(spark, edges, rounds=3, broadcast_max_nodes=0)
+    assert bcast == shuffled
+
+
+# ---------------------------------------------------------------------------
+# resource-allocation link prediction (linkpred_ra)
+
+
+def _py_linkpred(edges, max_junction_deg, k, scale=1_000_000):
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs = {}
+    for u, v in canon:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    deg = {n: len(s) for n, s in nbrs.items()}
+    scores = {}
+    for z, s in nbrs.items():
+        if not (2 <= deg[z] <= max_junction_deg):
+            continue
+        ns = sorted(s)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                if (a, b) in canon:
+                    continue
+                n, r = scores.get((a, b), (0, 0))
+                scores[(a, b)] = (n + 1, r + scale // deg[z])
+    rows = [(a, b, n, r) for (a, b), (n, r) in scores.items()]
+    rows.sort(key=lambda t: (-t[3], t[0], t[1]))
+    return rows[:k]
+
+
+def _linkpred_spark(spark, edges, **kw):
+    from kgist_spark.operators.graph import linkpred_ra
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    return [tuple(r) for r in linkpred_ra(df, **kw).collect()]
+
+
+def test_linkpred_star_hand_computed(spark):
+    # star z-{a,b,c}: z is the only junction (deg 3); every leaf pair is
+    # non-adjacent with one common neighbor scoring 1e6 div 3
+    edges = [("z", "a"), ("z", "b"), ("z", "c")]
+    assert _linkpred_spark(spark, edges, k=10) == [
+        ("a", "b", 1, 333333), ("a", "c", 1, 333333), ("b", "c", 1, 333333),
+    ]
+
+
+def test_linkpred_existing_edges_excluded(spark):
+    # triangle + pendant: the only non-adjacent pairs run through the
+    # triangle corners; adjacent pairs never appear
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = _linkpred_spark(spark, edges, k=10)
+    pairs = {(r[0], r[1]) for r in got}
+    assert ("a", "b") not in pairs and ("a", "c") not in pairs
+    assert ("a", "d") in pairs and ("b", "d") in pairs
+
+
+def test_linkpred_junction_cap_is_semantics(spark):
+    # with the cap below the hub degree the hub contributes nothing
+    edges = [("z", "a"), ("z", "b"), ("z", "c")]
+    assert _linkpred_spark(spark, edges, max_junction_deg=2, k=10) == []
+
+
+def test_linkpred_matches_python_replay(spark):
+    rng = random.Random(31)
+    edges = [(f"n{rng.randrange(35)}", f"n{rng.randrange(35)}") for _ in range(80)]
+    assert _linkpred_spark(spark, edges, max_junction_deg=8, k=25) == \
+        _py_linkpred(edges, max_junction_deg=8, k=25)

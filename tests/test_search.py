@@ -60,3 +60,54 @@ def test_bm25_plan_shape(spark):
     plan = bm25_topk(df, TERMS, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms (tfidf_top_terms)
+
+
+def _py_tfidf(docs, per_doc_k=3, scale=1_000_000):
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(toks)
+    rows = []
+    for d, t in toks.items():
+        tf = {}
+        for w in t:
+            tf[w] = tf.get(w, 0) + 1
+        scored = []
+        for w, f in tf.items():
+            df = sum(1 for tt in toks.values() if w in tt)
+            scored.append((d, w, f, df, f * ((n * scale) // df)))
+        scored.sort(key=lambda r: (-r[4], r[1]))
+        rows += scored[:per_doc_k]
+    return sorted(rows)
+
+
+def test_tfidf_matches_python_replay(spark):
+    from kgist_spark.operators.search import tfidf_top_terms
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = sorted(tuple(r) for r in tfidf_top_terms(df, per_doc_k=3).collect())
+    assert got == _py_tfidf(DOCS, per_doc_k=3)
+
+
+def test_tfidf_rarity_beats_frequency_within_budget(spark):
+    from kgist_spark.operators.search import tfidf_top_terms
+
+    # 'zebra' appears once in one doc (df=1); 'common' is in every doc:
+    # the rare term must outrank the frequent-but-ubiquitous one
+    docs = [(1, "common zebra common"), (2, "common common"), (3, "common")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): r["score_x1e6"]
+           for r in tfidf_top_terms(df, per_doc_k=1).collect()}
+    assert got[(1, "zebra")] == 3_000_000  # tf 1 * (3e6 div 1)
+    assert (1, "common") not in got
+
+
+def test_tfidf_no_per_doc_collect_list_in_plan(spark):
+    from kgist_spark.operators.search import tfidf_top_terms
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (tfidf_top_terms(df)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "collect_list" not in plan and "collect_set" not in plan
