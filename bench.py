@@ -100,6 +100,9 @@ def main():
         "kg_labelprop",
         "kg_linkpred",
         "tfidf_terms",
+        "kg_ppr",
+        "events_hll",
+        "cohort_retention",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -226,6 +226,143 @@ def pagerank_oracle_sql(edges_sql: str, iterations: int = 10,
     )
 
 
+def ppr_fixed_point(edges: DataFrame, seed_predicate, src: str = "src",
+                    dst: str = "dst", iterations: int = 6,
+                    scale: int = PR_SCALE, damp: tuple[int, int] = PR_DAMP,
+                    rows_per_partition: int = 200_000,
+                    broadcast_max_nodes: int = 2_000_000) -> DataFrame:
+    """Personalized PageRank: :func:`pagerank_fixed_point`'s recurrence with
+    the restart mass confined to a SEED set — ``r = (1-d)*scale*1[seed] +
+    d * sum(r_in div deg_out)`` — the KG-relatedness primitive global
+    PageRank cannot give (rank *relative to* an entity class: linking
+    disambiguation, neighborhood-scoped QA prioritization, crawl frontier
+    scoring from trusted hubs).  ``seed_predicate`` is a Column predicate
+    over ``node``.
+
+    Returns ``(node, rank_fp)`` for nodes with ``rank_fp > 0`` ONLY — and
+    that sparsity is the algorithm's scale story: a zero-rank node
+    contributes exactly 0 to every neighbor (integer div), so the rank
+    table is the seed set's expanding forward closure, never the full node
+    set.  On a web-scale KG with a localized seed class, each iteration's
+    join touches O(frontier) adjacency rows instead of O(n); the
+    ``WHERE r > 0`` filter is applied per iteration in BOTH engines so the
+    frames stay identical.
+
+    Same integer arithmetic (bit-exact at any parallelism), same loop
+    discipline (adjacency joined with degrees once and persisted,
+    size-gated broadcast of the rank frontier, scoped shuffle width, lazy
+    checkpoints + one eager sweep) as global PageRank.  The per-iteration
+    seed re-injection is a UNION of seed base rows into the damped
+    contribution aggregate (one map-side-partial grouped SUM — exact
+    because the damped div is applied BEFORE the base row joins the sum),
+    never a full-outer join (which can't broadcast-hash).  Dangling mass
+    leaks, exactly as documented for the global variant; oracle:
+    :func:`ppr_oracle_sql`."""
+    dn, dd = damp
+    base = (scale * (dd - dn)) // dd
+
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    n_edges = e.count()
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        -(-n_edges // rows_per_partition),
+    ))
+    conf = spark.conf
+    old_width = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", str(width))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # the rank table is bounded by the node set, so the same size gate as
+    # global PageRank decides broadcast-vs-shuffle for the whole loop (the
+    # sparse frontier is strictly smaller than the gate's bound); in
+    # shuffle mode the adjacency is pre-partitioned on src once so only the
+    # frontier re-shuffles per iteration
+    bcast = nodes.count() <= broadcast_max_nodes
+    adj = e.join(deg, "src")
+    if not bcast:
+        adj = adj.repartition("src")
+    adj = adj.persist()
+    seeds = nodes.where(seed_predicate).persist()
+    seeds.count()
+    try:
+        ranks = seeds.select(
+            "node", F.lit(scale).cast("long").alias("r")
+        ).localCheckpoint(eager=iterations == 0)
+        for i in range(iterations):
+            r = ranks.withColumnRenamed("node", "src")
+            if bcast:
+                r = F.broadcast(r)
+            # seed re-injection as UNION + grouped SUM, not a full-outer
+            # join (full outer can't broadcast-hash in Spark; the sum is
+            # map-side partial and exact because the damped term is
+            # aggregated BEFORE the base is added — the base rides in as
+            # its own row)
+            damped = (
+                adj.join(r, "src")
+                .select("dst", F.expr("r div deg").alias("c"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.expr(f"cast(({dn} * sum(c)) div {dd} as long)").alias("v"))
+            )
+            ranks = (
+                damped.unionAll(
+                    seeds.select("node", F.lit(base).cast("long").alias("v"))
+                )
+                .groupBy("node")
+                .agg(F.sum("v").alias("r"))
+                .where(F.col("r") > 0)
+                .localCheckpoint(eager=i == iterations - 1)
+            )
+        return ranks.select("node", F.col("r").alias("rank_fp"))
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_width)
+        adj.unpersist()
+        seeds.unpersist()
+        e.unpersist()
+
+
+def ppr_oracle_sql(edges_sql: str, seed_where: str, iterations: int = 6,
+                   scale: int = PR_SCALE,
+                   damp: tuple[int, int] = PR_DAMP) -> str:
+    """ANSI-SQL replay of :func:`ppr_fixed_point` — iterations unrolled as
+    chained CTEs; each round is the contribution aggregate FULL OUTER
+    JOINed with the seed frame, filtered to ``r > 0`` exactly like the
+    engine.  ``edges_sql`` must yield ``(src, dst)``; ``seed_where`` is a
+    SQL predicate over ``node``."""
+    dn, dd = damp
+    base = (scale * (dd - dn)) // dd
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"seeds AS (SELECT node FROM nodes WHERE {seed_where})",
+        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM seeds)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""pr{i} AS (
+            SELECT node, CAST(SUM(v) AS BIGINT) AS r FROM (
+                SELECT node, CAST(({dn} * s) // {dd} AS BIGINT) AS v FROM (
+                    SELECT e.dst AS node, SUM(p.r // a.deg) AS s
+                    FROM pr{i - 1} p
+                    JOIN deg a ON p.node = a.src
+                    JOIN edges e ON e.src = a.src
+                    GROUP BY e.dst
+                )
+                UNION ALL
+                SELECT node, CAST({base} AS BIGINT) AS v FROM seeds
+            ) GROUP BY node HAVING SUM(v) > 0)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_fp FROM pr{iterations}"
+    )
+
+
 def path2_stats(triples: DataFrame) -> DataFrame:
     """Length-2 path counts per predicate pair: ``(pred1, pred2, n_paths)``
     where ``n_paths`` counts ordered edge pairs (e1, e2) with

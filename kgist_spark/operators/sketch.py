@@ -1,0 +1,198 @@
+"""Cross-engine-replayable HyperLogLog distinct-count sketch.
+
+No reference counterpart (GemsLab/KGist never estimates cardinalities), but
+a 100 TB corpus pipeline needs grouped distinct counts constantly (users per
+event class, entities per predicate, domains per language) and the exact
+answer is a full shuffle of every distinct (group, value) pair — the one
+aggregation shape that does NOT map-side-combine.  HyperLogLog (Flajolet et
+al. 2007) replaces it with a bounded ``m``-register state per group, so the
+shuffle carries at most ``m`` rows per group no matter how many distinct
+values exist.
+
+Spark's own ``approx_count_distinct`` IS HyperLogLog++, but its hash is
+engine-private (no DuckDB twin), so its estimates can never pass the
+value-hash gate.  This module rebuilds the sketch on the engine's only
+cross-engine hash — ``conv(substr(md5(v),1,15),16,10)`` on the Spark side,
+``CAST('0x'||substr(md5(v),1,15) AS BIGINT)`` in DuckDB (same convention as
+``operators/dsir.py`` / ``operators/dedup.py``) — so the ENTIRE sketch,
+registers and estimate both, replays bit-for-bit:
+
+* 60-bit hash → register index = low ``p`` bits, remainder ``w`` = top
+  ``60-p`` bits;
+* ``rho(w)`` = leading zeros of ``w`` within its ``60-p``-bit width + 1 =
+  ``(61-p) - bitlen(w)``, with ``bitlen`` computed as ``length(bin(w))``
+  (both engines render bigints to minimal binary strings; the ``w = 0``
+  case is an explicit CASE because both render ``bin(0) = '0'``);
+* register value ``M_j = max(rho)`` — an integer MAX, map-side partial,
+  order-free;
+* the harmonic denominator ``sum(2^-M_j)`` is scaled to the INTEGER
+  ``S = sum(1 << (maxrho - M_j))`` over all m registers (empty registers
+  contribute ``1 << maxrho``); at the default p=10, ``S ≤ 2^61`` — int64
+  exact, so the one aggregate that decides the estimate is integer;
+* the estimate ``alpha_m * m^2 / sum(2^-M)`` needs ONE float step:
+  ``floor(NUM / S)`` where ``NUM = alpha_m * m^2 * 2^maxrho`` is
+  pre-computed in Python and embedded as the same shortest-repr double
+  literal in both engines — one IEEE division + one floor of identical
+  operands is bit-identical everywhere (the BM25 fixed-order-expression
+  discipline, ``operators/search.py``).
+
+Small-range correction WITHOUT a cross-engine ``ln``: linear counting
+(``m * ln(m / V)`` for ``V`` empty registers, applied when the raw estimate
+is ≤ 2.5m and ``V > 0``) is mandatory — the raw estimator reads ~5× high at
+tiny cardinalities — but ``ln`` is a libm call whose low bits differ across
+engines.  ``V`` only takes ``m`` possible values, so the correction is
+PRE-COMPUTED in Python once (``_lc_table``) and shipped to BOTH engines as
+the identical literal table: a broadcast-joined m-row DataFrame on the
+Spark side, a VALUES CTE in the oracle — never an m-branch CASE expression
+(the k-means literal-expression lesson: plan size must stay O(1) in m).
+Standard error of the corrected sketch is the usual ``1.04/sqrt(m)``
+≈ 3.3 % at p=10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: register-index bits: m = 2^p registers per group.  p=10 → 1024 registers,
+#: ~3.3 % standard error, S ≤ 2^61 (int64-exact harmonic sum).
+HLL_P = 10
+
+
+def _consts(p: int) -> tuple[int, int, float]:
+    """(m, maxrho, NUM) for a given precision.  NUM is the full float
+    numerator ``alpha_m * m^2 * 2^maxrho`` — embedding it as ONE literal
+    leaves a single cross-engine float op (the division)."""
+    if not 4 <= p <= 12:
+        # p < 4 has no published alpha; p > 12 pushes S past int64
+        raise ValueError(f"hll precision p={p} outside the supported 4..12")
+    m = 1 << p
+    maxrho = 60 - p + 1
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    return m, maxrho, alpha * m * m * float(1 << maxrho)
+
+
+def _lc_table(p: int) -> list[tuple[int, int]]:
+    """Linear-counting lookup ``[(V, floor(m * ln(m / V)))]`` for every
+    possible empty-register count ``V`` in 1..m — computed ONCE in Python
+    so both engines consume byte-identical integers (no libm in either
+    engine's plan)."""
+    import math
+
+    m = 1 << p
+    return [(v, int(math.floor(m * math.log(m / v)))) for v in range(1, m + 1)]
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 p: int = HLL_P) -> DataFrame:
+    """Grouped approximate distinct count: one row per group with
+    ``(<group_cols>, register_sum, n_registers_hit, n_distinct_hll)``.
+
+    Plan shape: ONE shuffle that matters — the (group, register) MAX, which
+    map-side-combines to ≤ m rows per group per task regardless of input
+    size; the per-group rollup over ≤ m rows and the broadcast join against
+    the static m-row linear-counting table are negligible.  Nothing is
+    collected; the estimate is a projection."""
+    m, maxrho, num = _consts(p)
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.expr(f"h div {m}")
+    rho = F.lit(maxrho) - F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.bin(w))
+    )
+    regs = (
+        df.select(*group_cols, h.alias("h"))
+        .select(*group_cols, F.pmod("h", F.lit(m)).alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("mj"))
+    )
+    lc = F.broadcast(
+        df.sparkSession.createDataFrame(_lc_table(p), "v_empty long, lc long")
+    )
+    rolled = (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {maxrho} - mj)"))
+            .alias("s_hit"),
+            F.count("*").alias("n_registers_hit"),
+        )
+        .select(
+            *group_cols,
+            (
+                F.col("s_hit")
+                + (F.lit(m) - F.col("n_registers_hit"))
+                * F.lit(1 << maxrho).cast("long")
+            ).alias("register_sum"),
+            F.col("n_registers_hit"),
+        )
+        .withColumn(
+            "raw_est",
+            F.expr(f"cast(floor({num!r} / cast(register_sum as double)) as long)"),
+        )
+        .withColumn("v_empty", F.lit(m) - F.col("n_registers_hit"))
+    )
+    return (
+        rolled.join(lc, "v_empty", "left")
+        .select(
+            *group_cols,
+            "register_sum",
+            "n_registers_hit",
+            F.when(
+                (F.col("v_empty") > 0) & (F.col("raw_est") <= (5 * m) // 2),
+                F.col("lc"),
+            )
+            .otherwise(F.col("raw_est"))
+            .alias("n_distinct_hll"),
+        )
+    )
+
+
+def hll_oracle_sql(source_sql: str, group_cols: list[str], value_col: str,
+                   p: int = HLL_P) -> str:
+    """DuckDB replay of :func:`hll_distinct`: identical md5-derived 60-bit
+    hash, identical register/rho arithmetic, identical single-division
+    estimate (the numerator literal is the same shortest-repr double), and
+    the identical Python-precomputed linear-counting VALUES table."""
+    m, maxrho, num = _consts(p)
+    g = ", ".join(group_cols)
+    lc_values = ", ".join(f"({v}, {e})" for v, e in _lc_table(p))
+    return f"""
+    WITH src AS ({source_sql}),
+    hashed AS (
+        SELECT {g},
+               CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM src
+    ),
+    regs AS (
+        SELECT {g}, h % {m} AS j,
+               MAX({maxrho} - CASE WHEN h // {m} = 0 THEN 0
+                                   ELSE length(bin(h // {m})) END) AS mj
+        FROM hashed GROUP BY {g}, j
+    ),
+    rolled AS (
+        SELECT {g},
+               CAST(SUM(CAST(1 AS BIGINT) << ({maxrho} - mj)) AS BIGINT)
+                   AS s_hit,
+               CAST(COUNT(*) AS BIGINT) AS n_registers_hit
+        FROM regs GROUP BY {g}
+    ),
+    lc(v_empty, lc) AS (VALUES {lc_values}),
+    est AS (
+        SELECT {g},
+               CAST(s_hit + ({m} - n_registers_hit)
+                    * (CAST(1 AS BIGINT) << {maxrho}) AS BIGINT)
+                   AS register_sum,
+               n_registers_hit,
+               CAST(floor({num!r} / CAST(s_hit + ({m} - n_registers_hit)
+                    * (CAST(1 AS BIGINT) << {maxrho}) AS DOUBLE)) AS BIGINT)
+                   AS raw_est,
+               {m} - n_registers_hit AS v_empty
+        FROM rolled
+    )
+    SELECT {g}, register_sum, n_registers_hit,
+           CAST(CASE WHEN e.v_empty > 0 AND e.raw_est <= {(5 * m) // 2}
+                     THEN l.lc ELSE e.raw_est END AS BIGINT) AS n_distinct_hll
+    FROM est e LEFT JOIN lc l ON l.v_empty = e.v_empty
+    """

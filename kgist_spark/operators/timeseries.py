@@ -214,3 +214,87 @@ def event_drift(events: DataFrame, type_col: str = "event_type",
             (c == trailing) & (var > 0), F.round(z * z_scale).cast("long")
         ).alias("z_x1e6"),
     )
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     scale: int = 1_000_000) -> DataFrame:
+    """Classic cohort-retention table: ``(cohort_date, day_offset,
+    n_active, n_cohort, retention_x1e6)`` — users grouped by their FIRST
+    active calendar day (the cohort), then for each later day offset the
+    count of distinct cohort members active that day.  The standard
+    product-analytics read over an event stream (here: contributor/crawl
+    activity over the events table); retention is the integer-DIV
+    fixed-point fraction like every ratio in this engine.
+
+    Day boundaries are calendar days of the raw NTZ timestamp (wall-clock,
+    timezone-free — the module-wide rule); ``cohort_date`` is emitted as a
+    day-truncated TIMESTAMP, not a DATE, because the two engines' DATE
+    values arrive in pandas as different dtypes (python ``date`` vs
+    ``datetime64``) and the driver's value-hash would diverge on
+    representation alone — the ``events_hourly`` precedent.  ``day_offset``
+    0 is the cohort day itself (retention identically 1e6 there; kept — it
+    carries n_cohort and anchors the table).
+
+    Scale shape: ONE distinct over (user, day) — the only corpus-sized
+    shuffle, map-side-combinable — then a grouped MIN (user-sized), a
+    user-keyed join back (both sides hash-partition on ``user`` so the
+    join reuses the distinct's layout; AQE broadcasts the cohort side
+    while it fits), and two small grouped counts.  No windows, no
+    collect."""
+    days = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+        )
+        .where(F.col("user").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    cohort = days.groupBy("user").agg(F.min("d").alias("cohort_date"))
+    sizes = cohort.groupBy("cohort_date").agg(
+        F.count("*").alias("n_cohort")
+    )
+    active = (
+        days.join(cohort, "user")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return active.join(sizes, "cohort_date").select(
+        "cohort_date",
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_active",
+        "n_cohort",
+        F.expr(f"({scale} * n_active) div n_cohort").alias("retention_x1e6"),
+    )
+
+
+def cohort_retention_oracle_sql(scale: int = 1_000_000,
+                                table: str = "events") -> str:
+    """DuckDB replay of :func:`cohort_retention` — same calendar-day
+    truncation, distinct (user, day) basis, and truncating integer div."""
+    return f"""
+    WITH days AS (
+        SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d
+        FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    cohort AS (SELECT u, MIN(d) AS cohort_date FROM days GROUP BY u),
+    sizes AS (
+        SELECT cohort_date, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        FROM cohort GROUP BY cohort_date
+    ),
+    active AS (
+        SELECT c.cohort_date,
+               CAST(date_diff('day', c.cohort_date, days.d) AS BIGINT)
+                   AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM days JOIN cohort c ON c.u = days.u
+        GROUP BY c.cohort_date, day_offset
+    )
+    SELECT a.cohort_date, a.day_offset, a.n_active, s.n_cohort,
+           CAST(({scale} * a.n_active) // s.n_cohort AS BIGINT)
+               AS retention_x1e6
+    FROM active a JOIN sizes s ON s.cohort_date = a.cohort_date
+    """

@@ -1203,6 +1203,49 @@ def q_kg_linkpred(spark, sf_dir):
     )
 
 
+#: personalized-PageRank iterations for kg_ppr (frontier closure from the
+#: nation seed class is complete by round 3 on the test KGs; 6 keeps the
+#: ranks converging and Spark/oracle round-for-round identical)
+_PPR_ITERS = 6
+
+
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank over the derived KG (directed, simple-graph
+    semantics like kg_pagerank) with restart mass confined to the ORDER
+    seed class — the KG's only sources, so rank flows the full
+    o -> c/p -> s -> n closure; only reached nodes emit rows (the
+    sparse-frontier property IS the operator's scale story)."""
+    from kgist_spark.operators.graph import ppr_fixed_point
+
+    edges = derived_triples(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct()
+    return ppr_fixed_point(
+        edges, F.col("node").startswith("o"), iterations=_PPR_ITERS
+    )
+
+
+def q_events_hll(spark, sf_dir):
+    """HyperLogLog distinct users per event type — the md5-register sketch
+    whose registers AND estimate replay bit-for-bit in DuckDB (Spark's own
+    approx_count_distinct hash is engine-private); linear-counting
+    correction from a Python-precomputed table shared by both engines."""
+    from kgist_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id"
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort-retention table over the events stream: users grouped by
+    first active calendar day, distinct-active counts per day offset,
+    integer fixed-point retention fraction."""
+    from kgist_spark.operators.timeseries import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Per-document keyword extraction: top-3 terms per document by
     integer fixed-point tf-idf (linear rarity weight — log-free so the
@@ -1283,6 +1326,9 @@ QUERIES = {
     "kg_labelprop": q_kg_labelprop,
     "kg_linkpred": q_kg_linkpred,
     "tfidf_terms": q_tfidf_terms,
+    "kg_ppr": q_kg_ppr,
+    "events_hll": q_events_hll,
+    "cohort_retention": q_cohort_retention,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1928,6 +1974,46 @@ def _tfidf_oracle() -> str:
 # integer fixed-point tf-idf (linear rarity weight — log-free, truncating
 # div), same tokenization and (score DESC, term ASC) per-doc pick
 ORACLE_SQL["tfidf_terms"] = _tfidf_oracle()
+
+
+def _ppr_oracle() -> str:
+    from kgist_spark.operators.graph import ppr_oracle_sql
+
+    edges = (f"SELECT DISTINCT subj AS src, obj AS dst"
+             f" FROM ({DERIVED_TRIPLES_SQL})")
+    return ppr_oracle_sql(edges, seed_where="node LIKE 'o%'",
+                          iterations=_PPR_ITERS)
+
+
+# personalized PageRank: iterations unrolled as chained CTEs, seed base
+# rows UNIONed into the damped contribution sum, r > 0 sparsity filter
+# applied per round exactly like the engine
+ORACLE_SQL["kg_ppr"] = _ppr_oracle()
+
+
+def _hll_oracle() -> str:
+    from kgist_spark.operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql(
+        "SELECT event_type, user_id FROM events", ["event_type"], "user_id"
+    )
+
+
+# HyperLogLog sketch: identical md5-derived registers, integer harmonic
+# sum, single shared-literal float division, and the Python-precomputed
+# linear-counting VALUES table — the whole sketch replays bit-for-bit
+ORACLE_SQL["events_hll"] = _hll_oracle()
+
+
+def _cohort_oracle() -> str:
+    from kgist_spark.operators.timeseries import cohort_retention_oracle_sql
+
+    return cohort_retention_oracle_sql()
+
+
+# cohort retention: distinct (user, day) basis, calendar-day truncation,
+# truncating integer-div retention fraction
+ORACLE_SQL["cohort_retention"] = _cohort_oracle()
 
 # dup_ngrams: the oracle replays the identical in-row 5-gram windows (md5
 # over the space-joined token slice), the distinct-(gram, doc) collapse,

@@ -485,3 +485,80 @@ def test_linkpred_matches_python_replay(spark):
     edges = [(f"n{rng.randrange(35)}", f"n{rng.randrange(35)}") for _ in range(80)]
     assert _linkpred_spark(spark, edges, max_junction_deg=8, k=25) == \
         _py_linkpred(edges, max_junction_deg=8, k=25)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (ppr_fixed_point)
+
+
+def _py_ppr(edges, seeds, iterations, scale=PR_SCALE, damp=PR_DAMP):
+    """Independent replay of the seeded recurrence with the per-round
+    r > 0 sparsity filter."""
+    dn, dd = damp
+    base = (scale * (dd - dn)) // dd
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    nodes = {n for e in edges for n in e}
+    r = {n: scale for n in nodes if n in seeds}
+    for _ in range(iterations):
+        s = {}
+        for a, b in edges:
+            if a in r:
+                s[b] = s.get(b, 0) + r[a] // deg[a]
+        nxt = {}
+        for n in set(s) | (seeds & nodes):
+            v = (base if n in seeds else 0) + (dn * s.get(n, 0)) // dd
+            if v > 0:
+                nxt[n] = v
+        r = nxt
+    return r
+
+
+def _ppr_spark(spark, edges, seeds, iterations, **kw):
+    from kgist_spark.operators.graph import ppr_fixed_point
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = ppr_fixed_point(
+        df, F.col("node").isin(list(seeds)), iterations=iterations, **kw
+    )
+    return {row["node"]: row["rank_fp"] for row in out.collect()}
+
+
+def test_ppr_chain_hand_computed(spark):
+    # a -> b -> c seeded at a: rank mass flows one hop per iteration and
+    # decays by 85 % per hop; base re-injects only at a
+    edges = [("a", "b"), ("b", "c")]
+    got = _ppr_spark(spark, edges, {"a"}, iterations=2)
+    # iter1: a = 150000 + 0, b = 0 + 85*1000000//100 = 850000
+    # iter2: a = 150000, b = 85*150000//100 = 127500,
+    #        c = 85*850000//100 = 722500
+    assert got == {"a": 150000, "b": 127500, "c": 722500}
+
+
+def test_ppr_unreached_nodes_absent(spark):
+    # two directed components: seeding one leaves the other rankless, and
+    # upstream-of-seed nodes (no path FROM the seed) never appear either
+    edges = [("a", "b"), ("x", "y"), ("up", "a")]
+    got = _ppr_spark(spark, edges, {"a"}, iterations=4)
+    assert set(got) == {"a", "b"}
+
+
+def test_ppr_matches_python_replay(spark):
+    rng = random.Random(37)
+    edges = [(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(90)]
+    edges = sorted(set(edges))  # simple-graph semantics like the query
+    seeds = {f"n{i}" for i in range(4)}
+    for iters in (1, 3, 6):
+        assert _ppr_spark(spark, edges, seeds, iters) == _py_ppr(
+            edges, seeds, iters
+        )
+
+
+def test_ppr_broadcast_and_shuffle_paths_identical(spark):
+    rng = random.Random(41)
+    edges = sorted({(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}")
+                    for _ in range(70)})
+    bcast = _ppr_spark(spark, edges, {"n0", "n1"}, 4)
+    shuffled = _ppr_spark(spark, edges, {"n0", "n1"}, 4, broadcast_max_nodes=0)
+    assert bcast == shuffled

@@ -273,3 +273,51 @@ def test_event_drift_constant_window_is_null(spark):
     ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
     out = event_drift(ev, trailing=3).collect()
     assert all(r["z_x1e6"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (cohort_retention)
+
+
+def test_cohort_retention_hand_computed(spark):
+    from kgist_spark.operators.timeseries import cohort_retention
+
+    d = lambda day, hour=0: dt.datetime(2024, 1, day, hour)
+    rows = [
+        # user 1 and 2 join day 1; user 1 returns days 2 and 3, user 2
+        # only day 3; user 3 joins day 2 and never returns
+        (1, d(1)), (1, d(1, 5)), (1, d(2)), (1, d(3)),
+        (2, d(1)), (2, d(3)),
+        (3, d(2)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_date"].day, r["day_offset"]):
+            (r["n_active"], r["n_cohort"], r["retention_x1e6"])
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        (1, 0): (2, 2, 1000000),
+        (1, 1): (1, 2, 500000),
+        (1, 2): (2, 2, 1000000),
+        (2, 0): (1, 1, 1000000),
+    }
+
+
+def test_cohort_retention_day_boundary_not_24h_window(spark):
+    from kgist_spark.operators.timeseries import cohort_retention
+
+    # 23:00 -> 01:00 next day is offset 1 (calendar day), not offset 0
+    rows = [(1, dt.datetime(2024, 1, 1, 23)), (1, dt.datetime(2024, 1, 2, 1))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    offs = {r["day_offset"] for r in cohort_retention(ev).collect()}
+    assert offs == {0, 1}
+
+
+def test_cohort_retention_null_users_excluded(spark):
+    from kgist_spark.operators.timeseries import cohort_retention
+
+    rows = [(1, dt.datetime(2024, 1, 1)), (None, dt.datetime(2024, 1, 1))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(ev).collect()
+    assert len(out) == 1 and out[0]["n_cohort"] == 1
