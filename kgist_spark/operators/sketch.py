@@ -196,3 +196,21 @@ def hll_oracle_sql(source_sql: str, group_cols: list[str], value_col: str,
                      THEN l.lc ELSE e.raw_est END AS BIGINT) AS n_distinct_hll
     FROM est e LEFT JOIN lc l ON l.v_empty = e.v_empty
     """
+
+
+def estimate_from_registers(regs, p: int = HLL_P) -> int:
+    """Pure-Python estimate from an m-length register array — the EXACT
+    arithmetic of :func:`hll_distinct`'s projection (integer harmonic sum,
+    one float division of the same numerator, the same precomputed
+    linear-counting table), shared by the streaming merge operator
+    (:mod:`kgist_spark.streaming.cardinality`) and the tests so batch,
+    stream, and oracle can never drift."""
+    m, maxrho, num = _consts(p)
+    if len(regs) != m:
+        raise ValueError(f"expected {m} registers, got {len(regs)}")
+    s = sum(1 << (maxrho - int(r)) for r in regs)
+    raw = int(num / s)
+    v_empty = sum(1 for r in regs if r == 0)
+    if v_empty > 0 and raw <= (5 * m) // 2:
+        return dict(_lc_table(p))[v_empty]
+    return raw
