@@ -298,3 +298,146 @@ def cohort_retention_oracle_sql(scale: int = 1_000_000,
                AS retention_x1e6
     FROM active a JOIN sizes s ON s.cohort_date = a.cohort_date
     """
+
+
+def funnel(events: DataFrame, stages: Sequence[str] = ("view", "click",
+                                                       "purchase"),
+           user_col: str = "user_id", ts_col: str = "ts",
+           stage_col: str = "event_type",
+           tie_col: str = "event_id") -> DataFrame:
+    """Ordered funnel conversion: how many users progressed through the
+    stage sequence IN ORDER — a stage-``i`` event counts only if it comes
+    strictly after the user's counted stage-``i-1`` event.  Output is one
+    row per stage: ``(stage_idx, stage, n_users, conv_from_prev_bp,
+    conv_from_first_bp)`` with conversions in integer basis points
+    (truncating div, NULL when the denominator is 0 — same in the oracle).
+
+    Semantics = the greedy earliest chain: take the user's first stage-1
+    event, then the first stage-2 event after it, and so on.  Greedy is
+    exhaustive here — the first stage-1 event is the earliest, so ANY
+    in-order chain implies the greedy one reaches at least as deep.
+    Equal timestamps are ordered by ``tie_col`` in both engines.
+
+    Plan shape (the 100-TB lens): ONE shuffle on the user key; each user's
+    qualifying events fold through a JVM ``aggregate`` lambda over the
+    sorted in-group array (bounded by per-user event count — the same
+    bound every sessionization/retention op here already lives with).
+    The per-stage rollup is |stages| rows; everything after the fold is
+    driver-negligible.  No self-joins: a join-chain funnel (stage i ⋈
+    stage i-1) is i shuffles and explodes on hot users.
+    """
+    n_st = len(stages)
+    if n_st < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    evs = events.where(
+        F.col(stage_col).isin(list(stages))
+        & F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()  # null-ts rows would sort NULLS FIRST
+        # here but NULLS LAST in the oracle's window — exclude in both
+    ).select(
+        F.col(user_col).alias("u"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tie_col).alias("tie"),
+            F.col(stage_col).alias("stage"),
+        ).alias("e"),
+    )
+    # depth = how far the sorted event sequence walks the stage list;
+    # least() keeps the element_at index in bounds under ANSI mode (when
+    # acc == n_st the acc < n_st guard already sends the row to otherwise)
+    depth = F.aggregate(
+        F.sort_array(F.collect_list("e")),
+        F.lit(0),
+        lambda acc, x: F.when(
+            (acc < F.lit(n_st))
+            & (x["stage"] == F.element_at(
+                stage_arr, F.least(acc + 1, F.lit(n_st)))),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    depths = (
+        evs.groupBy("u").agg(depth.alias("depth")).where(F.col("depth") >= 1)
+        .groupBy("depth").agg(F.count("*").alias("n"))
+    )
+    spark = events.sparkSession
+    stages_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(stages)], "stage_idx int, stage string"
+    )
+    counts = (
+        stages_df.join(depths, depths["depth"] >= stages_df["stage_idx"], "left")
+        .groupBy("stage_idx", "stage")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_users"))
+    )
+    w = Window.orderBy("stage_idx")
+    prev = F.lag("n_users").over(w)
+    first = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # TRUNCATING integer division (Spark `div` ≡ DuckDB `//` on positive
+    # int64 — never a float quotient, which can round up across the floor)
+    return (
+        counts.withColumn("_prev", prev).withColumn("_first", first)
+        .select(
+            "stage_idx", "stage", "n_users",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_prev") == 0),
+                F.lit(None).cast("long"),
+            ).otherwise(F.expr("(10000 * n_users) div _prev"))
+            .alias("conv_from_prev_bp"),
+            F.when(F.col("_first") == 0, F.lit(None).cast("long"))
+            .otherwise(F.expr("(10000 * n_users) div _first"))
+            .alias("conv_from_first_bp"),
+        )
+    )
+
+
+def funnel_oracle_sql(stages: Sequence[str] = ("view", "click", "purchase"),
+                      table: str = "events") -> str:
+    """DuckDB replay of :func:`funnel` — the greedy earliest chain as
+    |stages| chained min-rank CTEs over one per-user ROW_NUMBER timeline
+    (rank order = (ts, event_id), exactly the fold's sort key), truncating
+    integer basis points, NULL on zero denominators."""
+    in_list = ", ".join(f"'{s}'" for s in stages)
+    ctes = [
+        f"""ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rk
+        FROM {table}
+        WHERE event_type IN ({in_list}) AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+    )""",
+        f"""s1 AS (
+        SELECT user_id, MIN(rk) AS rk FROM ranked
+        WHERE event_type = '{stages[0]}' GROUP BY user_id
+    )""",
+    ]
+    for i, st in enumerate(stages[1:], start=2):
+        ctes.append(f"""s{i} AS (
+        SELECT r.user_id, MIN(r.rk) AS rk
+        FROM ranked r JOIN s{i - 1} p
+          ON p.user_id = r.user_id AND r.rk > p.rk
+        WHERE r.event_type = '{st}' GROUP BY r.user_id
+    )""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {i + 1} AS stage_idx, '{s}' AS stage,"
+        f" (SELECT COUNT(*) FROM s{i + 1}) AS n_users"
+        for i, s in enumerate(stages)
+    )
+    ctes.append(f"counts AS (\n        {unions}\n    )")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                ELSE (10000 * n_users) // prev END AS conv_from_prev_bp,
+           CASE WHEN frst = 0 THEN NULL
+                ELSE (10000 * n_users) // frst END AS conv_from_first_bp
+    FROM (
+        SELECT *, LAG(n_users) OVER (ORDER BY stage_idx) AS prev,
+               FIRST_VALUE(n_users) OVER (ORDER BY stage_idx) AS frst
+        FROM counts
+    )
+    ORDER BY stage_idx
+    """

@@ -1246,6 +1246,15 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel: per-user greedy earliest-chain
+    depth via one JVM fold over the sorted in-group event array (one
+    shuffle on user), integer-basis-point conversions."""
+    from kgist_spark.operators.timeseries import funnel
+
+    return funnel(_t(spark, sf_dir, "events"))
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Per-document keyword extraction: top-3 terms per document by
     integer fixed-point tf-idf (linear rarity weight — log-free so the
@@ -1329,6 +1338,7 @@ QUERIES = {
     "kg_ppr": q_kg_ppr,
     "events_hll": q_events_hll,
     "cohort_retention": q_cohort_retention,
+    "event_funnel": q_event_funnel,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2014,6 +2024,17 @@ def _cohort_oracle() -> str:
 # cohort retention: distinct (user, day) basis, calendar-day truncation,
 # truncating integer-div retention fraction
 ORACLE_SQL["cohort_retention"] = _cohort_oracle()
+
+
+def _funnel_oracle() -> str:
+    from kgist_spark.operators.timeseries import funnel_oracle_sql
+
+    return funnel_oracle_sql()
+
+
+# Ordered funnel: greedy earliest chain as chained min-rank CTEs over the
+# same (ts, event_id) per-user timeline the Spark fold sorts by
+ORACLE_SQL["event_funnel"] = _funnel_oracle()
 
 # dup_ngrams: the oracle replays the identical in-row 5-gram windows (md5
 # over the space-joined token slice), the distinct-(gram, doc) collapse,
