@@ -214,3 +214,114 @@ def estimate_from_registers(regs, p: int = HLL_P) -> int:
     if v_empty > 0 and raw <= (5 * m) // 2:
         return dict(_lc_table(p))[v_empty]
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: cross-engine-replayable frequency estimation
+# ---------------------------------------------------------------------------
+
+#: depth (independent hash rows) × width (counters per row).  d=4/w=1024
+#: gives overcount ≤ e·n/w with prob 1-e^-4 per probe; the whole sketch is
+#: ≤ 4096 int64 counters per group regardless of input size.
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_cell(value_col, r: int, w: int):
+    """Row-``r`` counter index for a value: the engine's one cross-engine
+    hash (md5 → 60-bit int, the HLL/DSIR convention) seeded by prefixing
+    the row number — ``pmod`` because both engines' ``%`` agree only on
+    non-negative operands (the 60-bit hash is always non-negative, but
+    pmod documents the invariant)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(r)), F.col(value_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(w))
+
+
+def cms_build(df: DataFrame, value_col: str, d: int = CMS_D,
+              w: int = CMS_W, group_cols: list[str] | None = None) -> DataFrame:
+    """Count-min sketch as a DataFrame: one row per non-empty counter
+    ``(<group_cols>, r, c, cnt)``.  Plan shape: the explode fans each input
+    row into ``d`` (row, cell) pairs, then ONE grouped count that
+    map-side-combines to ≤ d·w rows per group per task — the shuffle is
+    bounded by the sketch size, never the data.  Merging two sketches is
+    ``cnt`` addition on (r, c), which is how the streaming twin
+    (:mod:`kgist_spark.streaming.frequency`) folds micro-batches."""
+    gc = list(group_cols or [])
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), _cms_cell(value_col, r, w).alias("c"))
+        for r in range(d)
+    ])).alias("rc")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gc, cells)
+        .select(*gc, "rc.r", "rc.c")
+        .groupBy(*gc, "r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_probe(sketch: DataFrame, probes: DataFrame, value_col: str,
+              d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Point estimates for a probe set: ``min`` over the ``d`` counters each
+    probe hashes to (the classic CMS upper bound — never undercounts).
+    The join keys on (r, c) against a ≤ d·w-row sketch, so AQE broadcasts
+    the sketch side; unseen probes estimate 0 via the left join."""
+    exp = probes.select(
+        value_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"), _cms_cell(value_col, r, w).alias("c"))
+            for r in range(d)
+        ])).alias("rc"),
+    ).select(value_col, "rc.r", "rc.c")
+    return (
+        exp.join(sketch, ["r", "c"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("n_cms"))
+    )
+
+
+def cms_oracle_sql(source_sql: str, value_col: str, d: int = CMS_D,
+                   w: int = CMS_W, top_n: int = 16) -> str:
+    """DuckDB replay of the build→probe pipeline over the exact top-``top_n``
+    values (ties broken by the value): identical seeded md5 cell hashes,
+    integer counters, min-over-rows estimate."""
+    rows_vals = ", ".join(f"({r})" for r in range(d))
+    cell = (f"CAST(('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || "
+            f"CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT) % {w}")
+    return f"""
+    WITH src AS ({source_sql}),
+    ev AS (SELECT {value_col} FROM src WHERE {value_col} IS NOT NULL),
+    exact AS (
+        SELECT {value_col}, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM ev GROUP BY {value_col}
+    ),
+    probes AS (
+        SELECT {value_col}, n_exact FROM exact
+        ORDER BY n_exact DESC, {value_col} LIMIT {top_n}
+    ),
+    rs(r) AS (VALUES {rows_vals}),
+    cells AS (
+        SELECT rs.r, {cell} AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev CROSS JOIN rs GROUP BY rs.r, c
+    ),
+    est AS (
+        SELECT p.{value_col},
+               MIN(COALESCE(ce.cnt, 0)) AS n_cms
+        FROM probes p
+        CROSS JOIN rs
+        LEFT JOIN cells ce
+          ON ce.r = rs.r
+         AND ce.c = CAST(('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' ||
+                     CAST(p.{value_col} AS VARCHAR)), 1, 15)) AS BIGINT) % {w}
+        GROUP BY p.{value_col}
+    )
+    SELECT p.{value_col}, p.n_exact, e.n_cms,
+           e.n_cms - p.n_exact AS overcount
+    FROM probes p JOIN est e USING ({value_col})
+    """

@@ -1246,6 +1246,27 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the exact top-16 users:
+    the d=4 × w=64 sketch is deliberately narrow so the min-over-rows
+    estimate visibly absorbs collisions (overcount ≥ 0 by construction);
+    both the seeded md5 cell hashes and the integer counters replay
+    bit-for-bit in DuckDB."""
+    from kgist_spark.operators.sketch import cms_build, cms_probe
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    probes = exact.orderBy(F.desc("n_exact"), "user_id").limit(16)
+    est = cms_probe(
+        cms_build(ev, "user_id", d=4, w=64),
+        probes.select("user_id"), "user_id", d=4, w=64,
+    )
+    return probes.join(est, "user_id").select(
+        "user_id", "n_exact", "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+    )
+
+
 def q_event_funnel(spark, sf_dir):
     """Ordered view→click→purchase funnel: per-user greedy earliest-chain
     depth via one JVM fold over the sorted in-group event array (one
@@ -1339,6 +1360,7 @@ QUERIES = {
     "events_hll": q_events_hll,
     "cohort_retention": q_cohort_retention,
     "event_funnel": q_event_funnel,
+    "cms_user_counts": q_cms_user_counts,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2035,6 +2057,17 @@ def _funnel_oracle() -> str:
 # Ordered funnel: greedy earliest chain as chained min-rank CTEs over the
 # same (ts, event_id) per-user timeline the Spark fold sorts by
 ORACLE_SQL["event_funnel"] = _funnel_oracle()
+
+
+def _cms_oracle() -> str:
+    from kgist_spark.operators.sketch import cms_oracle_sql
+
+    return cms_oracle_sql("SELECT user_id FROM events", "user_id", d=4, w=64)
+
+
+# Count-min sketch: identical seeded md5 cell hashes, integer counters,
+# min-over-rows point estimates for the exact top-16 probe set
+ORACLE_SQL["cms_user_counts"] = _cms_oracle()
 
 # dup_ngrams: the oracle replays the identical in-row 5-gram windows (md5
 # over the space-joined token slice), the distinct-(gram, doc) collapse,
