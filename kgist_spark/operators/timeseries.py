@@ -375,17 +375,19 @@ def funnel(events: DataFrame, stages: Sequence[str] = ("view", "click",
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     # TRUNCATING integer division (Spark `div` ≡ DuckDB `//` on positive
-    # int64 — never a float quotient, which can round up across the floor)
+    # int64 — never a float quotient, which can round up across the floor).
+    # NO NULLs in the output: the first stage self-converts at 10000 bp and
+    # a zero denominator yields 0 — a nullable int64 column would round-trip
+    # through pandas as float64 and break cross-engine value comparison.
     return (
         counts.withColumn("_prev", prev).withColumn("_first", first)
         .select(
             "stage_idx", "stage", "n_users",
-            F.when(
-                F.col("_prev").isNull() | (F.col("_prev") == 0),
-                F.lit(None).cast("long"),
-            ).otherwise(F.expr("(10000 * n_users) div _prev"))
+            F.when(F.col("_prev").isNull(), F.lit(10000).cast("long"))
+            .when(F.col("_prev") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("(10000 * n_users) div _prev"))
             .alias("conv_from_prev_bp"),
-            F.when(F.col("_first") == 0, F.lit(None).cast("long"))
+            F.when(F.col("_first") == 0, F.lit(0).cast("long"))
             .otherwise(F.expr("(10000 * n_users) div _first"))
             .alias("conv_from_first_bp"),
         )
@@ -430,10 +432,12 @@ def funnel_oracle_sql(stages: Sequence[str] = ("view", "click", "purchase"),
     WITH {', '.join(ctes)}
     SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
            CAST(n_users AS BIGINT) AS n_users,
-           CASE WHEN prev IS NULL OR prev = 0 THEN NULL
-                ELSE (10000 * n_users) // prev END AS conv_from_prev_bp,
-           CASE WHEN frst = 0 THEN NULL
-                ELSE (10000 * n_users) // frst END AS conv_from_first_bp
+           CAST(CASE WHEN prev IS NULL THEN 10000 WHEN prev = 0 THEN 0
+                ELSE (10000 * n_users) // prev END AS BIGINT)
+               AS conv_from_prev_bp,
+           CAST(CASE WHEN frst = 0 THEN 0
+                ELSE (10000 * n_users) // frst END AS BIGINT)
+               AS conv_from_first_bp
     FROM (
         SELECT *, LAG(n_users) OVER (ORDER BY stage_idx) AS prev,
                FIRST_VALUE(n_users) OVER (ORDER BY stage_idx) AS frst

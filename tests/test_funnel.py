@@ -44,7 +44,9 @@ ROWS = [
 
 WANT = [
     # stage_idx, stage, n_users, conv_from_prev_bp, conv_from_first_bp
-    (1, "view", 5, None, 10000),
+    # (the first stage self-converts at 10000 bp — the output is NULL-free
+    # by contract so int64 columns never round-trip as pandas float64)
+    (1, "view", 5, 10000, 10000),
     (2, "click", 2, 4000, 4000),
     (3, "purchase", 1, 5000, 2000),
 ]
@@ -72,8 +74,7 @@ def test_funnel_oracle_matches_on_adversarial_fixture(spark):
     odf = con.execute(funnel_oracle_sql()).df()
     got = [
         (int(r.stage_idx), r.stage, int(r.n_users),
-         None if pd.isna(r.conv_from_prev_bp) else int(r.conv_from_prev_bp),
-         int(r.conv_from_first_bp))
+         int(r.conv_from_prev_bp), int(r.conv_from_first_bp))
         for r in odf.itertuples()
     ]
     assert got == WANT
