@@ -727,6 +727,22 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank_fixed_point(edges, iterations=_PR_ITERS)
 
 
+#: HITS iteration count — shared by the Spark query and its SQL oracle
+_HITS_ITERS = 6
+
+
+def q_kg_hits(spark, sf_dir):
+    """Integer fixed-point HITS hubs/authorities over the derived KG
+    (distinct (subj, obj) pairs) — max-normalized so every op is exact
+    int64, bit-identical at any parallelism; unrolled-CTE oracle."""
+    from kgist_spark.operators.graph import hits_fixed_point
+
+    edges = derived_triples(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct()
+    return hits_fixed_point(edges, iterations=_HITS_ITERS)
+
+
 #: BM25 query terms — shared by the Spark query and the oracle
 _BM25_TERMS = ["spark", "join", "hash"]
 
@@ -1361,6 +1377,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "event_funnel": q_event_funnel,
     "cms_user_counts": q_cms_user_counts,
+    "kg_hits": q_kg_hits,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2068,6 +2085,20 @@ def _cms_oracle() -> str:
 # Count-min sketch: identical seeded md5 cell hashes, integer counters,
 # min-over-rows point estimates for the exact top-16 probe set
 ORACLE_SQL["cms_user_counts"] = _cms_oracle()
+
+
+def _hits_oracle() -> str:
+    from kgist_spark.operators.graph import hits_oracle_sql
+
+    edges = (
+        f"SELECT DISTINCT subj AS src, obj AS dst FROM ({DERIVED_TRIPLES_SQL})"
+    )
+    return hits_oracle_sql(edges, iterations=_HITS_ITERS)
+
+
+# integer fixed-point HITS: max-normalized hubs/authorities, iterations
+# unrolled as chained CTEs (the PageRank oracle pattern)
+ORACLE_SQL["kg_hits"] = _hits_oracle()
 
 # dup_ngrams: the oracle replays the identical in-row 5-gram windows (md5
 # over the space-joined token slice), the distinct-(gram, doc) collapse,
