@@ -103,6 +103,9 @@ def main():
         "kg_ppr",
         "events_hll",
         "cohort_retention",
+        "event_funnel",
+        "cms_user_counts",
+        "kg_hits",
     ]
 
     # warm up the JVM + parquet footers with one cheap action
