@@ -106,6 +106,9 @@ def main():
         "event_funnel",
         "cms_user_counts",
         "kg_hits",
+        "event_transitions",
+        "kg_neighbor_jaccard",
+        "kg_assortativity",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -445,3 +445,80 @@ def funnel_oracle_sql(stages: Sequence[str] = ("view", "click", "purchase"),
     )
     ORDER BY stage_idx
     """
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      scale: int = 1_000_000) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for every consecutive pair in a user's timeline (ordered by
+    ``(ts, event_id)`` — the id breaks same-timestamp ties so the chain
+    is deterministic in every engine), count ``from_type -> to_type``
+    and emit the row-normalized transition probability as integer fixed
+    point: ``p_x1e6 = n_trans * scale div n_from`` (truncating div,
+    positive operands — Spark's ``div`` and DuckDB's ``//`` agree).
+    Output: ``(from_type, to_type, n_trans, p_x1e6)``.
+
+    The next-event model behind session-abandonment prediction and
+    behavioral anomaly scoring — and, on a KG-construction pipeline, the
+    empirical prior for which predicate follows which in a crawl's
+    action log.
+
+    Scale shape: ONE shuffle on the user key (the lead window); per-user
+    partitions are bounded by per-user event counts, never by corpus
+    size.  The pair aggregation map-side-combines into at most
+    ``|types|^2`` rows, so the normalizing window runs over a table the
+    size of the type vocabulary squared — driver-trivial at any corpus
+    scale."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.where(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+            & F.col(type_col).isNotNull()
+        )
+        .select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr(f"n_trans * {scale} div sum(n_trans) over"
+               " (partition by from_type)").alias("p_x1e6"),
+    )
+
+
+def event_transitions_oracle_sql(table: str = "events",
+                                 scale: int = 1_000_000) -> str:
+    """DuckDB replay of :func:`event_transitions` — same ``(ts, event_id)``
+    lead ordering, same truncating row-normalized fixed point."""
+    return f"""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM {table}
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    c AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans * {scale}
+                // SUM(n_trans) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_x1e6
+    FROM c
+    """

@@ -1301,6 +1301,49 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), per_doc_k=3)
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    consecutive-pair counts (``(ts, event_id)`` ordering, so same-ts ties
+    are deterministic) row-normalized to truncating integer fixed-point
+    probabilities — the next-event prior behind abandonment prediction."""
+    from kgist_spark.operators.timeseries import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+#: neighbor-jaccard params — same junction-degree cap rationale as
+#: kg_linkpred (hubs carry no resolution signal but quadratic wedge cost)
+_NJ_MAX_DEG, _NJ_K = 64, 50
+
+
+def q_kg_neighbor_jaccard(spark, sf_dir):
+    """Top-50 non-adjacent node pairs of the undirected derived KG by
+    neighborhood Jaccard (integer fixed point, junction degree capped by
+    semantics, full-degree denominator) — duplicate-entity candidates
+    for the canonicalization queue."""
+    from kgist_spark.operators.graph import neighbor_jaccard
+
+    t = derived_triples(spark, sf_dir)
+    return neighbor_jaccard(
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b")),
+        max_junction_deg=_NJ_MAX_DEG, k=_NJ_K,
+    )
+
+
+def q_kg_assortativity(spark, sf_dir):
+    """Degree assortativity of the undirected derived KG: four BIGINT
+    edge-level sums + ONE fixed-order double correlation expression
+    rounded to r_x1e6 — the one-number extraction-mix drift detector.
+    NULL-scored rows (zero variance) are filtered like event_drift so
+    the BIGINT column survives the pandas round-trip."""
+    from kgist_spark.operators.graph import degree_assortativity
+
+    t = derived_triples(spark, sf_dir)
+    return degree_assortativity(
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    ).where(F.col("r_x1e6").isNotNull())
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1378,6 +1421,9 @@ QUERIES = {
     "event_funnel": q_event_funnel,
     "cms_user_counts": q_cms_user_counts,
     "kg_hits": q_kg_hits,
+    "event_transitions": q_event_transitions,
+    "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+    "kg_assortativity": q_kg_assortativity,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3048,6 +3094,50 @@ ORACLE_SQL["curate_summary"] = _curate_oracle(
               COUNT(*) AS n_docs
        FROM final GROUP BY 1"""
 )
+
+
+def _event_transitions_oracle() -> str:
+    from kgist_spark.operators.timeseries import event_transitions_oracle_sql
+
+    return event_transitions_oracle_sql()
+
+
+# event_transitions: same (ts, event_id) lead ordering, same truncating
+# row-normalized fixed point — the lead window and GROUP BY replay 1:1
+ORACLE_SQL["event_transitions"] = _event_transitions_oracle()
+
+
+_DERIVED_AB_SQL = (
+    f"SELECT subj AS a, obj AS b FROM ({DERIVED_TRIPLES_SQL})"
+)
+
+
+def _neighbor_jaccard_oracle() -> str:
+    from kgist_spark.operators.graph import neighbor_jaccard_oracle_sql
+
+    return neighbor_jaccard_oracle_sql(
+        _DERIVED_AB_SQL, max_junction_deg=_NJ_MAX_DEG, k=_NJ_K
+    )
+
+
+# kg_neighbor_jaccard: canonical edges, capped junction wedges, uncapped
+# denominator degrees, truncating div, (jac DESC, a, b) cut
+ORACLE_SQL["kg_neighbor_jaccard"] = _neighbor_jaccard_oracle()
+
+
+def _assortativity_oracle() -> str:
+    from kgist_spark.operators.graph import assortativity_oracle_sql
+
+    return (
+        "SELECT * FROM ("
+        + assortativity_oracle_sql(_DERIVED_AB_SQL)
+        + ") WHERE r_x1e6 IS NOT NULL"
+    )
+
+
+# kg_assortativity: identical BIGINT sums + the IDENTICAL fixed-order float
+# expression; NULL (zero-variance) rows filtered on both sides
+ORACLE_SQL["kg_assortativity"] = _assortativity_oracle()
 
 
 _ORACLE_SQL_FULL: dict | None = None

@@ -321,3 +321,78 @@ def test_cohort_retention_null_users_excluded(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
     out = cohort_retention(ev).collect()
     assert len(out) == 1 and out[0]["n_cohort"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Markov event transitions (event_transitions)
+
+_TR_DDL = ("event_id long, ts timestamp, user_id long, event_type string,"
+           " value double, props string")
+
+
+def _tr_rows():
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minute, user, etype):
+        return (eid, t0 + dt.timedelta(minutes=minute), user, etype,
+                1.0, "{}")
+
+    return [
+        # u1 timeline: A -> B -> A -> C
+        ev(1, 0, 1, "A"), ev(2, 1, 1, "B"), ev(3, 2, 1, "A"),
+        ev(4, 3, 1, "C"),
+        # u2: B and A at the SAME ts — event_id 5 (B) sorts before 6 (A),
+        # so the chain contributes B -> A, never A -> B
+        ev(5, 0, 2, "B"), ev(6, 0, 2, "A"),
+        # u3: single event, no transition
+        ev(7, 0, 3, "C"),
+    ]
+
+
+def test_event_transitions_hand_computed(spark):
+    from kgist_spark.operators.timeseries import event_transitions
+
+    df = spark.createDataFrame(_tr_rows(), _TR_DDL)
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["p_x1e6"])
+        for r in event_transitions(df).collect()
+    }
+    # from A: A->B 1, A->C 1 (each 1/2); from B: B->A 2 (2/2)
+    assert got == {
+        ("A", "B"): (1, 500_000),
+        ("A", "C"): (1, 500_000),
+        ("B", "A"): (2, 1_000_000),
+    }
+
+
+def test_event_transitions_same_ts_tiebreak_is_event_id(spark):
+    from kgist_spark.operators.timeseries import event_transitions
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # both events at the identical timestamp: the id order decides the
+    # chain direction deterministically
+    df = spark.createDataFrame(
+        [(10, t0, 1, "X", 1.0, "{}"), (11, t0, 1, "Y", 1.0, "{}")],
+        _TR_DDL,
+    )
+    got = [tuple(r) for r in event_transitions(df).collect()]
+    assert got == [("X", "Y", 1, 1_000_000)]
+
+
+def test_event_transitions_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from kgist_spark.operators.timeseries import (
+        event_transitions, event_transitions_oracle_sql)
+
+    df = spark.createDataFrame(_tr_rows(), _TR_DDL)
+    got = sorted(tuple(r) for r in event_transitions(df).collect())
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    want = sorted(map(tuple, con.sql(
+        event_transitions_oracle_sql()).fetchall()))
+    assert got == want
