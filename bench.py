@@ -109,6 +109,7 @@ def main():
         "event_transitions",
         "kg_neighbor_jaccard",
         "kg_assortativity",
+        "bloom_decontaminate",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

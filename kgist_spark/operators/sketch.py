@@ -325,3 +325,226 @@ def cms_oracle_sql(source_sql: str, value_col: str, d: int = CMS_D,
            e.n_cms - p.n_exact AS overcount
     FROM probes p JOIN est e USING ({value_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership sketch
+
+#: Bloom geometry: m = 2^18 bits packed into 32-bit words (8,192 BIGINT rows
+#: — a broadcast-trivial table whose size is FIXED regardless of how many
+#: values were inserted), k = 4 seeded hashes.  At n = 20k inserted values
+#: the false-positive rate is (1 - e^(-kn/m))^k ~ 3e-5.
+BLOOM_M = 1 << 18
+BLOOM_K = 4
+BLOOM_WORD = 32
+
+
+def _bloom_pos(value_col: str, r: int, m: int) -> str:
+    """Seeded bit position for hash ``r`` as a Spark SQL fragment — the
+    engine's one cross-engine hash (md5 → 60-bit int), seed-prefixed like
+    the CMS cells but under a distinct ``bloom`` namespace so the two
+    sketches never share cells.  A SQL string (not a Column) because the
+    variable-amount shifts downstream only exist in the SQL surface
+    (``F.shiftleft`` takes a literal int)."""
+    return (f"pmod(cast(conv(substring(md5(concat_ws(':', 'bloom{r}',"
+            f" cast({value_col} as string))), 1, 15), 16, 10) as bigint),"
+            f" {m})")
+
+
+def bloom_build(df: DataFrame, value_col: str, m: int = BLOOM_M,
+                k: int = BLOOM_K) -> DataFrame:
+    """Build a Bloom filter over ``value_col`` as a DataFrame of packed
+    words ``(word_idx, bits)``: each value sets ``k`` seeded bit
+    positions; words aggregate with ``bit_or`` — an order-free, map-side
+    partial, MERGEABLE reduction (two filters over disjoint slices OR
+    together into the filter of the union, which is what a streaming fold
+    or a per-partition pre-build would ship).  Only non-empty words are
+    materialized; probes read absent words as 0 through a left join.
+
+    100 TB shape: the output is ≤ m/32 rows NO MATTER how many values
+    were inserted — the shuffle is bounded by the sketch geometry.  The
+    k positions are built IN-ROW (a k-element array explode inside the
+    task), so the only movement is the grouped bit_or."""
+    cells = F.explode(F.array(*[
+        F.struct(
+            F.expr(f"{_bloom_pos(value_col, r, m)} div {BLOOM_WORD}")
+            .alias("word_idx"),
+            F.expr(f"shiftleft(cast(1 as bigint),"
+                   f" cast({_bloom_pos(value_col, r, m)} % {BLOOM_WORD}"
+                   f" as int))").alias("bit"),
+        )
+        for r in range(k)
+    ])).alias("wb")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(cells)
+        .select("wb.word_idx", "wb.bit")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bloom_maybe_contains(bloom: DataFrame, probes: DataFrame,
+                         value_col: str, m: int = BLOOM_M,
+                         k: int = BLOOM_K) -> DataFrame:
+    """Tag each probe row with ``maybe_hit`` — true iff ALL ``k`` of the
+    value's bits are set (the classic no-false-negative membership test).
+
+    The k tests run as k BROADCAST hash joins against the ≤ m/32-row word
+    table (one join per seed, each on its own ``word_idx`` key), so the
+    verdict lands IN-ROW: downstream aggregations keep their own shuffle
+    discipline — a per-document rollup still moves O(documents) rows,
+    exactly like the exact-set decontaminate path, but the build side
+    that must reach every executor is the FIXED 64 KiB sketch instead of
+    an unbounded benchmark gram table."""
+    out = probes
+    hit_cols = []
+    for r in range(k):
+        w = bloom.select(
+            F.col("word_idx").alias(f"_bw{r}"),
+            F.col("bits").alias(f"_bb{r}"),
+        )
+        out = (
+            out.withColumn(
+                f"_bw{r}",
+                F.expr(f"{_bloom_pos(value_col, r, m)} div {BLOOM_WORD}"),
+            )
+            .join(F.broadcast(w), f"_bw{r}", "left")
+            .withColumn(
+                f"_bh{r}",
+                F.expr(
+                    f"(coalesce(_bb{r}, cast(0 as bigint))"
+                    f" & shiftleft(cast(1 as bigint),"
+                    f" cast({_bloom_pos(value_col, r, m)} % {BLOOM_WORD}"
+                    f" as int))) != 0"
+                ),
+            )
+        )
+        hit_cols.append(f"_bh{r}")
+    maybe = hit_cols[0]
+    expr = F.col(maybe)
+    for c in hit_cols[1:]:
+        expr = expr & F.col(c)
+    return out.withColumn("maybe_hit", expr).drop(
+        *[f"_bw{r}" for r in range(k)],
+        *[f"_bb{r}" for r in range(k)],
+        *[f"_bh{r}" for r in range(k)],
+    )
+
+
+def bloom_ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                              n: int = 5, id_col: str = "doc_id",
+                              text_col: str = "text", m: int = BLOOM_M,
+                              k: int = BLOOM_K) -> DataFrame:
+    """Benchmark decontamination through the Bloom sketch: same distinct
+    word-``n``-gram semantics as :func:`~kgist_spark.operators.text.
+    ngram_decontaminate`, but the structure shipped to every executor is
+    the FIXED ≤ m/32-row word table instead of the benchmark's unbounded
+    distinct-gram set — the shape that still works when the "benchmark"
+    is itself web-scale (e.g. decontaminating against an earlier training
+    corpus, where the exact-set broadcast would be terabytes).  Output:
+    ``(doc_id, n_doc_grams, n_maybe_hits, flagged)`` — ``maybe`` because
+    Bloom admits (deterministic, oracle-replayed) false positives, never
+    false negatives.
+
+    Plan shape: k broadcast word-table joins tag each gram in-row, the
+    per-document rollup is the only shuffle and moves O(documents) rows
+    (same discipline as the exact path; grams dedupe inside the row via
+    array_distinct)."""
+    from kgist_spark.operators.dedup import fan_out_scan
+    from kgist_spark.operators.text import word_ngrams
+
+    grams = F.array_distinct(word_ngrams(text_col, n))
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    bloom = bloom_build(bench_grams, "gram", m=m, k=k)
+    cg = fan_out_scan(corpus.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode_outer(grams).alias("gram")
+    )
+    tagged = bloom_maybe_contains(bloom, cg, "gram", m=m, k=k)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_doc_grams"),
+            F.sum(
+                F.when(F.col("gram").isNotNull() & F.col("maybe_hit"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_maybe_hits"),
+        )
+        .select(
+            id_col, "n_doc_grams", "n_maybe_hits",
+            (F.col("n_maybe_hits") > 0).alias("flagged"),
+        )
+    )
+
+
+def _bloom_pos_sql(value_expr: str, r: int, m: int) -> str:
+    return (f"CAST(('0x' || substr(md5('bloom{r}' || ':' || "
+            f"CAST({value_expr} AS VARCHAR)), 1, 15)) AS BIGINT) % {m}")
+
+
+def bloom_decontaminate_oracle_sql(n: int = 5, m: int = BLOOM_M,
+                                   k: int = BLOOM_K,
+                                   table: str = "documents",
+                                   bench_source: str = "src0") -> str:
+    """DuckDB replay of :func:`bloom_ngram_decontaminate` — identical
+    seeded bit positions, 32-bit word packing, bit_or words, all-k-bits
+    test (false positives and all), per-document distinct grams, and
+    gram-less documents restored with zero counts (the exact-path
+    oracle's structure)."""
+    word = BLOOM_WORD
+    build_unions = "\n            UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('gram', r, m)} // {word} AS word_idx,"
+        f" (CAST(1 AS BIGINT) << ({_bloom_pos_sql('gram', r, m)} % {word}))"
+        f" AS bit FROM bgrams"
+        for r in range(k)
+    )
+    hit_tests = " AND ".join(
+        f"(COALESCE(w{r}.bits, 0)"
+        f" & (CAST(1 AS BIGINT) << ({_bloom_pos_sql('cg.gram', r, m)}"
+        f" % {word}))) != 0"
+        for r in range(k)
+    )
+    hit_joins = "\n        ".join(
+        f"LEFT JOIN words w{r} ON w{r}.word_idx ="
+        f" {_bloom_pos_sql('cg.gram', r, m)} // {word}"
+        for r in range(k)
+    )
+    return rf"""
+    WITH d AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM {table}
+    ),
+    g AS (
+        SELECT doc_id, source,
+               array_to_string(toks[i : i + {n - 1}], ' ') AS gram
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - {n - 1}))
+                         AS i)
+    ),
+    bgrams AS (SELECT DISTINCT gram FROM g WHERE source = '{bench_source}'),
+    corpus AS (
+        SELECT doc_id, gram FROM g WHERE source <> '{bench_source}'
+        GROUP BY doc_id, gram
+    ),
+    words AS (
+        SELECT word_idx, CAST(bit_or(bit) AS BIGINT) AS bits FROM (
+            {build_unions}
+        ) GROUP BY word_idx
+    ),
+    tagged AS (
+        SELECT cg.doc_id,
+               CASE WHEN {hit_tests} THEN 1 ELSE 0 END AS maybe
+        FROM corpus cg
+        {hit_joins}
+    ),
+    stats AS (
+        SELECT doc_id, COUNT(*) AS n_doc_grams, SUM(maybe) AS n_maybe
+        FROM tagged GROUP BY doc_id
+    )
+    SELECT d0.doc_id,
+           CAST(COALESCE(s.n_doc_grams, 0) AS BIGINT) AS n_doc_grams,
+           CAST(COALESCE(s.n_maybe, 0) AS BIGINT) AS n_maybe_hits,
+           COALESCE(s.n_maybe, 0) > 0 AS flagged
+    FROM (SELECT doc_id FROM {table} WHERE source <> '{bench_source}') d0
+    LEFT JOIN stats s USING (doc_id)
+    """

@@ -1301,6 +1301,23 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), per_doc_k=3)
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Benchmark decontamination through a Bloom membership sketch: same
+    distinct-5-gram semantics as `decontaminate`, but the executor-resident
+    structure is the FIXED 8,192-word bitmap instead of the benchmark's
+    unbounded gram set — the shape that survives a web-scale benchmark
+    side.  Deterministic false positives replay in the oracle bit-for-bit
+    (`n_maybe_hits` >= the exact path's `n_hits`, never under)."""
+    from kgist_spark.operators.sketch import bloom_ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_ngram_decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=5,
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event streams:
     consecutive-pair counts (``(ts, event_id)`` ordering, so same-ts ties
@@ -1424,6 +1441,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     "kg_assortativity": q_kg_assortativity,
+    "bloom_decontaminate": q_bloom_decontaminate,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3094,6 +3112,17 @@ ORACLE_SQL["curate_summary"] = _curate_oracle(
               COUNT(*) AS n_docs
        FROM final GROUP BY 1"""
 )
+
+
+def _bloom_decontaminate_oracle() -> str:
+    from kgist_spark.operators.sketch import bloom_decontaminate_oracle_sql
+
+    return bloom_decontaminate_oracle_sql(n=5)
+
+
+# bloom_decontaminate: identical seeded bit positions, word packing and
+# all-k-bits test — the replay pins the sketch itself, false positives and all
+ORACLE_SQL["bloom_decontaminate"] = _bloom_decontaminate_oracle()
 
 
 def _event_transitions_oracle() -> str:

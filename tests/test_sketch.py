@@ -80,3 +80,92 @@ def test_hll_estimate_is_single_projection(spark):
     plan = (hll_distinct(df.withColumn("g", F.lit(1)), ["g"], "v")
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Scan ExistingRDD") <= 2  # input + 1024-row lc table
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (bloom_build / bloom_maybe_contains / bloom_ngram_decontaminate)
+
+
+def test_bloom_no_false_negatives(spark):
+    from kgist_spark.operators.sketch import bloom_build, bloom_maybe_contains
+
+    vals = [(f"val{i}",) for i in range(500)]
+    df = spark.createDataFrame(vals, "v string")
+    bloom = bloom_build(df, "v")
+    got = bloom_maybe_contains(bloom, df, "v").where(~F.col("maybe_hit"))
+    assert got.count() == 0  # every inserted value MUST test positive
+
+
+def test_bloom_absent_values_not_flagged(spark):
+    # at n=500 / m=2^18 / k=4 the FP rate is ~1e-11 per probe; these fixed
+    # probes are deterministic, so this pins both the math and the seeds
+    from kgist_spark.operators.sketch import bloom_build, bloom_maybe_contains
+
+    ins = spark.createDataFrame([(f"val{i}",) for i in range(500)], "v string")
+    probes = spark.createDataFrame(
+        [(f"absent{i}",) for i in range(200)], "v string")
+    bloom = bloom_build(ins, "v")
+    hits = bloom_maybe_contains(bloom, probes, "v").where("maybe_hit")
+    assert hits.count() == 0
+
+
+def test_bloom_merge_is_word_or(spark):
+    # filter(A ∪ B) == OR-merge of filter(A) and filter(B): the property the
+    # streaming fold and per-partition pre-builds rely on
+    from kgist_spark.operators.sketch import bloom_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "v string")
+    whole = {(r["word_idx"], r["bits"])
+             for r in bloom_build(a.unionAll(b), "v").collect()}
+    merged = {
+        (r["word_idx"], r["bits"])
+        for r in (
+            bloom_build(a, "v").unionAll(bloom_build(b, "v"))
+            .groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+        ).collect()
+    }
+    assert whole == merged
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    # bloom flags ⊇ exact flags (never a false negative), counts bound below
+    from kgist_spark.operators.sketch import bloom_ngram_decontaminate
+    from kgist_spark.operators.text import ngram_decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, bench_text, "corpus"),                      # fully contaminated
+        (2, "one two three four five six seven", "corpus"),  # clean
+        (3, "alpha beta gamma delta epsilon nine ten", "corpus"),  # 1 gram
+        (4, "short", "corpus"),                         # gram-less
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame([(9, bench_text, "bench")],
+                                  "doc_id long, text string, source string")
+    exact = {r["doc_id"]: r for r in
+             ngram_decontaminate(docs, bench, n=5).collect()}
+    fuzzy = {r["doc_id"]: r for r in
+             bloom_ngram_decontaminate(docs, bench, n=5).collect()}
+    assert set(exact) == set(fuzzy) == {1, 2, 3, 4}
+    for d in exact:
+        assert fuzzy[d]["n_doc_grams"] == exact[d]["n_doc_grams"]
+        assert fuzzy[d]["n_maybe_hits"] >= exact[d]["n_hits"]
+        if exact[d]["contaminated"]:
+            assert fuzzy[d]["flagged"]
+    # and at this tiny scale the FP rate is ~0, so they agree exactly
+    assert {d: fuzzy[d]["flagged"] for d in fuzzy} == \
+        {d: exact[d]["contaminated"] for d in exact}
+
+
+def test_bloom_probe_build_side_is_broadcast(spark):
+    # the word table must reach the probe side as a broadcast — never a
+    # shuffled join (the operator's entire 100-TB story)
+    from kgist_spark.operators.sketch import bloom_build, bloom_maybe_contains
+
+    ins = spark.createDataFrame([(f"x{i}",) for i in range(100)], "v string")
+    probes = spark.createDataFrame([(f"y{i}",) for i in range(100)], "v string")
+    plan = (bloom_maybe_contains(bloom_build(ins, "v"), probes, "v")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
