@@ -110,6 +110,7 @@ def main():
         "kg_neighbor_jaccard",
         "kg_assortativity",
         "bloom_decontaminate",
+        "part_truss",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

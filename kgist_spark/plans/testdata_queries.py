@@ -1301,6 +1301,27 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), per_doc_k=3)
 
 
+#: k-truss query params — its OWN co-occurrence cap (16, tighter than the
+#: census's 32: truss rounds pay the wedge pass per round), k=5 (edges must
+#: sit in >= 3 triangles), 2 fixed peel rounds (round-for-round oracle)
+_TRUSS_CAP, _TRUSS_K, _TRUSS_ROUNDS = 16, 5, 2
+
+
+def q_part_truss(spark, sf_dir):
+    """k-truss peel of the part co-occurrence graph: EXACTLY
+    ``_TRUSS_ROUNDS`` synchronous support-recompute-and-filter rounds —
+    the EDGE-level density filter k-core can't give (bridge edges with
+    high-degree endpoints survive the core but carry no triangles);
+    keeps the cliquish catalog fabric, sheds attachment noise."""
+    from kgist_spark.operators.graph import cooccur_edges, ktruss_rounds
+
+    edges = cooccur_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        max_group=_TRUSS_CAP,
+    )
+    return ktruss_rounds(edges, k=_TRUSS_K, rounds=_TRUSS_ROUNDS)
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Benchmark decontamination through a Bloom membership sketch: same
     distinct-5-gram semantics as `decontaminate`, but the executor-resident
@@ -1442,6 +1463,7 @@ QUERIES = {
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     "kg_assortativity": q_kg_assortativity,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "part_truss": q_part_truss,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3112,6 +3134,31 @@ ORACLE_SQL["curate_summary"] = _curate_oracle(
               COUNT(*) AS n_docs
        FROM final GROUP BY 1"""
 )
+
+
+def _truss_cooccur_sql(cap: int) -> str:
+    """Capped part co-occurrence edges as a plain subquery (the
+    part_triangles `ed` CTE inlined — the truss oracle materializes it
+    once as its e0)."""
+    items = "SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem"
+    keep = (f"SELECT it, i.g FROM ({items}) i JOIN "
+            f"(SELECT g, COUNT(*) AS n FROM ({items}) GROUP BY g) s "
+            f"ON i.g = s.g WHERE s.n >= 2 AND s.n <= {cap}")
+    return (f"SELECT DISTINCT x.it AS a, y.it AS b FROM ({keep}) x "
+            f"JOIN ({keep}) y ON x.g = y.g AND x.it < y.it")
+
+
+def _part_truss_oracle() -> str:
+    from kgist_spark.operators.graph import ktruss_oracle_sql
+
+    return ktruss_oracle_sql(
+        _truss_cooccur_sql(_TRUSS_CAP), k=_TRUSS_K, rounds=_TRUSS_ROUNDS
+    )
+
+
+# part_truss: same capped co-occurrence edges, same fixed peel rounds —
+# naive triangle enumeration per round, 3-edge fan-out, grouped count
+ORACLE_SQL["part_truss"] = _part_truss_oracle()
 
 
 def _bloom_decontaminate_oracle() -> str:

@@ -765,3 +765,89 @@ def test_assortativity_matches_python_replay(spark):
     num, den = sjk / m - mu * mu, ssq / (2 * m) - mu * mu
     want = round(num / den * 1_000_000) if den > 0 else None
     assert _assort_spark(spark, edges) == (m, sjk, ssum, ssq, want)
+
+
+# ---------------------------------------------------------------- k-truss
+
+
+def _py_ktruss(edges, k, rounds):
+    """Independent driver-side replay of the synchronous truss peel."""
+    cur = set()
+    for a, b in edges:
+        if a != b:
+            cur.add((min(a, b), max(a, b)))
+    sup = {}
+    for _ in range(rounds):
+        sup = {e: 0 for e in cur}
+        for a, b in cur:
+            for c in {x for e in cur for x in e}:
+                if c in (a, b):
+                    continue
+                if (min(a, c), max(a, c)) in cur and (min(b, c), max(b, c)) in cur:
+                    sup[(a, b)] += 1
+        cur = {e for e, s in sup.items() if s >= k - 2}
+    return {e: s for e, s in sup.items() if s >= k - 2}
+
+
+def _ktruss_spark(spark, edges, k, rounds, **kw):
+    from kgist_spark.operators.graph import ktruss_rounds
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    out = ktruss_rounds(df, k=k, rounds=rounds, **kw)
+    return {(r["a"], r["b"]): r["support"] for r in out.collect()}
+
+
+def test_ktruss_clique_with_bridge(spark):
+    # K4 a-b-c-d (every edge in 2 triangles = 4-truss) plus a bridge d-e:
+    # the bridge has support 0 and peels in round 1; the clique survives
+    # k=4 but not k=5 — the EDGE-density filter a degree peel can't give
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    got = _ktruss_spark(spark, k4 + [("d", "e")], k=4, rounds=2)
+    assert got == {(min(a, b), max(a, b)): 2 for a, b in k4}
+    assert _ktruss_spark(spark, k4 + [("d", "e")], k=5, rounds=1) == {}
+
+
+def test_ktruss_cascade_needs_rounds(spark):
+    # two triangles sharing edge (b,c), plus a third hanging off (c,d):
+    # at k=4, round 1 kills the outer edges (support 1), round 2 then
+    # kills the shared edges whose support they propped up — pinning the
+    # synchronous round-for-round semantics the oracle replays
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+             ("c", "e"), ("d", "e")]
+    r1 = _ktruss_spark(spark, edges, k=4, rounds=1)
+    r2 = _ktruss_spark(spark, edges, k=4, rounds=2)
+    assert set(r1) == {("b", "c"), ("c", "d")}
+    assert r2 == {}
+
+
+def test_ktruss_matches_python_replay(spark):
+    rng = random.Random(17)
+    edges = [(f"n{rng.randrange(18)}", f"n{rng.randrange(18)}")
+             for _ in range(90)]
+    for k, rounds in ((3, 2), (4, 3), (5, 2)):
+        assert _ktruss_spark(spark, edges, k=k, rounds=rounds) == _py_ktruss(
+            edges, k, rounds
+        )
+
+
+def test_ktruss_fixpoint_stable(spark):
+    # once the peel stabilizes, extra rounds change nothing, and every
+    # surviving edge meets the support bound (k-truss property)
+    rng = random.Random(19)
+    edges = [(f"n{rng.randrange(14)}", f"n{rng.randrange(14)}")
+             for _ in range(70)]
+    a = _ktruss_spark(spark, edges, k=4, rounds=6)
+    b = _ktruss_spark(spark, edges, k=4, rounds=7)
+    assert a == b
+    assert all(s >= 2 for s in a.values())
+
+
+def test_ktruss_broadcast_and_shuffle_paths_identical(spark):
+    rng = random.Random(23)
+    edges = [(f"n{rng.randrange(15)}", f"n{rng.randrange(15)}")
+             for _ in range(60)]
+    bcast = _ktruss_spark(spark, edges, k=3, rounds=3)
+    shuffled = _ktruss_spark(spark, edges, k=3, rounds=3,
+                             broadcast_max_edges=0)
+    assert bcast == shuffled
