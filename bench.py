@@ -111,6 +111,8 @@ def main():
         "kg_assortativity",
         "bloom_decontaminate",
         "part_truss",
+        "dup_spans",
+        "priority_sample",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -514,3 +514,85 @@ def dup_ngram_stats(docs: DataFrame, id_col: str = "doc_id",
             .alias("dup_frac_x1e6"),
         )
     )
+
+
+def dup_spans(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", n: int = 5,
+              min_docs: int = 2) -> DataFrame:
+    """Maximal duplicated-substring spans — the CUT LIST of Lee et al.
+    (ACL 2022) ExactSubstr deduplication, the step :func:`dup_ngram_stats`
+    stops short of: not "how duplicated is this document" but WHERE the
+    duplicated substrings sit, so a curation pass can excise the spans and
+    keep the unique remainder (the paper's finding: cutting substrings
+    beats dropping whole documents).
+
+    A window = ``n`` consecutive whitespace tokens; a window is duplicated
+    when its gram occurs in at least ``min_docs`` DISTINCT documents (the
+    cross-document semantics of :func:`dup_ngram_stats` — in-document
+    repetition alone never marks a span).  Overlapping or token-adjacent
+    duplicated windows (consecutive start positions ``<= n`` apart) merge
+    into one maximal span.  Output: one row per span,
+    ``(id_col, span_start, span_end, n_windows)`` with 1-based inclusive
+    token positions — every column integer, so the row is hash-comparable
+    without float risk.
+
+    100 TB shape: windows are built IN-ROW (one ``transform`` over a token
+    index sequence, md5 keys so the gram shuffle moves 32-byte keys); the
+    duplicated-gram set comes from the same distinct-(gram, doc) collapse +
+    grouped count as `dup_ngram_stats` (map-side partials) and reaches the
+    position table through an AQE-sized inner join (never forced broadcast
+    — the gram table is corpus-scale); span merging is ONE window pass
+    partitioned by document (state bounded by a document's own window
+    count, never corpus size).  Suffix arrays find arbitrary-length
+    matches; the fixed-n window trades that generality for an all-JVM
+    three-shuffle plan — the standard scale approximation.
+    """
+    from pyspark.sql.window import Window
+
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = (
+        fan_out_scan(docs)
+        .select(F.col(id_col), F.posexplode(grams).alias("p0", "g"))
+        # posexplode is 0-based; spans report the 1-based slice positions
+        .select(id_col, (F.col("p0") + 1).cast("long").alias("p"), "g")
+    )
+    dup_grams = (
+        pos.select("g", id_col).distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup = pos.join(dup_grams, "g").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    isl = (
+        dup
+        # first window of a doc has NULL lag -> NOT <= n -> opens island 1
+        .withColumn(
+            "brk",
+            F.when(F.col("p") - F.lag("p").over(w) <= n, F.lit(0))
+            .otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + (n - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

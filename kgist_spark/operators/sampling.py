@@ -188,3 +188,80 @@ def distribution_report(df: DataFrame, strata_col: str, value_col: str,
         for p in percentiles
     ]
     return vals.groupBy("stratum").agg(F.max("n_rows").alias("n_rows"), *aggs)
+
+
+#: priority randomizer resolution: u is a 40-bit integer in [1, 2^40], so
+#: priority = weight * 2^40 DIV u sits in WEIGHT units (>= weight, <= 2^40 *
+#: weight) and stays inside int64 for weights up to 2^23 (~8.4M — char/token
+#: counts, not byte totals)
+_PRI_SCALE = 1 << 40
+
+
+def priority_sample(df: DataFrame, k: int, weight_col: str,
+                    key_col: str, salt: str = "") -> DataFrame:
+    """Deterministic PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007)
+    — the weighted fixed-k sample behind "pick k documents proportional to
+    length, but keep subset-sum estimates unbiased": each row draws
+    ``u in [1, 2^40]`` deterministically (md5 of ``(salt, key)``), gets
+    priority ``q = weight * 2^40 DIV u`` (q >= weight, in weight units),
+    and the sample is the k LARGEST q with threshold ``tau`` = the
+    (k+1)-th.  Each sampled row carries the Horvitz–Thompson contribution
+    ``est_weight = greatest(weight, tau)``: summing it over any subset of
+    the sample estimates that subset's true total weight, unbiased up to
+    the one-unit truncation of the integer division (the float scheme's
+    exact property; the truncation error is < 1 weight unit per row).
+    With ``<= k`` input rows there is no threshold and ``est_weight =
+    weight`` exactly (the scheme's exhaustive case).
+
+    Output: ``(key_col, weight, priority, est_weight)`` — every column a
+    BIGINT, ties in ``q`` broken by ``key_col``, so the sampled SET,
+    ``tau``, and every estimate replay bit-for-bit in any engine with md5.
+
+    Scale shape: priorities are one codegen projection; the global
+    top-(k+1) is a TakeOrderedAndProject (per-partition partial top-k,
+    O(k) rows to the final reduce — no full sort, no corpus-wide window);
+    ``tau`` re-attaches through a broadcast of a 1-row table.  Weights
+    must be positive and < 2^23; rows violating that are the caller's
+    contract (the int64 bound above).
+    """
+    from pyspark.sql.window import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1, 10,
+            ),
+            16, 10,
+        ).cast("long")
+        + 1
+    )
+    pri = df.select(
+        F.col(key_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        u.alias("u"),
+    ).select(
+        key_col,
+        "weight",
+        F.expr(f"weight * {_PRI_SCALE} DIV u").alias("priority"),
+    )
+    top = pri.orderBy(F.desc("priority"), F.col(key_col)).limit(k + 1)
+    # rank within the k+1 survivors (tiny: bounded by k+1 rows)
+    w = Window.orderBy(F.desc("priority"), F.col(key_col))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    # 0 rows (input <= k) -> max() yields one NULL row; coalesce -> weight
+    tau = ranked.where(F.col("rn") == k + 1).groupBy().agg(
+        F.max("priority").alias("tau")
+    )
+    return (
+        ranked.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            key_col,
+            "weight",
+            "priority",
+            F.greatest("weight", F.coalesce("tau", F.lit(0)))
+            .cast("long")
+            .alias("est_weight"),
+        )
+    )

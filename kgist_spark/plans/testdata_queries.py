@@ -1322,6 +1322,34 @@ def q_part_truss(spark, sf_dir):
     return ktruss_rounds(edges, k=_TRUSS_K, rounds=_TRUSS_ROUNDS)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Maximal duplicated-substring spans — the Lee et al. 2022 ExactSubstr
+    CUT LIST `dup_ngrams` stops short of: WHERE the cross-document
+    duplicated substrings sit (1-based inclusive token positions), so a
+    curation pass can excise spans instead of dropping documents."""
+    from kgist_spark.operators.dedup import dup_spans
+
+    return dup_spans(_t(spark, sf_dir, "documents"), n=5, min_docs=2)
+
+
+#: priority-sample size (k largest priorities; the (k+1)-th is the
+#: Horvitz-Thompson threshold)
+_PSAMPLE_K = 200
+
+
+def q_priority_sample(spark, sf_dir):
+    """Deterministic priority sampling (Duffield-Lund-Thorup): k documents
+    weighted by n_chars with bit-replayable integer priorities and
+    unbiased subset-sum `est_weight` contributions."""
+    from kgist_spark.operators.sampling import priority_sample
+
+    return priority_sample(
+        _t(spark, sf_dir, "documents"), k=_PSAMPLE_K,
+        weight_col="n_chars", key_col="doc_id",
+    )
+
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Benchmark decontamination through a Bloom membership sketch: same
     distinct-5-gram semantics as `decontaminate`, but the executor-resident
@@ -1464,6 +1492,8 @@ QUERIES = {
     "kg_assortativity": q_kg_assortativity,
     "bloom_decontaminate": q_bloom_decontaminate,
     "part_truss": q_part_truss,
+    "dup_spans": q_dup_spans,
+    "priority_sample": q_priority_sample,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3159,6 +3189,69 @@ def _part_truss_oracle() -> str:
 # part_truss: same capped co-occurrence edges, same fixed peel rounds —
 # naive triangle enumeration per round, 3-edge fan-out, grouped count
 ORACLE_SQL["part_truss"] = _part_truss_oracle()
+
+
+# dup_spans: identical in-row 5-gram windows and cross-document
+# distinct-doc gate as dup_ngrams, then the gaps-and-islands merge —
+# lag/case/running-sum replayed column-for-column (NULL lag opens island 1
+# in both engines)
+ORACLE_SQL["dup_spans"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p,
+               md5(array_to_string(t[i:i+4], ' ')) AS g
+        FROM toks, LATERAL unnest(range(1, len(t) - 3)) s(i)
+        WHERE len(t) >= 5
+    ),
+    dupg AS (
+        SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+        GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    dup AS (SELECT doc_id, p FROM grams JOIN dupg USING (g)),
+    brk AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         <= 5
+                    THEN 0 ELSE 1 END AS b
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM brk
+    )
+    SELECT doc_id, MIN(p) AS span_start,
+           CAST(MAX(p) + 4 AS BIGINT) AS span_end,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_id, island
+"""
+
+# priority_sample: same 40-bit md5 randomizer, truncating integer
+# priority, total (priority DESC, doc_id) order, (k+1)-th threshold and
+# greatest(weight, tau) estimate — the whole scheme replays bit-for-bit
+ORACLE_SQL["priority_sample"] = f"""
+    WITH pri AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST(n_chars AS BIGINT) * {1 << 40}
+                 // (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)
+                          AS BIGINT) + 1) AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, weight, priority,
+               row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        FROM pri
+    ),
+    tau AS (
+        SELECT MAX(priority) AS tau FROM ranked WHERE rn = {_PSAMPLE_K + 1}
+    )
+    SELECT doc_id, weight, priority,
+           CAST(greatest(weight, COALESCE(tau, 0)) AS BIGINT) AS est_weight
+    FROM ranked CROSS JOIN tau WHERE rn <= {_PSAMPLE_K}
+"""
 
 
 def _bloom_decontaminate_oracle() -> str:

@@ -191,3 +191,72 @@ def test_distribution_report_ignores_nulls(spark):
         "(NULL), (10)) t(v)"
     ).fetchone()[0]
     assert got["p50"] == duck
+
+
+# ------------------------------------------------------- priority sampling
+
+
+def _py_priority(keys_weights, salt=""):
+    """Independent replay of the integer priority scheme."""
+    out = {}
+    for key, w in keys_weights:
+        u = int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:10],
+                16) + 1
+        out[key] = (w, w * (1 << 40) // u)
+    return out
+
+
+def _psample(spark, rows, k, salt=""):
+    from kgist_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = priority_sample(df, k=k, weight_col="n_chars",
+                          key_col="doc_id", salt=salt)
+    return {r["doc_id"]: (r["weight"], r["priority"], r["est_weight"])
+            for r in out.collect()}
+
+
+def test_priority_sample_exhaustive_case(spark):
+    # <= k input rows: everything kept, no threshold, est == weight exactly
+    rows = [(1, 10), (2, 700), (3, 3)]
+    got = _psample(spark, rows, k=5)
+    pri = _py_priority(rows)
+    assert set(got) == {1, 2, 3}
+    for key, (w, p, est) in got.items():
+        assert (w, p) == pri[key]
+        assert est == w
+
+
+def test_priority_sample_matches_python_replay(spark):
+    rows = [(i, (i * 37) % 900 + 1) for i in range(200)]
+    k = 25
+    pri = _py_priority(rows)
+    order = sorted(pri, key=lambda d: (-pri[d][1], d))
+    tau = pri[order[k]][1]
+    want = {d: (pri[d][0], pri[d][1], max(pri[d][0], tau))
+            for d in order[:k]}
+    assert _psample(spark, rows, k=k) == want
+
+
+def test_priority_sample_estimator_tracks_totals(spark):
+    # Horvitz-Thompson property (statistical, so averaged over salts):
+    # the mean over independent draws of sum(est_weight) approaches the
+    # true total weight; a wide tolerance keeps this a smoke property,
+    # the bit-level scheme itself is pinned by the replay test above
+    rows = [(i, (i * 13) % 500 + 1) for i in range(300)]
+    total = sum(w for _, w in rows)
+    ests = []
+    for salt in ("a", "b", "c", "d", "e", "f", "g", "h"):
+        got = _psample(spark, rows, k=60, salt=salt)
+        ests.append(sum(e for _, _, e in got.values()))
+    mean = sum(ests) / len(ests)
+    assert abs(mean - total) / total < 0.25
+    # and every contribution is at least the row's own weight
+    assert all(e >= w for w, _, e in got.values())
+
+
+def test_priority_sample_weight_monotone(spark):
+    # same key hash, larger weight -> never a smaller priority
+    a = _py_priority([(7, 100)])[7][1]
+    b = _py_priority([(7, 5000)])[7][1]
+    assert b >= a

@@ -95,3 +95,88 @@ def test_q8_py_matches_sql_round_semantics(spark):
     assert list(got) == [_q8_py(x) for x in vals]
     assert _q8_py(0.0234375) == 2 and _q8_py(-0.0234375) == -2  # away from 0
     assert _q8_py(3.0) == 127 and _q8_py(-3.0) == -127          # clamped
+
+
+# ------------------------------------------------- duplicated-span cut list
+
+
+def _spans(spark, rows, n=5, min_docs=2):
+    from kgist_spark.operators.dedup import dup_spans
+
+    return {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_windows"])
+        for r in dup_spans(_docs(spark, rows), n=n, min_docs=min_docs).collect()
+    }
+
+
+def test_dup_spans_shared_phrase_positions(spark):
+    shared = "one two three four five six"   # 2 overlapping 5-windows
+    rows = [
+        ("a", "lead " + shared + " tail"),   # windows 2,3 duplicated
+        ("b", shared),                        # windows 1,2 duplicated
+        ("c", "totally different words here now"),
+    ]
+    got = _spans(spark, rows)
+    # overlapping duplicated windows merge into ONE maximal span each
+    assert got == {
+        ("a", 2): (7, 2),   # tokens 2..7 = the shared phrase, 2 windows
+        ("b", 1): (6, 2),
+    }
+
+
+def test_dup_spans_internal_repetition_not_marked(spark):
+    # a doc repeating ITS OWN 5-gram never yields a span (cross-document
+    # distinct-doc gate, same semantics as dup_ngram_stats)
+    rows = [("a", "x y z w v x y z w v")]
+    assert _spans(spark, rows) == {}
+
+
+def test_dup_spans_two_islands_in_one_doc(spark):
+    p1, p2 = "aa bb cc dd ee", "vv ww xx yy zz"
+    rows = [
+        ("a", p1 + " filler1 filler2 filler3 filler4 filler5 filler6 " + p2),
+        ("b", p1), ("c", p2),
+    ]
+    got = _spans(spark, rows)
+    # doc a: window 1 (p1) and window 12 (p2) are 11 apart > n -> 2 spans
+    assert got[("a", 1)] == (5, 1)
+    assert got[("a", 12)] == (16, 1)
+    assert got[("b", 1)] == (5, 1) and got[("c", 1)] == (5, 1)
+
+
+def test_dup_spans_matches_python_replay(spark):
+    import hashlib
+    import random
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(f"d{i}", " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 30))))
+            for i in range(40)]
+    n = 5
+    # python replay: windows, cross-doc gate, island merge
+    win = {}   # (doc, p) -> gram
+    for d, t in rows:
+        toks = t.split()
+        for p in range(1, len(toks) - n + 2):
+            win[(d, p)] = hashlib.md5(
+                " ".join(toks[p - 1:p - 1 + n]).encode()).hexdigest()
+    docs_per_gram = {}
+    for (d, _), g in win.items():
+        docs_per_gram.setdefault(g, set()).add(d)
+    want = {}
+    by_doc = {}
+    for (d, p), g in sorted(win.items()):
+        if len(docs_per_gram[g]) >= 2:
+            by_doc.setdefault(d, []).append(p)
+    for d, ps in by_doc.items():
+        start = prev = ps[0]
+        cnt = 1
+        for p in ps[1:]:
+            if p - prev <= n:
+                prev, cnt = p, cnt + 1
+            else:
+                want[(d, start)] = (prev + n - 1, cnt)
+                start = prev = p
+                cnt = 1
+        want[(d, start)] = (prev + n - 1, cnt)
+    assert _spans(spark, rows, n=n) == want
