@@ -113,6 +113,7 @@ def main():
         "part_truss",
         "dup_spans",
         "priority_sample",
+        "kg_walks",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

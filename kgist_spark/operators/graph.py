@@ -1658,3 +1658,112 @@ def ktruss_oracle_sql(edges_sql: str, k: int = 5, rounds: int = 3) -> str:
     return (f"    WITH {', '.join(parts)}\n"
             f"    SELECT a, b, support FROM sup{rounds}"
             f" WHERE support >= {min_sup}")
+
+
+def random_walks(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 walk_len: int = 3, max_degree: int = 16,
+                 salt: str = "walk",
+                 broadcast_max_nodes: int = 2_000_000) -> DataFrame:
+    """Deterministic random-walk corpus generation (DeepWalk, Perozzi et
+    al. KDD 2014) — the KG -> embedding-training-data bridge: one walk per
+    out-node, each step choosing the next hop by a seeded md5 draw, so the
+    emitted corpus is BIT-REPLAYABLE in any engine with md5 (no RNG state,
+    no order sensitivity — the draw depends only on ``(salt, start,
+    step)``).  Output: ``(start, step, node)`` rows for steps
+    ``0..walk_len`` (step 0 = the start itself); a walk reaching a node
+    with no out-neighbors simply stops (no padding rows).
+
+    Neighbor lists are capped at ``max_degree`` BY SEMANTICS in seeded md5
+    order (hub adjacency is where walk corpora blow up; the md5 order is an
+    unbiased fixed sample of each hub's neighbors, and the DuckDB oracle
+    applies the identical cap) — the same semantic-cap discipline as
+    `neighbor_jaccard`'s junction bound.
+
+    Scale shape: adjacency is built ONCE (one grouped shuffle; arrays
+    bounded at ``max_degree`` elements so a 10^8-degree hub stores 16
+    neighbors, not 10^8), pinned with a localCheckpoint, and size-gate
+    broadcast into every step join when the node count allows; each of the
+    ``walk_len`` steps is one join of the (<= |out-nodes|-row) frontier
+    against it — no corpus-scale window, no Python.  At 10^12 edges the
+    frontier join shuffles on ``cur`` when the gate declines the
+    broadcast; walk count scales by seeding MORE walks per node (vary
+    ``salt``), each run an independent replayable corpus.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
+        .where(F.col("s") != F.col("d")).distinct()
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col("s"), F.col("d")))
+    adj = (
+        e.groupBy("s")
+        .agg(F.array_sort(
+            F.collect_list(F.struct(h.alias("h"), F.col("d").alias("d")))
+        ).alias("sorted"))
+        .select(
+            F.col("s").alias("asrc"),
+            F.transform(
+                F.slice("sorted", 1, max_degree), lambda x: x["d"]
+            ).alias("nbrs"),
+        )
+        .localCheckpoint()
+    )
+    adj_join = F.broadcast(adj) if adj.count() <= broadcast_max_nodes else adj
+    frontier = adj.select(F.col("asrc").alias("start"),
+                          F.col("asrc").alias("cur"))
+    out = frontier.select(
+        "start", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node"),
+    )
+    for t in range(1, walk_len + 1):
+        draw = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit(salt), F.col("start"),
+                                  F.lit(str(t)))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        frontier = (
+            frontier.join(adj_join, frontier["cur"] == adj_join["asrc"])
+            .select(
+                "start",
+                F.element_at(
+                    "nbrs",
+                    ((draw % F.size("nbrs")) + 1).cast("int"),
+                ).alias("cur"),
+            )
+        )
+        out = out.unionAll(frontier.select(
+            "start", F.lit(t).cast("long").alias("step"),
+            F.col("cur").alias("node"),
+        ))
+    return out
+
+
+def random_walks_oracle_sql(edges_sql: str, walk_len: int = 3,
+                            max_degree: int = 16,
+                            salt: str = "walk") -> str:
+    """DuckDB replay of :func:`random_walks`: identical md5-ordered capped
+    adjacency lists, identical seeded per-step draw (first 8 md5 hex
+    digits mod degree), steps chained as materialized CTEs."""
+    parts = [f"""e AS MATERIALIZED (
+        SELECT DISTINCT src AS s, dst AS d FROM ({edges_sql}) WHERE src != dst
+    )""", f"""adj AS MATERIALIZED (
+        SELECT s AS asrc,
+               (list(d ORDER BY md5(concat('{salt}', '|', s, '|', d)), d))
+                   [1:{max_degree}] AS nbrs
+        FROM e GROUP BY s
+    )""", "w0 AS (SELECT asrc AS start, asrc AS cur FROM adj)"]
+    selects = ["SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM w0"]
+    for t in range(1, walk_len + 1):
+        p = t - 1
+        parts.append(f"""w{t} AS MATERIALIZED (
+        SELECT w.start,
+               a.nbrs[1 + CAST(CAST('0x' ||
+                   substr(md5(concat('{salt}', '#', w.start, '#', '{t}')),
+                          1, 8) AS BIGINT) % len(a.nbrs) AS INT)] AS cur
+        FROM w{p} w JOIN adj a ON a.asrc = w.cur
+    )""")
+        selects.append(
+            f"SELECT start, CAST({t} AS BIGINT) AS step, cur AS node FROM w{t}"
+        )
+    return (f"    WITH {', '.join(parts)}\n    "
+            + "\n    UNION ALL ".join(selects))

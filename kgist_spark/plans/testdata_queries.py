@@ -1350,6 +1350,24 @@ def q_priority_sample(spark, sf_dir):
 
 
 
+#: random-walk params shared by the Spark query and the SQL oracle
+_WALK_LEN, _WALK_DEG = 3, 16
+
+
+def q_kg_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style random-walk corpus over the directed
+    derived KG: one walk per out-node, seeded md5 next-hop draws, md5-order
+    capped adjacency — the KG -> embedding-training-corpus bridge,
+    bit-replayable at any parallelism."""
+    from kgist_spark.operators.graph import random_walks
+
+    edges = derived_triples(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return random_walks(edges, walk_len=_WALK_LEN, max_degree=_WALK_DEG)
+
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Benchmark decontamination through a Bloom membership sketch: same
     distinct-5-gram semantics as `decontaminate`, but the executor-resident
@@ -1494,6 +1512,7 @@ QUERIES = {
     "part_truss": q_part_truss,
     "dup_spans": q_dup_spans,
     "priority_sample": q_priority_sample,
+    "kg_walks": q_kg_walks,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3189,6 +3208,20 @@ def _part_truss_oracle() -> str:
 # part_truss: same capped co-occurrence edges, same fixed peel rounds —
 # naive triangle enumeration per round, 3-edge fan-out, grouped count
 ORACLE_SQL["part_truss"] = _part_truss_oracle()
+
+
+def _kg_walks_oracle() -> str:
+    from kgist_spark.operators.graph import random_walks_oracle_sql
+
+    edges = f"SELECT subj AS src, obj AS dst FROM ({DERIVED_TRIPLES_SQL})"
+    return random_walks_oracle_sql(
+        edges, walk_len=_WALK_LEN, max_degree=_WALK_DEG
+    )
+
+
+# kg_walks: identical md5-ordered capped adjacency, identical seeded
+# per-step draws, steps chained as materialized CTEs
+ORACLE_SQL["kg_walks"] = _kg_walks_oracle()
 
 
 # dup_spans: identical in-row 5-gram windows and cross-document
