@@ -114,6 +114,8 @@ def main():
         "dup_spans",
         "priority_sample",
         "kg_walks",
+        "kg_churn",
+        "kg_sentences",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -1767,3 +1767,146 @@ def random_walks_oracle_sql(edges_sql: str, walk_len: int = 3,
         )
     return (f"    WITH {', '.join(parts)}\n    "
             + "\n    UNION ALL ".join(selects))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  churn_scale: int = 1_000_000) -> DataFrame:
+    """Per-predicate churn between two KG snapshots (crawl N vs crawl
+    N+1) — the monitoring table an incremental construction pipeline
+    (streaming/construct.py) gets judged by: for each predicate,
+    ``(pred, n_added, n_removed, n_kept, churn_x1e6)`` where churn is the
+    integer-truncated ``(added + removed) * scale DIV old_size``
+    (old_size = kept + removed; predicates NEW in this snapshot report
+    the sentinel -1 — no base to divide by, and a NULL here would turn
+    the int64 column float in pandas round-trips).
+
+    Both inputs are ``(subj, pred, obj)`` triple sets.  Scale shape: one
+    distinct per side (the snapshots may carry duplicates), ONE full outer
+    join on the whole triple key (shuffle-partitioned on identical keys,
+    so AQE coalesces; no broadcast assumption — both sides are
+    corpus-scale), then a map-side-combining grouped count per predicate.
+    Every output column is integer, hash-comparable."""
+    o = old.select("subj", "pred", "obj").distinct() \
+        .withColumn("_o", F.lit(1))
+    n = new.select("subj", "pred", "obj").distinct() \
+        .withColumn("_n", F.lit(1))
+    j = o.join(n, ["subj", "pred", "obj"], "full_outer")
+    agg = (
+        j.groupBy("pred")
+        .agg(
+            F.sum(F.when(F.col("_o").isNull(), 1).otherwise(0))
+            .alias("n_added"),
+            F.sum(F.when(F.col("_n").isNull(), 1).otherwise(0))
+            .alias("n_removed"),
+            F.sum(F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(),
+                         1).otherwise(0)).alias("n_kept"),
+        )
+    )
+    return agg.select(
+        "pred", "n_added", "n_removed", "n_kept",
+        F.when(
+            F.col("n_kept") + F.col("n_removed") > 0,
+            F.expr(f"(n_added + n_removed) * {churn_scale}"
+                   " DIV (n_kept + n_removed)"),
+        ).otherwise(F.lit(-1)).cast("long").alias("churn_x1e6"),
+    )
+
+
+def snapshot_diff_oracle_sql(old_sql: str, new_sql: str,
+                             churn_scale: int = 1_000_000) -> str:
+    """DuckDB replay of :func:`snapshot_diff`: same distincts, same full
+    outer join, same truncating-integer churn."""
+    return f"""
+    WITH o AS (SELECT DISTINCT subj, pred, obj FROM ({old_sql})),
+    n AS (SELECT DISTINCT subj, pred, obj FROM ({new_sql})),
+    j AS (
+        SELECT COALESCE(o.pred, n.pred) AS pred,
+               (o.subj IS NULL) AS added, (n.subj IS NULL) AS removed
+        FROM o FULL OUTER JOIN n
+          ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+    ),
+    agg AS (
+        SELECT pred,
+               CAST(SUM(CASE WHEN added THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_added,
+               CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST(SUM(CASE WHEN NOT added AND NOT removed THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_kept
+        FROM j GROUP BY pred
+    )
+    SELECT pred, n_added, n_removed, n_kept,
+           CAST(CASE WHEN n_kept + n_removed > 0
+                     THEN (n_added + n_removed) * {churn_scale}
+                          // (n_kept + n_removed)
+                     ELSE -1 END AS BIGINT) AS churn_x1e6
+    FROM agg
+    """
+
+
+def kg_sentences(triples: DataFrame, max_facts: int = 64) -> DataFrame:
+    """Per-subject textual serialization of the KG — the "KG -> LLM
+    training document" exporter (verbalized triples, the input format of
+    KG-enhanced LM pretraining): for each subject, its facts as
+    ``"subj pred obj"`` sentences joined in sorted order, capped at
+    ``max_facts`` BY SEMANTICS (a 10^8-fact hub yields a readable
+    document, not a gigabyte line; the cap keeps the lexicographically
+    first sentences, replayed identically by the oracle).  Output:
+    ``(subj, n_facts, n_facts_kept, text)`` — n_facts is the TRUE fact
+    count so downstream weighting can see what the cap dropped.
+
+    Scale shape: sentences are one projection; the cap is enforced with a
+    rank-filter BEFORE any list materializes (`row_number` over the
+    per-subject sort — sort-based and spillable, unlike `collect_list` on
+    an unbounded group, the classic hub OOM), so `collect_list` only ever
+    sees <= max_facts rows per subject; the true count rides the same
+    window pass as a `count(*)` over the full frame."""
+    from pyspark.sql.window import Window
+
+    sent = triples.select(
+        "subj",
+        F.concat_ws(" ", "subj", "pred", "obj").alias("s"),
+    ).distinct()
+    w = Window.partitionBy("subj").orderBy("s")
+    ranked = sent.select(
+        "subj", "s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy("subj")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_facts"),
+    )
+    return (
+        ranked.where(F.col("rn") <= max_facts)
+        .groupBy("subj", "n_facts")
+        .agg(
+            F.count("*").alias("n_facts_kept"),
+            F.concat_ws(". ", F.array_sort(F.collect_list("s")))
+            .alias("text"),
+        )
+        .select("subj",
+                F.col("n_facts").cast("long").alias("n_facts"),
+                "n_facts_kept", "text")
+    )
+
+
+def kg_sentences_oracle_sql(triples_sql: str, max_facts: int = 64) -> str:
+    """DuckDB replay of :func:`kg_sentences`: same distinct sentences,
+    same rank cap, same sorted '. '-joined serialization."""
+    return f"""
+    WITH sent AS (
+        SELECT DISTINCT subj, concat(subj, ' ', pred, ' ', obj) AS s
+        FROM ({triples_sql})
+    ),
+    ranked AS (
+        SELECT subj, s,
+               row_number() OVER (PARTITION BY subj ORDER BY s) AS rn,
+               COUNT(*) OVER (PARTITION BY subj) AS n_facts
+        FROM sent
+    )
+    SELECT subj, CAST(n_facts AS BIGINT) AS n_facts,
+           COUNT(*) AS n_facts_kept,
+           string_agg(s, '. ' ORDER BY s) AS text
+    FROM ranked WHERE rn <= {max_facts}
+    GROUP BY subj, n_facts
+    """

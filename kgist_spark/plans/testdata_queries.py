@@ -1368,6 +1368,34 @@ def q_kg_walks(spark, sf_dir):
 
 
 
+def q_kg_churn(spark, sf_dir):
+    """Per-predicate churn between two KG snapshots (the clean derived KG
+    vs its deterministic perturbation — the same pair the anomaly queries
+    use): added/removed/kept triple counts and an integer churn rate, the
+    monitoring table an incremental crawl's KG versioning is judged by."""
+    from kgist_spark.operators.graph import snapshot_diff
+
+    return snapshot_diff(
+        derived_triples(spark, sf_dir), perturbed_triples(spark, sf_dir)
+    )
+
+
+#: per-subject fact cap in the textual serialization (semantic, replayed
+#: by the oracle)
+_SENT_CAP = 64
+
+
+def q_kg_sentences(spark, sf_dir):
+    """Per-subject verbalized-triple documents ("subj pred obj. ..." in
+    sorted order, capped at _SENT_CAP facts) — the KG -> LLM-training-text
+    exporter; n_facts carries the TRUE count so weighting sees the cap."""
+    from kgist_spark.operators.graph import kg_sentences
+
+    return kg_sentences(derived_triples(spark, sf_dir),
+                        max_facts=_SENT_CAP)
+
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Benchmark decontamination through a Bloom membership sketch: same
     distinct-5-gram semantics as `decontaminate`, but the executor-resident
@@ -1513,6 +1541,8 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "priority_sample": q_priority_sample,
     "kg_walks": q_kg_walks,
+    "kg_churn": q_kg_churn,
+    "kg_sentences": q_kg_sentences,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3222,6 +3252,29 @@ def _kg_walks_oracle() -> str:
 # kg_walks: identical md5-ordered capped adjacency, identical seeded
 # per-step draws, steps chained as materialized CTEs
 ORACLE_SQL["kg_walks"] = _kg_walks_oracle()
+
+
+def _kg_churn_oracle() -> str:
+    from kgist_spark.operators.graph import snapshot_diff_oracle_sql
+
+    return snapshot_diff_oracle_sql(DERIVED_TRIPLES_SQL,
+                                    PERTURBED_TRIPLES_SQL)
+
+
+# kg_churn: same distincts, same full outer join on the triple key, same
+# truncating-integer churn (NULL for predicates with no old base)
+ORACLE_SQL["kg_churn"] = _kg_churn_oracle()
+
+
+def _kg_sentences_oracle() -> str:
+    from kgist_spark.operators.graph import kg_sentences_oracle_sql
+
+    return kg_sentences_oracle_sql(DERIVED_TRIPLES_SQL, max_facts=_SENT_CAP)
+
+
+# kg_sentences: same distinct sentences, rank cap, and sorted '. '-joined
+# serialization — the string column hashes byte-for-byte
+ORACLE_SQL["kg_sentences"] = _kg_sentences_oracle()
 
 
 # dup_spans: identical in-row 5-gram windows and cross-document

@@ -924,3 +924,53 @@ def test_walks_broadcast_and_shuffle_paths_identical(spark):
     a = _walks_spark(spark, edges, 3, 8)
     b = _walks_spark(spark, edges, 3, 8, broadcast_max_nodes=0)
     assert a == b
+
+
+# --------------------------------------------- snapshot diff / serialization
+
+
+def test_snapshot_diff_hand_computed(spark):
+    from kgist_spark.operators.graph import snapshot_diff
+
+    schema = "subj string, pred string, obj string"
+    old = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y"), ("b", "p", "x"), ("b", "q", "x"),
+         ("b", "q", "x")],  # duplicate collapses
+        schema)
+    new = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "z"), ("c", "r", "x")], schema)
+    got = {r["pred"]: (r["n_added"], r["n_removed"], r["n_kept"],
+                       r["churn_x1e6"])
+           for r in snapshot_diff(old, new).collect()}
+    # p: old {apx,apy,bpx} new {apx,bpz}: +1 -2 =1; churn (1+2)*1e6 DIV 3
+    # q: removed entirely; r: brand-new -> sentinel -1
+    assert got == {
+        "p": (1, 2, 1, 1000000),
+        "q": (0, 1, 0, 1000000),
+        "r": (1, 0, 0, -1),
+    }
+
+
+def test_snapshot_diff_identical_snapshots(spark):
+    from kgist_spark.operators.graph import snapshot_diff
+
+    schema = "subj string, pred string, obj string"
+    kg = spark.createDataFrame([("a", "p", "x"), ("b", "p", "y")], schema)
+    (row,) = snapshot_diff(kg, kg).collect()
+    assert (row["n_added"], row["n_removed"], row["n_kept"],
+            row["churn_x1e6"]) == (0, 0, 2, 0)
+
+
+def test_kg_sentences_serialization_and_cap(spark):
+    from kgist_spark.operators.graph import kg_sentences
+
+    schema = "subj string, pred string, obj string"
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "q", "y"), ("a", "p", "x"),  # dup collapses
+         ("h", "p", "n1"), ("h", "p", "n2"), ("h", "p", "n3")],
+        schema)
+    got = {r["subj"]: (r["n_facts"], r["n_facts_kept"], r["text"])
+           for r in kg_sentences(t, max_facts=2).collect()}
+    assert got["a"] == (2, 2, "a p x. a q y")
+    # hub capped at 2: true count 3, kept 2, lexicographically first two
+    assert got["h"] == (3, 2, "h p n1. h p n2")
