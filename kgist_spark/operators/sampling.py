@@ -245,8 +245,14 @@ def priority_sample(df: DataFrame, k: int, weight_col: str,
         "weight",
         F.expr(f"weight * {_PRI_SCALE} DIV u").alias("priority"),
     )
-    top = pri.orderBy(F.desc("priority"), F.col(key_col)).limit(k + 1)
-    # rank within the k+1 survivors (tiny: bounded by k+1 rows)
+    # pin the k+1 survivors: both consumers below (the sample rows AND the
+    # tau threshold) read this result, and without the checkpoint each
+    # branch would re-run the WHOLE corpus top-k scan — two passes over
+    # 100 TB for one sample
+    top = pri.orderBy(F.desc("priority"), F.col(key_col)) \
+        .limit(k + 1).localCheckpoint()
+    # rank within the k+1 survivors (tiny: bounded by k+1 rows, so the
+    # unpartitioned window is a k-row sort, not a corpus collapse)
     w = Window.orderBy(F.desc("priority"), F.col(key_col))
     ranked = top.withColumn("rn", F.row_number().over(w))
     # 0 rows (input <= k) -> max() yields one NULL row; coalesce -> weight
