@@ -116,6 +116,8 @@ def main():
         "kg_walks",
         "kg_churn",
         "kg_sentences",
+        "pack_layout",
+        "containment_pairs",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -596,3 +596,68 @@ def dup_spans(docs: DataFrame, id_col: str = "doc_id",
         )
         .select(id_col, "span_start", "span_end", "n_windows")
     )
+
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 5,
+                      threshold_x1e6: int = 800_000,
+                      df_cap: int | None = 1000, drop_stats=None) -> DataFrame:
+    """Shingle CONTAINMENT pairs — the asymmetric near-dup signal Jaccard
+    misses (Broder 1997's other resemblance measure): a short document
+    quoted whole inside a long one has containment ~1 but Jaccard
+    ~|short|/|long| ~ 0, so quote/boilerplate/wrapper detection needs
+    ``|A∩B| / min(|A|, |B|)``, not intersection-over-union.  Emits
+    ``(a, b, contained_id, n_inter, na, nb, cont_x1e6)`` for pairs at or
+    above ``threshold_x1e6`` (integer fixed-point — truncating DIV of
+    non-negative counts, hash-comparable); ``contained_id`` is the
+    smaller-set side (ties to ``a``), the document a curation pass would
+    drop as subsumed.
+
+    Same substrate and discipline as :func:`ngram_jaccard_pairs`:
+    candidates from the df-capped shingle table (hot boilerplate shingles
+    sized and dropped spill-safely BEFORE any collection, drops riding the
+    optional ``drop_stats`` Observation), verification over the FULL
+    shingle sets so reported containment is exact regardless of the cap."""
+    sh = MH.word_shingles(
+        fan_out_scan(docs.select(id_col, text_col)), id_col, text_col, k=k
+    )
+    if df_cap is not None:
+        buckets = sh.select(
+            "id", F.lit(0).alias("band"), F.col("shingle").alias("bucket")
+        )
+        pairs = MH.candidate_pairs(buckets, max_bucket=df_cap,
+                                   drop_stats=drop_stats)
+    else:
+        pairs = (
+            sh.alias("x")
+            .join(sh.alias("y"), "shingle")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "cont_x1e6",
+            F.expr("n_inter * 1000000 DIV least(na, nb)").cast("long"),
+        )
+        .where(F.col("cont_x1e6") >= threshold_x1e6)
+        .select(
+            "a", "b",
+            F.when(F.col("na") <= F.col("nb"), F.col("a"))
+            .otherwise(F.col("b")).alias("contained_id"),
+            "n_inter", "na", "nb", "cont_x1e6",
+        )
+    )
+    out._drop_stats = getattr(pairs, "_drop_stats", None)
+    return out

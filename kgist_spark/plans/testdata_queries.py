@@ -1396,6 +1396,33 @@ def q_kg_sentences(spark, sf_dir):
 
 
 
+#: packing context length (tokens per training chunk) — small enough that
+#: sf-test documents span chunk boundaries
+_PACK_CTX = 512
+
+
+def q_pack_layout(spark, sf_dir):
+    """Concat-and-chunk packing layout (the GPT-style pretraining format):
+    each document's landing position in the ctx-token chunk stream, via a
+    two-phase distributed prefix sum (prefix-bucketed windows) instead of
+    the single-partition global window."""
+    from kgist_spark.operators.pack import pack_layout
+
+    return pack_layout(_t(spark, sf_dir, "documents"), ctx=_PACK_CTX)
+
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Shingle containment pairs (|A∩B| / min sizes) — the asymmetric
+    quote/boilerplate signal Jaccard misses; exact verification over full
+    shingle sets, df-capped candidate generation."""
+    from kgist_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"),
+                             threshold_x1e6=600_000)
+
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Benchmark decontamination through a Bloom membership sketch: same
     distinct-5-gram semantics as `decontaminate`, but the executor-resident
@@ -1543,6 +1570,8 @@ QUERIES = {
     "kg_walks": q_kg_walks,
     "kg_churn": q_kg_churn,
     "kg_sentences": q_kg_sentences,
+    "pack_layout": q_pack_layout,
+    "containment_pairs": q_containment_pairs,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3275,6 +3304,55 @@ def _kg_sentences_oracle() -> str:
 # kg_sentences: same distinct sentences, rank cap, and sorted '. '-joined
 # serialization — the string column hashes byte-for-byte
 ORACLE_SQL["kg_sentences"] = _kg_sentences_oracle()
+
+
+def _pack_layout_oracle() -> str:
+    from kgist_spark.operators.pack import pack_layout_oracle_sql
+
+    return pack_layout_oracle_sql(
+        "SELECT doc_id, text FROM documents", ctx=_PACK_CTX
+    )
+
+
+# pack_layout: the oracle's ONE global-order window is the semantics the
+# two-phase distributed prefix sum must reproduce exactly
+ORACLE_SQL["pack_layout"] = _pack_layout_oracle()
+
+
+# containment_pairs: same shingle construction as ngram_jaccard_pairs,
+# same uncapped exact self-join (the capped Spark path matches in full on
+# this corpus — any recall loss fails the row-count check), containment as
+# a truncating integer DIV with the smaller-set side as contained_id
+ORACLE_SQL["containment_pairs"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 1)),
+                       i -> array_to_string(t[i:i+4], ' '))) AS shingle
+            FROM toks
+        ) WHERE length(shingle) > 0
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+        SELECT x.id AS a, y.id AS b, COUNT(*) AS n_inter
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+        GROUP BY x.id, y.id
+    )
+    SELECT a, b,
+           CASE WHEN na.n <= nb.n THEN a ELSE b END AS contained_id,
+           n_inter, na.n AS na, nb.n AS nb,
+           CAST(n_inter * 1000000 // least(na.n, nb.n) AS BIGINT)
+               AS cont_x1e6
+    FROM inter
+    JOIN sizes na ON inter.a = na.id
+    JOIN sizes nb ON inter.b = nb.id
+    WHERE n_inter * 1000000 // least(na.n, nb.n) >= 600000
+"""
 
 
 # dup_spans: identical in-row 5-gram windows and cross-document

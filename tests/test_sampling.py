@@ -260,3 +260,62 @@ def test_priority_sample_weight_monotone(spark):
     a = _py_priority([(7, 100)])[7][1]
     b = _py_priority([(7, 5000)])[7][1]
     assert b >= a
+
+
+# --------------------------------------------------- packing layout
+
+
+def test_pack_layout_matches_single_window_replay(spark):
+    import hashlib
+
+    from kgist_spark.operators.pack import pack_layout
+
+    rows = [(i, " ".join(f"t{j}" for j in range((i * 7) % 23 + 1)))
+            for i in range(120)] + [(999, "   ")]  # whitespace-only: excluded
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ctx = 16
+    got = {r["doc_id"]: (r["n_tokens"], r["tok_start"], r["chunk_first"],
+                         r["chunk_last"], r["offset_in_chunk"])
+           for r in pack_layout(df, ctx=ctx).collect()}
+    # python replay: one global-order running sum
+    order = sorted(
+        (d for d, t in rows if t.strip()),
+        key=lambda d: (hashlib.md5(f"pack|{d}".encode()).hexdigest(), d),
+    )
+    ntok = {d: len(t.split()) for d, t in rows if t.strip()}
+    want, run = {}, 0
+    for d in order:
+        n = ntok[d]
+        want[d] = (n, run, run // ctx, (run + n - 1) // ctx, run % ctx)
+        run += n
+    assert got == want
+    assert 999 not in got
+
+
+def test_pack_layout_bucket_hex_invariant(spark):
+    # the two-phase prefix sum must give the same layout at any shard
+    # granularity — bucketing is an execution detail, not semantics
+    from kgist_spark.operators.pack import pack_layout
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 5) % 11 + 1)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, pack_layout(df, ctx=8, bucket_hex=1).collect()))
+    b = sorted(map(tuple, pack_layout(df, ctx=8, bucket_hex=3).collect()))
+    assert a == b
+
+
+def test_pack_layout_stream_is_gapless(spark):
+    # consecutive documents in layout order tile the token stream exactly:
+    # sorted tok_starts advance by n_tokens with no gaps or overlaps
+    from kgist_spark.operators.pack import pack_layout
+
+    rows = [(i, " ".join("x" * 1 for _ in range((i * 3) % 9 + 1)))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["tok_start"], r["n_tokens"])
+                 for r in pack_layout(df, ctx=64).collect())
+    pos = 0
+    for start, n in got:
+        assert start == pos
+        pos += n

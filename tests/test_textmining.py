@@ -180,3 +180,56 @@ def test_dup_spans_matches_python_replay(spark):
                 cnt = 1
         want[(d, start)] = (prev + n - 1, cnt)
     assert _spans(spark, rows, n=n) == want
+
+
+# ------------------------------------------------------ shingle containment
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    from kgist_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"f{i}" for i in range(40))
+    rows = [("1", short), ("2", short + " " + filler),
+            ("3", "other words entirely here now")]
+    docs = _docs(spark, rows)
+    cont = {(r["a"], r["b"]): (r["contained_id"], r["cont_x1e6"])
+            for r in containment_pairs(docs, threshold_x1e6=900_000).collect()}
+    # the short doc is fully contained in the long one...
+    assert cont == {("1", "2"): ("1", 1_000_000)}
+    # ...while Jaccard at the same bar sees nothing (the asymmetric gap)
+    jac = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_containment_matches_python_replay(spark):
+    import random
+
+    from kgist_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [(f"d{i}", " ".join(rng.choice(vocab)
+                               for _ in range(rng.randrange(5, 25))))
+            for i in range(30)]
+    sh = {}
+    for d, t in rows:
+        toks = t.lower().split()
+        n = max(len(toks) - 4, 1)
+        sh[d] = {" ".join(toks[i:i + 5]) for i in range(n)}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            na, nb = len(sh[a]), len(sh[b])
+            c = inter * 1_000_000 // min(na, nb)
+            if c >= 600_000:
+                want[(a, b)] = (a if na <= nb else b, inter, na, nb, c)
+    got = {(r["a"], r["b"]): (r["contained_id"], r["n_inter"], r["na"],
+                              r["nb"], r["cont_x1e6"])
+           for r in containment_pairs(
+               _docs(spark, rows), threshold_x1e6=600_000).collect()}
+    assert got == want
