@@ -118,6 +118,7 @@ def main():
         "kg_sentences",
         "pack_layout",
         "containment_pairs",
+        "kg_schema",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

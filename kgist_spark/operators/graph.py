@@ -36,7 +36,7 @@ Scale shape (the 100 TB lens):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: fixed-point scale: rank 1.0 == SCALE.  10**6 keeps the damped sum within
@@ -1909,4 +1909,101 @@ def kg_sentences_oracle_sql(triples_sql: str, max_facts: int = 64) -> str:
            string_agg(s, '. ' ORDER BY s) AS text
     FROM ranked WHERE rn <= {max_facts}
     GROUP BY subj, n_facts
+    """
+
+
+def predicate_schema(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-predicate domain/range type profile — the ontology-induction
+    monitoring table a KG-construction pipeline reports after every crawl:
+    for each ``(pred, side)`` (side ``'s'`` = subject/domain, ``'o'`` =
+    object/range), the label distribution over that slot — total
+    ``(triple, label)`` pairs, distinct types, the DOMINANT type and its
+    share, and the Shannon entropy of the type distribution.  A predicate
+    whose domain entropy jumps between snapshots is the classic signal of
+    extractor drift (a pattern starting to fire on the wrong entity class);
+    a near-zero entropy with a dominant share ≈ 1e6 is an induced schema
+    constraint (``placed_by: order -> customer``).  Complements the
+    (root_label, pred, dir, child_label) candidate_stats table (SURVEY J1):
+    this is its single-slot MARGINAL plus concentration/entropy rollups —
+    the report a human reads, not the rule-mining input.
+
+    Determinism: entropy terms are fixed-point ints BEFORE summation
+    (``round(1e6 * (c * log2(n/c)) / n)`` — ONE fixed-order float
+    expression per (pred, side, label) row, the event_drift / lm_score
+    discipline: the float runs once per vocabulary row, never per triple,
+    and the cross-engine surface is a single log2+mul+div+round chain on
+    exact-integer operands), so the per-slot sum is an order-free integer
+    at any parallelism.  Dominance ties break to the lexicographically
+    smallest label via an explicit (c DESC, label) row_number — replayed
+    identically by the oracle.
+
+    100 TB shape: the ONLY corpus-scale work is the explode (×2 rows) and
+    the node-key join against ``labels`` (shuffle join, AQE-sized — labels
+    are corpus-scale too, never broadcast); the grouped count collapses
+    map-side to ≤ |preds| × 2 × |labels| rows, and every window/rollup
+    after that runs on the vocabulary-sized table."""
+    pairs = (
+        triples.select(
+            "pred",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("s").alias("side"), F.col("subj").alias("node")),
+                    F.struct(F.lit("o").alias("side"), F.col("obj").alias("node")),
+                )
+            ).alias("sn"),
+        )
+        .select("pred", F.col("sn.side").alias("side"), F.col("sn.node").alias("node"))
+        .join(labels, "node")
+    )
+    ct = pairs.groupBy("pred", "side", "label").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("pred", "side")
+    wo = Window.partitionBy("pred", "side").orderBy(F.desc("c"), F.asc("label"))
+    tot = ct.withColumn("n", F.sum("c").over(w)).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    return tot.groupBy("pred", "side").agg(
+        F.max("n").alias("n_pairs"),
+        F.count("*").alias("n_types"),
+        F.max(F.when(F.col("rn") == 1, F.col("label"))).alias("top_label"),
+        F.expr(
+            "CAST(max(CASE WHEN rn = 1 THEN c END) * 1000000 div max(n) AS BIGINT)"
+        ).alias("top_share_x1e6"),
+        F.expr(
+            "SUM(CAST(round(1000000 * (c * log2(CAST(n AS DOUBLE) / c)) / n)"
+            " AS BIGINT))"
+        ).alias("entropy_x1e6"),
+    )
+
+
+def predicate_schema_oracle_sql(triples_sql: str, labels_sql: str) -> str:
+    """DuckDB replay of :func:`predicate_schema`: identical pair
+    construction, identical fixed-point entropy-term expression, identical
+    (c DESC, label) dominance tie-break."""
+    return f"""
+    WITH t AS ({triples_sql}), l AS ({labels_sql}),
+    pairs AS (
+        SELECT t.pred, 's' AS side, l.label FROM t JOIN l ON t.subj = l.node
+        UNION ALL
+        SELECT t.pred, 'o' AS side, l.label FROM t JOIN l ON t.obj = l.node
+    ),
+    ct AS (
+        SELECT pred, side, label, COUNT(*) AS c
+        FROM pairs GROUP BY pred, side, label
+    ),
+    tot AS (
+        SELECT pred, side, label, c,
+               CAST(SUM(c) OVER (PARTITION BY pred, side) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY pred, side
+                                  ORDER BY c DESC, label) AS rn
+        FROM ct
+    )
+    SELECT pred, side,
+           MAX(n) AS n_pairs,
+           COUNT(*) AS n_types,
+           MAX(CASE WHEN rn = 1 THEN label END) AS top_label,
+           CAST(MAX(CASE WHEN rn = 1 THEN c END) * 1000000 // MAX(n)
+                AS BIGINT) AS top_share_x1e6,
+           CAST(SUM(CAST(round(1000000 * (c * log2(CAST(n AS DOUBLE) / c)) / n)
+                         AS BIGINT)) AS BIGINT) AS entropy_x1e6
+    FROM tot GROUP BY pred, side
     """

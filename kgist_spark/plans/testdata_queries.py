@@ -1483,6 +1483,19 @@ def q_kg_assortativity(spark, sf_dir):
     ).where(F.col("r_x1e6").isNotNull())
 
 
+def q_kg_schema(spark, sf_dir):
+    """Per-predicate domain/range type profile of the derived KG —
+    dominant type + share, type counts, and fixed-point Shannon entropy
+    per (pred, side): the ontology-induction report a construction
+    pipeline publishes after every crawl (entropy drift = extractor
+    firing on the wrong entity class)."""
+    from kgist_spark.operators.graph import predicate_schema
+
+    return predicate_schema(
+        derived_triples(spark, sf_dir), derived_labels(spark, sf_dir)
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1572,6 +1585,7 @@ QUERIES = {
     "kg_sentences": q_kg_sentences,
     "pack_layout": q_pack_layout,
     "containment_pairs": q_containment_pairs,
+    "kg_schema": q_kg_schema,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3471,6 +3485,19 @@ def _assortativity_oracle() -> str:
 # kg_assortativity: identical BIGINT sums + the IDENTICAL fixed-order float
 # expression; NULL (zero-variance) rows filtered on both sides
 ORACLE_SQL["kg_assortativity"] = _assortativity_oracle()
+
+
+def _kg_schema_oracle() -> str:
+    from kgist_spark.operators.graph import predicate_schema_oracle_sql
+
+    return predicate_schema_oracle_sql(DERIVED_TRIPLES_SQL, DERIVED_LABELS_SQL)
+
+
+# kg_schema: identical (pred, side, label) pair construction, identical
+# per-row fixed-point entropy term (ONE log2+mul+div+round chain on exact
+# integer operands — the lm_score float discipline), identical
+# (c DESC, label) dominance tie-break
+ORACLE_SQL["kg_schema"] = _kg_schema_oracle()
 
 
 _ORACLE_SQL_FULL: dict | None = None

@@ -974,3 +974,63 @@ def test_kg_sentences_serialization_and_cap(spark):
     assert got["a"] == (2, 2, "a p x. a q y")
     # hub capped at 2: true count 3, kept 2, lexicographically first two
     assert got["h"] == (3, 2, "h p n1. h p n2")
+
+
+# ---------------------------------------------------------------------------
+# predicate_schema (domain/range type profile with fixed-point entropy)
+# ---------------------------------------------------------------------------
+
+
+def test_predicate_schema_hand_computed(spark):
+    import math
+
+    from kgist_spark.operators.graph import predicate_schema
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "p", "b"), ("d", "p", "e")],
+        "subj string, pred string, obj string",
+    )
+    labels = spark.createDataFrame(
+        [("a", "T1"), ("c", "T1"), ("d", "T2"), ("b", "T3"), ("e", "T3")],
+        "node string, label string",
+    )
+    rows = {(r["pred"], r["side"]): r
+            for r in predicate_schema(triples, labels).collect()}
+    s = rows[("p", "s")]
+    # subject slot: T1 x2, T2 x1 over n=3
+    assert s["n_pairs"] == 3 and s["n_types"] == 2
+    assert s["top_label"] == "T1"
+    assert s["top_share_x1e6"] == 2 * 1_000_000 // 3
+    t1 = round(1_000_000 * (2 * math.log2(3 / 2)) / 3)
+    t2 = round(1_000_000 * (1 * math.log2(3 / 1)) / 3)
+    assert s["entropy_x1e6"] == t1 + t2
+    # object slot: all T3 -> zero entropy, full dominance
+    o = rows[("p", "o")]
+    assert o["n_types"] == 1 and o["top_share_x1e6"] == 1_000_000
+    assert o["entropy_x1e6"] == 0
+
+
+def test_predicate_schema_tiebreak_and_multilabel(spark):
+    from kgist_spark.operators.graph import predicate_schema
+
+    # equal counts -> lexicographically smallest label wins dominance
+    triples = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "x")],
+        "subj string, pred string, obj string",
+    )
+    labels = spark.createDataFrame(
+        # 'a' carries TWO labels: each (triple, label) pair counts once
+        [("a", "TB"), ("a", "TA"), ("b", "TB"), ("x", "TZ")],
+        "node string, label string",
+    )
+    rows = {(r["pred"], r["side"]): r
+            for r in predicate_schema(triples, labels).collect()}
+    s = rows[("p", "s")]
+    # subject pairs: TB x2 (a & b), TA x1 -> n=3; dominance TB
+    assert s["n_pairs"] == 3 and s["n_types"] == 2 and s["top_label"] == "TB"
+    # unlabeled nodes never contribute (inner join semantics)
+    triples2 = spark.createDataFrame(
+        [("ghost", "q", "x")], "subj string, pred string, obj string"
+    )
+    out = predicate_schema(triples2, labels).collect()
+    assert {(r["pred"], r["side"]) for r in out} == {("q", "o")}
