@@ -119,6 +119,7 @@ def main():
         "pack_layout",
         "containment_pairs",
         "kg_schema",
+        "kg_component_sizes",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -1496,6 +1496,24 @@ def q_kg_schema(spark, sf_dir):
     )
 
 
+def q_kg_component_sizes(spark, sf_dir):
+    """Component-size histogram of the derived KG (via the same
+    fixed-round min-label loop kg_components pins): the crawl-health
+    rollup — node share per component size, giant-component alarm."""
+    from kgist_spark.operators.components import (
+        component_size_stats,
+        minlabel_rounds,
+    )
+
+    t = derived_triples(spark, sf_dir)
+    return component_size_stats(
+        minlabel_rounds(
+            t.select(F.col("subj").alias("a"), F.col("obj").alias("b")),
+            rounds=_CC_ROUNDS,
+        )
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1586,6 +1604,7 @@ QUERIES = {
     "pack_layout": q_pack_layout,
     "containment_pairs": q_containment_pairs,
     "kg_schema": q_kg_schema,
+    "kg_component_sizes": q_kg_component_sizes,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3498,6 +3517,22 @@ def _kg_schema_oracle() -> str:
 # integer operands — the lm_score float discipline), identical
 # (c DESC, label) dominance tie-break
 ORACLE_SQL["kg_schema"] = _kg_schema_oracle()
+
+
+def _kg_component_sizes_oracle() -> str:
+    from kgist_spark.operators.components import (
+        component_size_oracle_sql,
+        minlabel_oracle_sql,
+    )
+
+    edges = f"SELECT subj AS a, obj AS b FROM ({DERIVED_TRIPLES_SQL})"
+    return component_size_oracle_sql(minlabel_oracle_sql(edges, rounds=_CC_ROUNDS))
+
+
+# kg_component_sizes: the kg_components min-label chain (identical rounds)
+# aggregated to the size histogram; shares are truncating integer fixed
+# point on positive operands (div == //)
+ORACLE_SQL["kg_component_sizes"] = _kg_component_sizes_oracle()
 
 
 _ORACLE_SQL_FULL: dict | None = None
