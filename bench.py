@@ -120,6 +120,7 @@ def main():
         "containment_pairs",
         "kg_schema",
         "kg_component_sizes",
+        "winnow_fp",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -661,3 +661,181 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
     out._drop_stats = getattr(pairs, "_drop_stats", None)
     return out
+
+
+#: winnowing defaults: k-token grams, window of w consecutive gram hashes.
+#: The guarantee (Schleimer et al., SIGMOD 2003): any token run of length
+#: >= WIN_W + WIN_K - 1 shared by two documents shares at least one
+#: selected fingerprint — pinned by test.
+WIN_K = 5
+WIN_W = 4
+
+
+def _winnow_select_expr(w: int) -> str:
+    """The in-row winnowing selection over a ``hs`` (array<long> gram-hash)
+    column: for each window of ``w`` consecutive hashes pick the MINIMUM,
+    ties to the RIGHTMOST position (the paper's rule — it maximizes the
+    chance adjacent windows reselect the same fingerprint, shrinking the
+    density), emitted as distinct ``(pos, fp)`` structs.  Documents with
+    fewer than ``w`` grams get ONE window covering all of them."""
+    wl = f"least({w}, size(hs))"
+    m = f"array_min(slice(hs, i, {wl}))"
+    return (
+        "CASE WHEN size(hs) >= 1 THEN array_distinct(transform("
+        f"  sequence(1, greatest(size(hs) - {w} + 1, 1)),"
+        f"  i -> CAST(i - 1 + array_max(filter(sequence(1, {wl}),"
+        f"         j -> element_at(hs, i + j - 1) = {m})) AS BIGINT)"
+        f"       * 4294967296 + {m}"
+        ")) ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = WIN_K,
+                        w: int = WIN_W, min_docs: int = 2) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): per document, hash every ``k``-token
+    gram, slide a window of ``w`` consecutive hashes, and select each
+    window's rightmost minimum (packed as ``pos * 2^32 + hash`` — the
+    hash is 32-bit, so the pair rides one int64 and stays
+    list-distinct-able in both engines) — a position-aware fingerprint
+    SAMPLE with
+    a hard guarantee the random samples behind MinHash lack: any shared
+    token run of length ≥ ``w + k - 1`` is DETECTED (the two documents
+    share a selected fingerprint), while only ~2/(w+1) of grams are kept.
+    This is the local-plagiarism/attribution signal between the whole-doc
+    families (minhash/simhash estimate global resemblance) and the
+    span-cut list (`dup_spans` needs every duplicated window; winnowing
+    keeps a guaranteed sample) — what a copy-tracing pass over a crawl
+    actually stores.
+
+    Output: ``(id, n_grams, n_fp, n_shared_fp)`` — grams in the document,
+    fingerprints selected, and selected fingerprints whose HASH occurs in
+    ≥ ``min_docs`` distinct documents (the cross-document overlap signal;
+    in-document repetition alone never counts, the dup_spans semantics).
+    Every column integer.  Documents shorter than ``k`` tokens emit
+    ``(0, 0, 0)``.
+
+    Determinism: gram hash = first 8 md5 hex digits as int64 (the
+    engine's one cross-engine hash); selection is pure integer argmin
+    with an explicit rightmost tie rule — bit-replayable in SQL.
+
+    100 TB shape: selection runs IN-ROW (one generated expression over
+    the token array — no explode of unselected grams, the ~2/(w+1)
+    density cut happens before anything leaves the row); the exploded
+    fingerprint table is the only corpus-scale intermediate, its
+    cross-document counts collapse to distinct-(fp, doc) map-side
+    partials, and the shared set reaches the per-document rollup through
+    an AQE-sized join (never forced broadcast — at web scale the shared
+    set is itself corpus-scale)."""
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, 8),
+                16, 10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = fan_out_scan(docs).select(
+        F.col(id_col), grams.alias("hs")
+    ).select(
+        id_col,
+        F.size("hs").cast("long").alias("n_grams"),
+        F.expr(_winnow_select_expr(w)).alias("sel"),
+    ).localCheckpoint(eager=False)
+    # ^ lazy lineage pin: the fingerprint table below is read twice (the
+    # shared-hash aggregate and the per-document rollup) — without the pin
+    # each action re-runs the full scan + in-row selection
+    fp = base.select(id_col, F.explode("sel").alias("enc")).select(
+        id_col,
+        F.expr("enc div 4294967296").alias("pos"),
+        F.expr("enc % 4294967296").alias("fp"),
+    )
+    shared = (
+        fp.select("fp", id_col).distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("fp")
+    )
+    per_doc = (
+        fp.join(shared.withColumn("is_shared", F.lit(1)), "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.coalesce(F.sum("is_shared"), F.lit(0)).cast("long").alias(
+                "n_shared_fp"
+            ),
+        )
+    )
+    return (
+        base.select(id_col, "n_grams")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            F.coalesce("n_shared_fp", F.lit(0)).cast("long").alias(
+                "n_shared_fp"
+            ),
+        )
+    )
+
+
+def winnow_oracle_sql(k: int = WIN_K, w: int = WIN_W,
+                      min_docs: int = 2) -> str:
+    """DuckDB replay of :func:`winnow_fingerprints` over the standard
+    ``documents`` view: identical gram hashes, identical rightmost-min
+    window selection, identical cross-document shared-hash semantics."""
+    wl = f"least({w}, len(hs))"
+    m = f"list_min(hs[i:i + {wl} - 1])"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {k} THEN
+                   list_transform(range(1, len(t) - {k} + 2),
+                       i -> CAST(('0x' || substr(md5(
+                                array_to_string(t[i:i + {k} - 1], ' ')),
+                            1, 8)) AS BIGINT))
+               ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM base
+    ),
+    sel AS (
+        SELECT doc_id, len(hs) AS n_grams,
+               CASE WHEN len(hs) >= 1 THEN
+                   list_distinct(list_transform(
+                       range(1, greatest(len(hs) - {w} + 1, 1) + 1),
+                       i -> CAST(i - 1 + list_max(list_filter(
+                                range(1, {wl} + 1),
+                                j -> hs[i + j - 1] = {m})) AS BIGINT)
+                            * 4294967296 + {m}))
+               ELSE CAST([] AS BIGINT[]) END AS fps
+        FROM hashed
+    ),
+    fp AS (
+        SELECT doc_id, enc // 4294967296 AS pos, enc % 4294967296 AS fp
+        FROM (SELECT doc_id, unnest(fps) AS enc FROM sel)
+    ),
+    shared AS (
+        SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM fp)
+        GROUP BY fp HAVING COUNT(*) >= {min_docs}
+    ),
+    per_doc AS (
+        SELECT f.doc_id, COUNT(*) AS n_fp,
+               COUNT(s.fp) AS n_shared_fp
+        FROM fp f LEFT JOIN shared s ON f.fp = s.fp
+        GROUP BY f.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST(COALESCE(p.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+    FROM sel b LEFT JOIN per_doc p USING (doc_id)
+    """

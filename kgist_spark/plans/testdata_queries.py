@@ -1514,6 +1514,17 @@ def q_kg_component_sizes(spark, sf_dir):
     )
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003): rightmost-min
+    window selection over 5-gram hashes with the shared-substring
+    detection guarantee; per-doc fingerprint counts + cross-document
+    overlap — the copy-tracing signal between the whole-doc resemblance
+    families and the exact span-cut list."""
+    from kgist_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1605,6 +1616,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "kg_schema": q_kg_schema,
     "kg_component_sizes": q_kg_component_sizes,
+    "winnow_fp": q_winnow_fp,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3533,6 +3545,18 @@ def _kg_component_sizes_oracle() -> str:
 # aggregated to the size histogram; shares are truncating integer fixed
 # point on positive operands (div == //)
 ORACLE_SQL["kg_component_sizes"] = _kg_component_sizes_oracle()
+
+
+def _winnow_oracle() -> str:
+    from kgist_spark.operators.dedup import winnow_oracle_sql
+
+    return winnow_oracle_sql()
+
+
+# winnow_fp: identical md5-prefix gram hashes, identical rightmost-min
+# window selection (packed pos*2^32+hash int64s so list_distinct works in
+# both engines), identical cross-document shared-hash semantics
+ORACLE_SQL["winnow_fp"] = _winnow_oracle()
 
 
 _ORACLE_SQL_FULL: dict | None = None

@@ -233,3 +233,75 @@ def test_containment_matches_python_replay(spark):
            for r in containment_pairs(
                _docs(spark, rows), threshold_x1e6=600_000).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text, k=5, w=4):
+    """Independent pure-Python replay of the winnowing selection."""
+    import hashlib
+
+    toks = text.strip().split()
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    if not hs:
+        return set(), 0
+    wl = min(w, len(hs))
+    sel = set()
+    for i in range(max(len(hs) - w + 1, 1)):
+        win = hs[i:i + wl]
+        m = min(win)
+        pos = i + max(j for j, h in enumerate(win) if h == m)
+        sel.add((pos + 1, m))  # 1-based
+    return sel, len(hs)
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    """Any shared token run of length >= w + k - 1 (= 8 at defaults)
+    shares at least one selected fingerprint HASH — the paper's
+    guarantee; unrelated docs share none."""
+    from kgist_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _docs(spark, [
+        ("a", "one two " + shared + " tail tokens here now"),
+        ("b", shared + " completely different ending words follow here"),
+        ("c", "nothing in common with economy statistics report data set"),
+    ])
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    assert out["a"]["n_shared_fp"] >= 1
+    assert out["b"]["n_shared_fp"] >= 1
+    assert out["c"]["n_shared_fp"] == 0
+
+
+def test_winnow_matches_python_replay_and_short_docs(spark):
+    from kgist_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog again"),
+        ("d2", "too short"),               # < k tokens -> (0, 0, 0)
+        ("d3", "exactly five tokens right here"),  # 5 tokens -> 1 gram
+    ]
+    docs = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    for did, text in rows:
+        sel, n_grams = _py_winnow(text)
+        assert out[did]["n_grams"] == n_grams, did
+        assert out[did]["n_fp"] == len(sel), did
+    assert (out["d2"]["n_grams"], out["d2"]["n_fp"]) == (0, 0)
+    assert out["d3"]["n_fp"] == 1  # single gram -> one window, one pick
+
+
+def test_winnow_density_bound(spark):
+    """Winnowing keeps roughly 2/(w+1) of grams — assert the sample is a
+    strict subsample on a long document (not all grams selected)."""
+    from kgist_spark.operators.dedup import winnow_fingerprints
+
+    text = " ".join(f"tok{i % 37}x{i % 11}" for i in range(200))
+    docs = _docs(spark, [("long", text)])
+    r = winnow_fingerprints(docs).collect()[0]
+    assert r["n_grams"] == 196
+    assert 0 < r["n_fp"] < r["n_grams"] // 2
