@@ -121,6 +121,7 @@ def main():
         "kg_schema",
         "kg_component_sizes",
         "winnow_fp",
+        "url_frontier",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

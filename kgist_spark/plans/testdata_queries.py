@@ -1525,6 +1525,39 @@ def q_winnow_fp(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+#: deterministic MESSY-URL harness for the canonicalizer — one SQL
+#: fragment shared verbatim by Spark and DuckDB (both parse this dialect
+#: subset), exercising every canonicalization step: scheme case, www,
+#: default ports (paired with their scheme), tracking params, param
+#: order, trailing slash, fragments.  doc_id % 50 collides ~n/50 docs
+#: per path so the frontier dedup produces real variant groups.
+_MESSY_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||"
+    " CASE WHEN doc_id % 4 < 2 THEN 'WWW.' || source || '.Example.COM'"
+    "      ELSE source || '.example.com' END ||"
+    " CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||"
+    " '/docs/' || CAST(doc_id % 50 AS STRING) ||"
+    " CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||"
+    " CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'"
+    "      WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '' END ||"
+    " CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def q_url_frontier(spark, sf_dir):
+    """Crawl-frontier URL dedup: canonicalize every URL spelling (scheme
+    case, default ports, www, tracking params, param order, trailing
+    slash, fragment) and keep the minimum id per canonical URL — the
+    first dedup stage of every crawler, here over a deterministic
+    messy-URL harness both engines construct identically."""
+    from kgist_spark.operators.url import url_frontier_dedup
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MESSY_URL_SQL).alias("url")
+    )
+    return url_frontier_dedup(pages, url_col="url", id_col="doc_id")
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1617,6 +1650,7 @@ QUERIES = {
     "kg_schema": q_kg_schema,
     "kg_component_sizes": q_kg_component_sizes,
     "winnow_fp": q_winnow_fp,
+    "url_frontier": q_url_frontier,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3557,6 +3591,39 @@ def _winnow_oracle() -> str:
 # window selection (packed pos*2^32+hash int64s so list_distinct works in
 # both engines), identical cross-document shared-hash semantics
 ORACLE_SQL["winnow_fp"] = _winnow_oracle()
+
+
+def _url_frontier_oracle() -> str:
+    from kgist_spark.operators.url import canonical_url_oracle_expr
+
+    canon = canonical_url_oracle_expr("url")
+    return f"""
+    WITH pages AS (
+        SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, {canon} AS canon_url FROM pages
+    ),
+    sited AS (
+        SELECT doc_id, canon_url,
+               regexp_extract(regexp_replace(lower(regexp_extract(
+                   canon_url, '^[^:/?#]+://([^/?#:]*)', 1)), '^www\\.', ''),
+                   '([^.]+\\.[^.]+)$', 1) AS site
+        FROM canon
+    )
+    SELECT doc_id, canon_url, site,
+           CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT)
+               AS n_variants,
+           MIN(doc_id) OVER (PARTITION BY canon_url) AS keep_id,
+           MIN(doc_id) OVER (PARTITION BY canon_url) <> doc_id AS is_dup
+    FROM sited
+    """
+
+
+# url_frontier: both engines construct the IDENTICAL messy url (shared SQL
+# fragment) and canonicalize with the same six regexp/array steps; the
+# decision table is the engine-wide min-id-keeper window
+ORACLE_SQL["url_frontier"] = _url_frontier_oracle()
 
 
 _ORACLE_SQL_FULL: dict | None = None
