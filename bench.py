@@ -122,6 +122,7 @@ def main():
         "kg_component_sizes",
         "winnow_fp",
         "url_frontier",
+        "kg_violations",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -2007,3 +2007,128 @@ def predicate_schema_oracle_sql(triples_sql: str, labels_sql: str) -> str:
                          AS BIGINT)) AS BIGINT) AS entropy_x1e6
     FROM tot GROUP BY pred, side
     """
+
+
+#: dominance share above which a (pred, side) slot is treated as an
+#: induced schema constraint (0.9 in fixed-point millionths)
+SCHEMA_MIN_SHARE_X1E6 = 900_000
+
+
+def schema_violations(triples: DataFrame, labels: DataFrame,
+                      min_share_x1e6: int = SCHEMA_MIN_SHARE_X1E6) -> DataFrame:
+    """Induced-constraint violation audit — the KG *cleaning* table the
+    schema profile feeds: a (pred, side) slot whose dominant type COVERS
+    ``min_share_x1e6`` of its labeled occurrences becomes an induced
+    constraint (``placed_by``'s subject is an ``order``), and every
+    triple-slot occurrence whose node is labeled but lacks the expected
+    type counts as a violation — the schema-based complement of the MDL
+    anomaly scorer (`operators/anomaly.py` ranks edges against learned
+    rules; this ranks them against induced type signatures, no model fit
+    needed).
+
+    Coverage, not pair share: multi-label nodes dilute the
+    :func:`predicate_schema` pair marginal (an ``order`` node carrying 3
+    labels caps any label's pair share at ~1/3), so the constraint test
+    here is "what fraction of labeled slot OCCURRENCES have this label"
+    — 1.0 for ``placed_by -> order`` however many other labels orders
+    carry.  Unlabeled slot nodes are excluded (no evidence either way);
+    ``n_checked`` counts labeled occurrences only.  The gate compares
+    multiplicatively (``c * 1e6 >= min_share * n``) so no truncating-div
+    rounding sits on the threshold edge.
+
+    Output: ``(pred, side, expected_label, n_checked, n_violations,
+    viol_rate_x1e6)`` — all integer, truncating-div rate.
+
+    100 TB shape: one grouped count per (pred, side, node) — corpus-scale
+    with map-side combine — then a node-key label join; everything after
+    runs on vocabulary-sized tables (per-label occurrence sums, a
+    window over ≤ |preds|×2×|labels| rows)."""
+    pairs = (
+        triples.select(
+            "pred",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("s").alias("side"), F.col("subj").alias("node")),
+                    F.struct(F.lit("o").alias("side"), F.col("obj").alias("node")),
+                )
+            ).alias("sn"),
+        )
+        .select("pred", F.col("sn.side").alias("side"), F.col("sn.node").alias("node"))
+    )
+    occ = pairs.groupBy("pred", "side", "node").agg(F.count("*").alias("k"))
+    per_label = (
+        occ.join(labels, "node")
+        .groupBy("pred", "side", "label")
+        .agg(F.sum("k").alias("c_occ"))
+    )
+    totals = (
+        occ.join(labels.select("node").distinct(), "node")
+        .groupBy("pred", "side")
+        .agg(F.sum("k").alias("n_checked"))
+    )
+    ranked = per_label.join(totals, ["pred", "side"]).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pred", "side").orderBy(
+                F.desc("c_occ"), F.asc("label")
+            )
+        ),
+    )
+    return (
+        ranked.where(
+            (F.col("rn") == 1)
+            & (F.col("c_occ") * 1_000_000 >= min_share_x1e6 * F.col("n_checked"))
+        )
+        .select(
+            "pred",
+            "side",
+            F.col("label").alias("expected_label"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            (F.col("n_checked") - F.col("c_occ")).cast("long").alias(
+                "n_violations"
+            ),
+            F.expr(
+                "CAST((n_checked - c_occ) * 1000000 div n_checked AS BIGINT)"
+            ).alias("viol_rate_x1e6"),
+        )
+    )
+
+
+def schema_violations_oracle_sql(triples_sql: str, labels_sql: str,
+                                 min_share_x1e6: int = SCHEMA_MIN_SHARE_X1E6) -> str:
+    """DuckDB replay of :func:`schema_violations`: identical occurrence
+    counting, coverage ranking, multiplicative gate, and truncating rate."""
+    return f"""
+    WITH t AS ({triples_sql}), l AS ({labels_sql}),
+    occ AS (
+        SELECT pred, side, node, COUNT(*) AS k FROM (
+            SELECT pred, 's' AS side, subj AS node FROM t
+            UNION ALL
+            SELECT pred, 'o' AS side, obj AS node FROM t
+        ) GROUP BY pred, side, node
+    ),
+    per_label AS (
+        SELECT o.pred, o.side, l.label, CAST(SUM(o.k) AS BIGINT) AS c_occ
+        FROM occ o JOIN l ON o.node = l.node
+        GROUP BY o.pred, o.side, l.label
+    ),
+    totals AS (
+        SELECT o.pred, o.side, CAST(SUM(o.k) AS BIGINT) AS n_checked
+        FROM occ o JOIN (SELECT DISTINCT node FROM l) ln ON o.node = ln.node
+        GROUP BY o.pred, o.side
+    ),
+    ranked AS (
+        SELECT p.pred, p.side, p.label, p.c_occ, t2.n_checked,
+               ROW_NUMBER() OVER (PARTITION BY p.pred, p.side
+                                  ORDER BY p.c_occ DESC, p.label) AS rn
+        FROM per_label p JOIN totals t2
+          ON p.pred = t2.pred AND p.side = t2.side
+    )
+    SELECT pred, side, label AS expected_label,
+           n_checked,
+           n_checked - c_occ AS n_violations,
+           CAST((n_checked - c_occ) * 1000000 // n_checked AS BIGINT)
+               AS viol_rate_x1e6
+    FROM ranked
+    WHERE rn = 1 AND c_occ * 1000000 >= {min_share_x1e6} * n_checked
+    """

@@ -1558,6 +1558,19 @@ def q_url_frontier(spark, sf_dir):
     return url_frontier_dedup(pages, url_col="url", id_col="doc_id")
 
 
+def q_kg_violations(spark, sf_dir):
+    """Induced-constraint violation audit over the PERTURBED KG snapshot
+    (the anomaly fixtures' noisy crawl): (pred, side) slots with a ≥0.9
+    dominant type become induced constraints; labeled slot nodes missing
+    the expected type count as violations — the schema-based complement
+    of the MDL anomaly scorer, no model fit needed."""
+    from kgist_spark.operators.graph import schema_violations
+
+    return schema_violations(
+        perturbed_triples(spark, sf_dir), derived_labels(spark, sf_dir)
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1651,6 +1664,7 @@ QUERIES = {
     "kg_component_sizes": q_kg_component_sizes,
     "winnow_fp": q_winnow_fp,
     "url_frontier": q_url_frontier,
+    "kg_violations": q_kg_violations,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3624,6 +3638,20 @@ def _url_frontier_oracle() -> str:
 # fragment) and canonicalize with the same six regexp/array steps; the
 # decision table is the engine-wide min-id-keeper window
 ORACLE_SQL["url_frontier"] = _url_frontier_oracle()
+
+
+def _kg_violations_oracle() -> str:
+    from kgist_spark.operators.graph import schema_violations_oracle_sql
+
+    return schema_violations_oracle_sql(
+        PERTURBED_TRIPLES_SQL, DERIVED_LABELS_SQL
+    )
+
+
+# kg_violations: constraints induced by the shared predicate_schema SQL
+# (share gate imported from the operator), probed with the identical
+# labeled-occurrence / expected-membership aggregation
+ORACLE_SQL["kg_violations"] = _kg_violations_oracle()
 
 
 _ORACLE_SQL_FULL: dict | None = None

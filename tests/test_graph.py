@@ -1034,3 +1034,64 @@ def test_predicate_schema_tiebreak_and_multilabel(spark):
     )
     out = predicate_schema(triples2, labels).collect()
     assert {(r["pred"], r["side"]) for r in out} == {("q", "o")}
+
+
+def test_schema_violations_hand_computed(spark):
+    """Constraints induce on occurrence COVERAGE (multi-label nodes don't
+    dilute), violations count labeled-but-wrong-typed slot occurrences,
+    unlabeled nodes are excluded, sub-gate slots emit nothing."""
+    from kgist_spark.operators.graph import schema_violations
+
+    triples = spark.createDataFrame(
+        # p: subjects o1, o1, o2 (all 'order'), one noise subject n1
+        [("o1", "p", "c1"), ("o1", "p", "c2"), ("o2", "p", "c1"),
+         ("n1", "p", "c2"),
+         # q: objects split 50/50 -> no constraint at 0.9
+         ("o1", "q", "c1"), ("o2", "q", "n1"),
+         # r: subject is an unlabeled ghost -> excluded, no totals row
+         ("ghost", "r", "c1")],
+        "subj string, pred string, obj string",
+    )
+    labels = spark.createDataFrame(
+        # orders carry a SECOND label (multi-label dilution trap)
+        [("o1", "order"), ("o1", "thing"), ("o2", "order"), ("o2", "thing"),
+         ("c1", "customer"), ("c2", "customer"), ("n1", "nation")],
+        "node string, label string",
+    )
+    out = {(r["pred"], r["side"]): r
+           for r in schema_violations(triples, labels).collect()}
+    # p/s: 4 labeled occurrences, 3 covered by 'order' -> below 0.9? 3/4
+    # = 0.75 < 0.9 -> NO constraint.  p/o: 4/4 'customer' -> constraint,
+    # zero violations.
+    assert ("p", "s") not in out
+    po = out[("p", "o")]
+    assert (po["expected_label"], po["n_checked"], po["n_violations"]) == (
+        "customer", 4, 0)
+    # q/o: c1 customer vs n1 nation -> 1/2 coverage, no constraint
+    assert ("q", "o") not in out
+    # r/s: ghost unlabeled -> no row at all; r/o is a clean constraint
+    assert ("r", "s") not in out
+    ro = out[("r", "o")]
+    assert ro["n_checked"] == 1 and ro["n_violations"] == 0
+
+
+def test_schema_violations_detects_noise(spark):
+    from kgist_spark.operators.graph import schema_violations
+
+    # 19 clean order subjects + 1 nation subject: coverage 19/20 = 0.95
+    # >= 0.9 -> constraint induced, the noise edge IS the violation
+    triples = spark.createDataFrame(
+        [(f"o{i}", "p", "c1") for i in range(19)] + [("n1", "p", "c1")],
+        "subj string, pred string, obj string",
+    )
+    labels = spark.createDataFrame(
+        [(f"o{i}", "order") for i in range(19)]
+        + [("n1", "nation"), ("c1", "customer")],
+        "node string, label string",
+    )
+    out = {(r["pred"], r["side"]): r
+           for r in schema_violations(triples, labels).collect()}
+    ps = out[("p", "s")]
+    assert ps["expected_label"] == "order"
+    assert (ps["n_checked"], ps["n_violations"]) == (20, 1)
+    assert ps["viol_rate_x1e6"] == 1_000_000 // 20
