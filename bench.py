@@ -123,6 +123,7 @@ def main():
         "winnow_fp",
         "url_frontier",
         "kg_violations",
+        "kg_diameter",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -2132,3 +2132,150 @@ def schema_violations_oracle_sql(triples_sql: str, labels_sql: str,
     FROM ranked
     WHERE rn = 1 AND c_occ * 1000000 >= {min_share_x1e6} * n_checked
     """
+
+
+def pseudo_diameter(edges: DataFrame, src: str = "a", dst: str = "b",
+                    rounds: int = 4,
+                    rows_per_partition: int = 200_000,
+                    broadcast_max_nodes: int = 2_000_000) -> DataFrame:
+    """Double-sweep pseudo-diameter (the classic 2-BFS lower bound,
+    Magnien/Latapy/Habib 2009): BFS from the minimum-id node, take its
+    farthest reachable node (the periphery), BFS again from there — the
+    second eccentricity is a diameter LOWER BOUND that is exact on trees
+    and empirically tight on web/social graphs.  The one-number "how
+    stretched is this KG" diagnostic next to the density family
+    (assortativity, clustering, degree stats).
+
+    Fixed ``rounds`` per sweep keeps the computation a pure dataflow
+    (the package's loop-oracle contract): each sweep's distances are
+    min-hop within ``rounds``, so the reported bound is
+    ``min(pseudo_diameter, rounds)`` — callers size ``rounds`` to the
+    expected radius exactly as the components/BFS queries do.  Farthest
+    selection orders ``(dist DESC, node)`` — deterministic tie-break,
+    replayed by the oracle.
+
+    Output: ONE row ``(start_node, ecc1, far_node, ecc2)`` where
+    ``ecc2`` is the pseudo-diameter bound.
+
+    Scale shape: two runs of the shared frontier loop (edge list
+    symmetrized, persisted and size-gate-broadcast exactly as
+    :func:`bfs_rounds`); the seed handoff between sweeps is a 1-row
+    TakeOrdered + broadcast join — no driver round-trip."""
+    spark = edges.sparkSession
+    sl = _symmetric_selfloop_edges(edges, src, dst).persist()
+    conf = spark.conf
+    old_width = conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_rows = sl.count()
+        width = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_rows // rows_per_partition),
+        ))
+        conf.set("spark.sql.shuffle.partitions", str(width))
+        nodes = sl.where("w = 0").select(F.col("u").alias("node"))
+        n_nodes = nodes.count()
+        bcast = n_nodes <= broadcast_max_nodes
+
+        def sweep(seed_df):
+            dist = seed_df.select(
+                "node", F.lit(0).cast("long").alias("dist")
+            ).localCheckpoint(eager=False)
+            for i in range(rounds):
+                d = dist.withColumnRenamed("node", "u")
+                if bcast:
+                    d = F.broadcast(d)
+                dist = (
+                    sl.join(d, "u")
+                    .groupBy(F.col("v").alias("node"))
+                    .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+                    .localCheckpoint(eager=i == rounds - 1)
+                )
+            return dist
+
+        def farthest(dist_df):
+            return (
+                dist_df.orderBy(F.desc("dist"), F.asc("node"))
+                .limit(1)
+                .localCheckpoint()
+            )
+
+        start = nodes.agg(F.min("node").alias("node"))
+        d1 = sweep(start)
+        far1 = farthest(d1)  # (node, dist) = (far_node, ecc1)
+        d2 = sweep(far1.select("node"))
+        far2 = farthest(d2)
+        return (
+            start.select(F.col("node").alias("start_node"))
+            .crossJoin(
+                far1.select(
+                    F.col("dist").alias("ecc1"), F.col("node").alias("far_node")
+                )
+            )
+            .crossJoin(far2.select(F.col("dist").alias("ecc2")))
+            .select("start_node", "ecc1", "far_node", "ecc2")
+        )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_width)
+        sl.unpersist()
+
+
+def pseudo_diameter_oracle_sql(edges_sql: str, rounds: int = 4,
+                               src: str = "a", dst: str = "b") -> str:
+    """DuckDB replay of :func:`pseudo_diameter`: the two fixed-round
+    sweeps unrolled as MATERIALIZED CTE chains, seed handoff via the
+    identical ``(dist DESC, node)`` 1-row selection."""
+    ctes = [
+        f"e_in AS MATERIALIZED ({edges_sql})",
+        f"""und AS MATERIALIZED (
+        SELECT {src} AS u, {dst} AS v, 1 AS w FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {dst}, {src}, 1 FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {src}, {src}, 0 FROM e_in WHERE {src} != {dst}
+        UNION
+        SELECT {dst}, {dst}, 0 FROM e_in WHERE {src} != {dst}
+    )""",
+        """d0 AS (
+        SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS dist FROM und
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT e.v AS node, MIN(d.dist + e.w) AS dist
+        FROM und e JOIN d{i - 1} d ON d.node = e.u
+        GROUP BY e.v
+    )"""
+        )
+    ctes.append(
+        f"""far1 AS (
+        SELECT node, dist FROM d{rounds} ORDER BY dist DESC, node LIMIT 1
+    )""",
+    )
+    ctes.append(
+        """s0 AS (
+        SELECT node, CAST(0 AS BIGINT) AS dist FROM far1
+    )"""
+    )
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+        SELECT e.v AS node, MIN(d.dist + e.w) AS dist
+        FROM und e JOIN s{i - 1} d ON d.node = e.u
+        GROUP BY e.v
+    )"""
+        )
+    ctes.append(
+        f"""far2 AS (
+        SELECT node, dist FROM s{rounds} ORDER BY dist DESC, node LIMIT 1
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT (SELECT MIN(u) FROM und) AS start_node,
+           (SELECT dist FROM far1) AS ecc1,
+           (SELECT node FROM far1) AS far_node,
+           (SELECT dist FROM far2) AS ecc2
+    """
+    )

@@ -1571,6 +1571,25 @@ def q_kg_violations(spark, sf_dir):
     )
 
 
+#: pseudo-diameter sweep depth — sized to the derived KG's radius (the
+#: customer-order-part-supplier chain is ~6 hops end to end)
+_PD_ROUNDS = 6
+
+
+def q_kg_diameter(spark, sf_dir):
+    """Double-sweep pseudo-diameter of the derived KG: BFS from the
+    min-id node, re-BFS from its periphery — the classic 2-sweep
+    diameter lower bound (exact on trees, tight on web graphs), bounded
+    by the fixed sweep depth per the package's loop-oracle contract."""
+    from kgist_spark.operators.graph import pseudo_diameter
+
+    t = derived_triples(spark, sf_dir)
+    return pseudo_diameter(
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b")),
+        rounds=_PD_ROUNDS,
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1665,6 +1684,7 @@ QUERIES = {
     "winnow_fp": q_winnow_fp,
     "url_frontier": q_url_frontier,
     "kg_violations": q_kg_violations,
+    "kg_diameter": q_kg_diameter,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3652,6 +3672,17 @@ def _kg_violations_oracle() -> str:
 # (share gate imported from the operator), probed with the identical
 # labeled-occurrence / expected-membership aggregation
 ORACLE_SQL["kg_violations"] = _kg_violations_oracle()
+
+
+def _kg_diameter_oracle() -> str:
+    from kgist_spark.operators.graph import pseudo_diameter_oracle_sql
+
+    return pseudo_diameter_oracle_sql(_DERIVED_AB_SQL, rounds=_PD_ROUNDS)
+
+
+# kg_diameter: both sweeps unrolled as materialized CTE chains; the seed
+# handoff replays the identical (dist DESC, node) 1-row selection
+ORACLE_SQL["kg_diameter"] = _kg_diameter_oracle()
 
 
 _ORACLE_SQL_FULL: dict | None = None

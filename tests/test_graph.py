@@ -1095,3 +1095,34 @@ def test_schema_violations_detects_noise(spark):
     assert ps["expected_label"] == "order"
     assert (ps["n_checked"], ps["n_violations"]) == (20, 1)
     assert ps["viol_rate_x1e6"] == 1_000_000 // 20
+
+
+def test_pseudo_diameter_path_graph(spark):
+    """On a path a-b-c-d-e the double sweep finds the TRUE diameter (4)
+    even though the start node sits mid-path by id order."""
+    from kgist_spark.operators.graph import pseudo_diameter
+
+    edges = spark.createDataFrame(
+        [("c", "b"), ("b", "a"), ("c", "d"), ("d", "e")],
+        "a string, b string",
+    )
+    r = pseudo_diameter(edges, rounds=5).collect()[0]
+    # start = min id 'a' (an endpoint): ecc1 = 4 reaching 'e'; second
+    # sweep from 'e' confirms 4
+    assert (r["start_node"], r["ecc1"], r["far_node"], r["ecc2"]) == (
+        "a", 4, "e", 4)
+
+
+def test_pseudo_diameter_round_bound_and_tiebreak(spark):
+    from kgist_spark.operators.graph import pseudo_diameter
+
+    # star: center 'm' with leaves p,q,r -> diameter 2; rounds=1 caps the
+    # bound at 1 and the farthest tie (all dist 1) breaks to min node id
+    edges = spark.createDataFrame(
+        [("m", "p"), ("m", "q"), ("m", "r")], "a string, b string"
+    )
+    r1 = pseudo_diameter(edges, rounds=1).collect()[0]
+    assert r1["start_node"] == "m"
+    assert r1["ecc1"] == 1 and r1["far_node"] == "p" and r1["ecc2"] == 1
+    r2 = pseudo_diameter(edges, rounds=3).collect()[0]
+    assert r2["ecc2"] == 2  # true diameter once rounds cover it
