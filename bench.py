@@ -124,6 +124,7 @@ def main():
         "url_frontier",
         "kg_violations",
         "kg_diameter",
+        "hash_split",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -271,3 +271,59 @@ def priority_sample(df: DataFrame, k: int, weight_col: str,
             .alias("est_weight"),
         )
     )
+
+
+def hash_split(df: DataFrame, key_col: str,
+               fractions: "list[tuple[str, float]]" = (
+                   ("train", 0.98), ("val", 0.01), ("test", 0.01)),
+               salt: str = "") -> DataFrame:
+    """Deterministic disjoint-and-complete train/val/test assignment —
+    the split every training pipeline needs, with the properties random
+    splits lose at scale: a row's split is a pure function of
+    ``(salt, key)`` (stable under repartitioning, retries, engine swaps,
+    and INCREMENTAL growth — new crawl batches land in the same splits
+    without touching old rows), splits are exactly disjoint and cover
+    every row (interval partition of one hash space, unlike independent
+    per-split `hash_gate` draws which can double-assign or drop), and
+    leakage checks reduce to key equality.
+
+    ``fractions`` is an ordered ``(name, fraction)`` list; each split
+    owns the half-open md5-prefix interval of cumulative width, the LAST
+    split absorbing the remainder (so fractions need not sum to 1.0
+    exactly).  Output: every input row as ``(key, split)``.
+
+    100 TB shape: one zero-shuffle codegen projection — no sampling
+    state, no count pass, nothing to coordinate."""
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    prefix = F.substring(F.md5(key), 1, 8)
+    cum = 0.0
+    expr = None
+    cases = []
+    for name, frac in list(fractions)[:-1]:
+        cum += frac
+        cases.append((rate_threshold(cum), name))
+    expr = F.lit(list(fractions)[-1][0])
+    for thr, name in reversed(cases):
+        expr = F.when(prefix < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.select(F.col(key_col), expr.alias("split"))
+
+
+def hash_split_oracle_sql(table: str, key_col: str,
+                          fractions: "list[tuple[str, float]]" = (
+                              ("train", 0.98), ("val", 0.01), ("test", 0.01)),
+                          salt: str = "") -> str:
+    """DuckDB replay of :func:`hash_split`: identical md5 prefix,
+    identical cumulative string thresholds, identical last-split
+    remainder."""
+    cum, whens = 0.0, []
+    for name, frac in list(fractions)[:-1]:
+        cum += frac
+        whens.append(
+            f"WHEN substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8)"
+            f" < '{rate_threshold(cum)}' THEN '{name}'"
+        )
+    last = list(fractions)[-1][0]
+    return (
+        f"SELECT {key_col}, CASE {' '.join(whens)} ELSE '{last}' END AS split"
+        f" FROM {table}"
+    )

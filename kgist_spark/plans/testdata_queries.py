@@ -1590,6 +1590,17 @@ def q_kg_diameter(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic disjoint-and-complete train/val/test split: each doc
+    assigned by its md5-interval — stable under repartitioning and
+    incremental corpus growth, exactly disjoint (one hash space
+    partitioned, not independent per-split draws)."""
+    from kgist_spark.operators.sampling import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"), "doc_id",
+                      salt=_MIX_SALT)
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1685,6 +1696,7 @@ QUERIES = {
     "url_frontier": q_url_frontier,
     "kg_violations": q_kg_violations,
     "kg_diameter": q_kg_diameter,
+    "hash_split": q_hash_split,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3683,6 +3695,17 @@ def _kg_diameter_oracle() -> str:
 # kg_diameter: both sweeps unrolled as materialized CTE chains; the seed
 # handoff replays the identical (dist DESC, node) 1-row selection
 ORACLE_SQL["kg_diameter"] = _kg_diameter_oracle()
+
+
+def _hash_split_oracle() -> str:
+    from kgist_spark.operators.sampling import hash_split_oracle_sql
+
+    return hash_split_oracle_sql("documents", "doc_id", salt=_MIX_SALT)
+
+
+# hash_split: identical md5 prefix + cumulative string thresholds
+# (thresholds generated by the SAME rate_threshold the operator uses)
+ORACLE_SQL["hash_split"] = _hash_split_oracle()
 
 
 _ORACLE_SQL_FULL: dict | None = None

@@ -319,3 +319,40 @@ def test_pack_layout_stream_is_gapless(spark):
     for start, n in got:
         assert start == pos
         pos += n
+
+
+def test_hash_split_disjoint_complete_stable(spark):
+    """Every row lands in exactly one split; fractions approximate; the
+    assignment of old keys is unchanged when the corpus grows."""
+    from kgist_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = hash_split(df, "doc_id", [("train", 0.8), ("val", 0.1),
+                                    ("test", 0.1)], salt="s1")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 2000  # complete, one row each
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 1400 < c["train"] < 1850  # ~1600 expected, generous band
+    # growth stability: the first 1000 keys keep their splits exactly
+    small = hash_split(
+        spark.createDataFrame([(i,) for i in range(1000)], "doc_id long"),
+        "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], salt="s1",
+    )
+    assert all(rows[r["doc_id"]] == r["split"] for r in small.collect())
+
+
+def test_hash_split_salt_and_remainder(spark):
+    from kgist_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["split"]
+         for r in hash_split(df, "doc_id", salt="a").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df, "doc_id", salt="b").collect()}
+    assert a != b  # salt reshuffles the assignment
+    # degenerate fractions: last split absorbs the remainder
+    only = hash_split(df, "doc_id", [("all", 1.0)], salt="x")
+    assert {r["split"] for r in only.collect()} == {"all"}
