@@ -125,6 +125,7 @@ def main():
         "kg_violations",
         "kg_diameter",
         "hash_split",
+        "postings",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

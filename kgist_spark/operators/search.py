@@ -226,3 +226,89 @@ def bm25_topk_oracle_sql(terms: list[str], k: int = 10,
     ORDER BY bm25 DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", max_postings: int = 64,
+                   min_df: int = 2) -> DataFrame:
+    """Inverted-index postings materialization — the artifact a search
+    engine actually BUILDS (BM25 above scores against corpus stats on the
+    fly; a served index stores per-term posting lists): one row per term
+    with its true document frequency ``df``, collection frequency ``cf``
+    (total occurrences), and a doc-id posting list CAPPED at
+    ``max_postings`` entries ('|'-joined ascending ids).  ``n_kept``
+    rides beside ``df`` so a reader always sees when the cap truncated
+    (the no-silent-caps contract); ``min_df`` drops hapax terms, the
+    standard index-size guard.
+
+    Determinism: the cap keeps the ``max_postings`` SMALLEST doc ids
+    (explicit rank order, ties impossible on distinct ids) and the list
+    serializes in that same order — byte-replayable by ``string_agg``.
+
+    100 TB shape: the (term, doc) table distinct-collapses map-side
+    (same as every df computation in this package); the cap is a
+    rank-filter BEFORE any list materializes (`row_number` is sort-based
+    and spillable, so a stopword's corpus-sized partition streams through
+    the sort rather than buffering — the kg_sentences hub-OOM dodge) and
+    ``collect_list`` only ever sees ≤ ``max_postings`` rows per term."""
+    from pyspark.sql.window import Window
+
+    from kgist_spark.operators.text import tokens
+
+    td = (
+        docs.select(F.col(id_col).alias("doc"),
+                    F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = td.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+    ).where(F.col("df") >= min_df)
+    w = Window.partitionBy("term").orderBy(F.asc("doc"))
+    kept = (
+        td.join(stats.select("term"), "term", "leftsemi")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_postings)
+    )
+    lists = kept.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(doc))),"
+            " s -> CAST(s.doc AS STRING)), '|')"
+        ).alias("postings"),
+    )
+    return stats.join(lists, "term").select(
+        "term", "df", "cf", "n_kept", "postings"
+    )
+
+
+def postings_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                        max_postings: int = 64, min_df: int = 2) -> str:
+    """DuckDB replay of :func:`build_postings`: identical whitespace
+    tokens, identical smallest-ids cap, identical '|' serialization."""
+    return rf"""
+    WITH td AS (
+        SELECT term, doc, COUNT(*) AS tf FROM (
+            SELECT {id_col} AS doc,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+            FROM {table}
+        ) GROUP BY term, doc
+    ),
+    stats AS (
+        SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+        FROM td GROUP BY term HAVING COUNT(*) >= {min_df}
+    ),
+    ranked AS (
+        SELECT t.term, t.doc,
+               ROW_NUMBER() OVER (PARTITION BY t.term ORDER BY t.doc) AS rn
+        FROM td t JOIN stats s ON t.term = s.term
+    ),
+    lists AS (
+        SELECT term, COUNT(*) AS n_kept,
+               string_agg(CAST(doc AS VARCHAR), '|' ORDER BY doc) AS postings
+        FROM ranked WHERE rn <= {max_postings} GROUP BY term
+    )
+    SELECT s.term, s.df, s.cf, l.n_kept, l.postings
+    FROM stats s JOIN lists l ON s.term = l.term
+    """

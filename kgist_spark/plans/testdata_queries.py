@@ -1601,6 +1601,16 @@ def q_hash_split(spark, sf_dir):
                       salt=_MIX_SALT)
 
 
+def q_postings(spark, sf_dir):
+    """Inverted-index postings materialization: per-term df/cf + a
+    64-entry smallest-id posting list with n_kept truncation visibility
+    — the artifact a served search index stores (bm25_topk scores
+    against stats on the fly; this is the build step)."""
+    from kgist_spark.operators.search import build_postings
+
+    return build_postings(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1697,6 +1707,7 @@ QUERIES = {
     "kg_violations": q_kg_violations,
     "kg_diameter": q_kg_diameter,
     "hash_split": q_hash_split,
+    "postings": q_postings,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3706,6 +3717,17 @@ def _hash_split_oracle() -> str:
 # hash_split: identical md5 prefix + cumulative string thresholds
 # (thresholds generated by the SAME rate_threshold the operator uses)
 ORACLE_SQL["hash_split"] = _hash_split_oracle()
+
+
+def _postings_oracle() -> str:
+    from kgist_spark.operators.search import postings_oracle_sql
+
+    return postings_oracle_sql()
+
+
+# postings: identical tokens, identical smallest-ids cap, identical '|'
+# string serialization (string_agg ORDER BY == sorted-struct array_join)
+ORACLE_SQL["postings"] = _postings_oracle()
 
 
 _ORACLE_SQL_FULL: dict | None = None

@@ -111,3 +111,32 @@ def test_tfidf_no_per_doc_collect_list_in_plan(spark):
     plan = (tfidf_top_terms(df)._jdf.queryExecution().executedPlan()
             .toString())
     assert "collect_list" not in plan and "collect_set" not in plan
+
+
+def test_build_postings_hand_computed(spark):
+    from kgist_spark.operators.search import build_postings
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "banana cherry"),
+         (3, "apple banana banana")],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in build_postings(docs, min_df=2).collect()}
+    # hapax 'cherry' dropped by min_df
+    assert set(rows) == {"apple", "banana"}
+    a = rows["apple"]
+    assert (a["df"], a["cf"], a["n_kept"], a["postings"]) == (2, 3, 2, "1|3")
+    b = rows["banana"]
+    assert (b["df"], b["cf"], b["n_kept"], b["postings"]) == (3, 4, 3, "1|2|3")
+
+
+def test_build_postings_cap_keeps_smallest_ids(spark):
+    from kgist_spark.operators.search import build_postings
+
+    docs = spark.createDataFrame(
+        [(i, "common") for i in range(10)], "doc_id long, text string"
+    )
+    r = build_postings(docs, max_postings=3, min_df=2).collect()[0]
+    # df stays TRUE (10) while the list caps at the 3 smallest ids
+    assert (r["df"], r["n_kept"], r["postings"]) == (10, 3, "0|1|2")
