@@ -126,6 +126,7 @@ def main():
         "kg_diameter",
         "hash_split",
         "postings",
+        "lang_confusion",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

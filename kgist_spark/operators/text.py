@@ -354,3 +354,37 @@ def pmi_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .orderBy(F.col("pmi_x1e6").desc(), "a", "b")
         .limit(k)
     )
+
+
+def lang_confusion(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Language-ID confusion matrix — the model-eval QA table for the
+    :func:`lang_id_scores` classifier against the corpus's ground-truth
+    language column: ``(lang, pred_lang, n, share_of_true_x1e6)`` where
+    the share is the row-normalized fraction of each TRUE language's
+    documents landing on each prediction (the diagonal is per-class
+    recall).  Languages outside the classifier's profile set (e.g. ``es``
+    here) show exactly where their mass false-positives to — the table a
+    pipeline reads before trusting a lang filter.
+
+    Scale shape: the classifier is an in-row projection; the matrix
+    collapses map-side to ≤ |langs|² rows and the normalizing window runs
+    on that vocabulary-sized table."""
+    from pyspark.sql.window import Window  # noqa: F401 (doc parity)
+
+    pred = lang_id_scores(docs, id_col, text_col).select(
+        F.col(id_col), "pred_lang"
+    )
+    j = docs.select(F.col(id_col), F.col(lang_col).alias("lang")).join(
+        pred, id_col
+    )
+    ct = j.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    return ct.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 div sum(n) over (partition by lang) AS BIGINT)"
+        ).alias("share_of_true_x1e6"),
+    )

@@ -1611,6 +1611,16 @@ def q_postings(spark, sf_dir):
     return build_postings(_t(spark, sf_dir, "documents"))
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix vs the corpus ground truth: per true
+    language, where its documents land under the function-word
+    classifier (diagonal = recall) — the QA table read before trusting
+    a lang filter."""
+    from kgist_spark.operators.text import lang_confusion
+
+    return lang_confusion(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1708,6 +1718,7 @@ QUERIES = {
     "kg_diameter": q_kg_diameter,
     "hash_split": q_hash_split,
     "postings": q_postings,
+    "lang_confusion": q_lang_confusion,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3728,6 +3739,36 @@ def _postings_oracle() -> str:
 # postings: identical tokens, identical smallest-ids cap, identical '|'
 # string serialization (string_agg ORDER BY == sorted-struct array_join)
 ORACLE_SQL["postings"] = _postings_oracle()
+
+
+# lang_confusion: the lang_id oracle (identical scores + profile-order
+# tie-break) aggregated to the row-normalized matrix
+ORACLE_SQL["lang_confusion"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    s AS (
+        SELECT doc_id,
+            round(CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(t), 5) AS score_en,
+            round(CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS DOUBLE) / len(t), 5) AS score_de,
+            round(CAST(len(list_filter(t, x -> list_contains(['le','la','et','les','des','est'], x))) AS DOUBLE) / len(t), 5) AS score_fr
+        FROM toks
+    ),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN score_fr > greatest(score_en, score_de) THEN 'fr'
+                    WHEN score_de > score_en THEN 'de'
+                    ELSE 'en' END AS pred_lang
+        FROM s
+    ),
+    c AS (
+        SELECT d.lang, p.pred_lang, COUNT(*) AS n
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.pred_lang
+    )
+    SELECT lang, pred_lang, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+               AS share_of_true_x1e6
+    FROM c
+"""
 
 
 _ORACLE_SQL_FULL: dict | None = None

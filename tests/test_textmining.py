@@ -305,3 +305,25 @@ def test_winnow_density_bound(spark):
     r = winnow_fingerprints(docs).collect()[0]
     assert r["n_grams"] == 196
     assert 0 < r["n_fp"] < r["n_grams"] // 2
+
+
+def test_lang_confusion_hand_computed(spark):
+    """Row-normalized confusion: diagonal = recall; off-profile truth
+    langs show where their mass lands."""
+    from kgist_spark.operators.text import lang_confusion
+
+    docs = spark.createDataFrame(
+        [("1", "the cat of the house", "en"),
+         ("2", "the dog and the bird", "en"),
+         ("3", "der hund ist nicht da", "de"),
+         ("4", "hola que tal amigos bien", "es")],  # no profile hits -> en
+        "doc_id string, text string, lang string",
+    )
+    rows = {(r["lang"], r["pred_lang"]): r
+            for r in lang_confusion(docs).collect()}
+    assert rows[("en", "en")]["n"] == 2
+    assert rows[("en", "en")]["share_of_true_x1e6"] == 1_000_000
+    assert rows[("de", "de")]["n"] == 1
+    # zero-hit text defaults to 'en' (profile-order tie-break)
+    assert rows[("es", "en")]["n"] == 1
+    assert set(rows) == {("en", "en"), ("de", "de"), ("es", "en")}
