@@ -127,6 +127,7 @@ def main():
         "hash_split",
         "postings",
         "lang_confusion",
+        "kg_negatives",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -1621,6 +1621,16 @@ def q_lang_confusion(spark, sf_dir):
     return lang_confusion(_t(spark, sf_dir, "documents"))
 
 
+def q_kg_negatives(spark, sf_dir):
+    """Filtered corrupt-tail negative sampling over the derived KG: two
+    deterministic md5 tail draws per triple from a densely-indexed node
+    set (two-phase prefix-sum index, no global window), true-edge
+    corruptions filtered — the KG-embedding training-pair generator."""
+    from kgist_spark.operators.graph import negative_samples
+
+    return negative_samples(derived_triples(spark, sf_dir), n_neg=2)
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1719,6 +1729,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "postings": q_postings,
     "lang_confusion": q_lang_confusion,
+    "kg_negatives": q_kg_negatives,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3739,6 +3750,18 @@ def _postings_oracle() -> str:
 # postings: identical tokens, identical smallest-ids cap, identical '|'
 # string serialization (string_agg ORDER BY == sorted-struct array_join)
 ORACLE_SQL["postings"] = _postings_oracle()
+
+
+def _kg_negatives_oracle() -> str:
+    from kgist_spark.operators.graph import negative_samples_oracle_sql
+
+    return negative_samples_oracle_sql(DERIVED_TRIPLES_SQL, n_neg=2)
+
+
+# kg_negatives: the oracle's single global ROW_NUMBER index is what the
+# two-phase distributed index must reproduce; draws + filtered anti-join
+# replay verbatim
+ORACLE_SQL["kg_negatives"] = _kg_negatives_oracle()
 
 
 # lang_confusion: the lang_id oracle (identical scores + profile-order

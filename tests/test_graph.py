@@ -1126,3 +1126,49 @@ def test_pseudo_diameter_round_bound_and_tiebreak(spark):
     assert r1["ecc1"] == 1 and r1["far_node"] == "p" and r1["ecc2"] == 1
     r2 = pseudo_diameter(edges, rounds=3).collect()[0]
     assert r2["ecc2"] == 2  # true diameter once rounds cover it
+
+
+def test_dense_node_index_matches_global_window(spark):
+    """The two-phase md5-prefix index reproduces the single global
+    ROW_NUMBER (pinned at several bucket granularities)."""
+    import hashlib
+
+    from kgist_spark.operators.graph import _dense_node_index
+
+    names = [f"node{i:03d}" for i in range(300)]
+    want = {
+        n: i
+        for i, n in enumerate(sorted(
+            names, key=lambda n: (hashlib.md5(("s" + n).encode()).hexdigest(), n)
+        ))
+    }
+    nodes = spark.createDataFrame([(n,) for n in names], "node string")
+    for bh in (1, 2, 3):
+        got = {r["node"]: r["idx"]
+               for r in _dense_node_index(nodes, "s", bucket_hex=bh).collect()}
+        assert got == want, bh
+
+
+def test_negative_samples_properties(spark):
+    """Draws are deterministic, tails come from the node set, true-edge
+    corruptions are filtered, drops are visible as missing k_idx."""
+    from kgist_spark.operators.graph import negative_samples
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("b", "q", "c"), ("c", "p", "d")],
+        "subj string, pred string, obj string",
+    )
+    out1 = sorted(map(tuple, negative_samples(triples, n_neg=3).collect()))
+    out2 = sorted(map(tuple, negative_samples(triples, n_neg=3).collect()))
+    assert out1 == out2  # bit-deterministic
+    nodes = {"a", "b", "c", "d"}
+    true = {("a", "p", "b"), ("a", "p", "c"), ("b", "q", "c"), ("c", "p", "d")}
+    assert out1, "some negatives must survive"
+    for s, p, o, k, neg in out1:
+        assert neg in nodes
+        assert (s, p, neg) not in true  # filtered protocol
+        assert 1 <= k <= 3
+    # a different salt yields a different (still valid) draw sequence
+    other = sorted(map(tuple,
+                       negative_samples(triples, n_neg=3, salt="x").collect()))
+    assert other != out1
