@@ -128,6 +128,7 @@ def main():
         "postings",
         "lang_confusion",
         "kg_negatives",
+        "kg_pivot_scc",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -1631,6 +1631,21 @@ def q_kg_negatives(spark, sf_dir):
     return negative_samples(derived_triples(spark, sf_dir), n_neg=2)
 
 
+def q_kg_pivot_scc(spark, sf_dir):
+    """The min-id pivot node's strongly connected component of the
+    DIRECTED derived KG (forward ∩ backward bounded reachability — the
+    FW-BW step at the one pivot that needs no recursion): the
+    mutual-reachability core the undirected components family can't
+    see."""
+    from kgist_spark.operators.graph import pivot_scc
+
+    t = derived_triples(spark, sf_dir)
+    return pivot_scc(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        rounds=_PD_ROUNDS,
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1730,6 +1745,7 @@ QUERIES = {
     "postings": q_postings,
     "lang_confusion": q_lang_confusion,
     "kg_negatives": q_kg_negatives,
+    "kg_pivot_scc": q_kg_pivot_scc,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3762,6 +3778,20 @@ def _kg_negatives_oracle() -> str:
 # two-phase distributed index must reproduce; draws + filtered anti-join
 # replay verbatim
 ORACLE_SQL["kg_negatives"] = _kg_negatives_oracle()
+
+
+def _kg_pivot_scc_oracle() -> str:
+    from kgist_spark.operators.graph import pivot_scc_oracle_sql
+
+    return pivot_scc_oracle_sql(
+        f"SELECT subj AS src, obj AS dst FROM ({DERIVED_TRIPLES_SQL})",
+        rounds=_PD_ROUNDS,
+    )
+
+
+# kg_pivot_scc: both directed sweeps unrolled as materialized CTE chains
+# over the identical self-loop-augmented edge list
+ORACLE_SQL["kg_pivot_scc"] = _kg_pivot_scc_oracle()
 
 
 # lang_confusion: the lang_id oracle (identical scores + profile-order
