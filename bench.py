@@ -129,6 +129,7 @@ def main():
         "lang_confusion",
         "kg_negatives",
         "kg_pivot_scc",
+        "kg_schema_drift",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -2545,3 +2545,85 @@ def pivot_scc_oracle_sql(edges_sql: str, rounds: int = 4,
     FROM f{rounds} f JOIN b{rounds} b ON f.node = b.node
     """
     )
+
+
+def schema_drift(old_triples: DataFrame, new_triples: DataFrame,
+                 labels: DataFrame) -> DataFrame:
+    """Schema-profile drift between two KG snapshots — the alarm table
+    :func:`predicate_schema`'s docstring promises ("a predicate whose
+    domain entropy jumps between snapshots is the classic extractor
+    -drift signal"), materialized: both snapshots profiled with the SAME
+    label table, full-outer-joined per (pred, side), emitting the
+    entropy delta and whether the dominant type CHANGED (the hard alarm:
+    the slot's induced constraint flipped).
+
+    ``status`` ∈ {'both', 'old_only', 'new_only'} keeps one-sided slots
+    visible (a vanished predicate is itself drift); their numeric fields
+    carry the sentinel ``-1`` / empty-string tops and ``d_entropy = 0``
+    so every column stays NULL-free integer/string (a NULL int goes
+    float through pandas — the funnel lesson, applied engine-wide).
+
+    Scale shape: two runs of the schema profile (each one explode + one
+    node join + vocabulary-sized rollups); the drift join itself runs on
+    two ≤ |preds|×2 tables."""
+    o = predicate_schema(old_triples, labels).select(
+        "pred", "side",
+        F.col("entropy_x1e6").alias("old_entropy_x1e6"),
+        F.col("top_label").alias("old_top"),
+    )
+    n = predicate_schema(new_triples, labels).select(
+        "pred", "side",
+        F.col("entropy_x1e6").alias("new_entropy_x1e6"),
+        F.col("top_label").alias("new_top"),
+    )
+    j = o.join(n, ["pred", "side"], "full_outer")
+    both = F.col("old_entropy_x1e6").isNotNull() & F.col(
+        "new_entropy_x1e6"
+    ).isNotNull()
+    return j.select(
+        "pred", "side",
+        F.when(both, F.lit("both"))
+        .when(F.col("old_entropy_x1e6").isNotNull(), F.lit("old_only"))
+        .otherwise(F.lit("new_only")).alias("status"),
+        F.coalesce("old_entropy_x1e6", F.lit(-1)).cast("long").alias(
+            "old_entropy_x1e6"),
+        F.coalesce("new_entropy_x1e6", F.lit(-1)).cast("long").alias(
+            "new_entropy_x1e6"),
+        F.when(both, F.col("new_entropy_x1e6") - F.col("old_entropy_x1e6"))
+        .otherwise(F.lit(0)).cast("long").alias("d_entropy_x1e6"),
+        F.coalesce("old_top", F.lit("")).alias("old_top"),
+        F.coalesce("new_top", F.lit("")).alias("new_top"),
+        (both & (F.col("old_top") != F.col("new_top"))).alias("top_changed"),
+    )
+
+
+def schema_drift_oracle_sql(old_sql: str, new_sql: str,
+                            labels_sql: str) -> str:
+    """DuckDB replay of :func:`schema_drift`: two
+    :func:`predicate_schema_oracle_sql` profiles full-outer-joined with
+    the identical sentinel/COALESCE discipline."""
+    o = predicate_schema_oracle_sql(old_sql, labels_sql)
+    n = predicate_schema_oracle_sql(new_sql, labels_sql)
+    return f"""
+    WITH o AS ({o}), n AS ({n}),
+    j AS (
+        SELECT COALESCE(o.pred, n.pred) AS pred,
+               COALESCE(o.side, n.side) AS side,
+               o.entropy_x1e6 AS oe, n.entropy_x1e6 AS ne,
+               o.top_label AS ot, n.top_label AS nt
+        FROM o FULL OUTER JOIN n
+          ON o.pred = n.pred AND o.side = n.side
+    )
+    SELECT pred, side,
+           CASE WHEN oe IS NOT NULL AND ne IS NOT NULL THEN 'both'
+                WHEN oe IS NOT NULL THEN 'old_only'
+                ELSE 'new_only' END AS status,
+           CAST(COALESCE(oe, -1) AS BIGINT) AS old_entropy_x1e6,
+           CAST(COALESCE(ne, -1) AS BIGINT) AS new_entropy_x1e6,
+           CAST(CASE WHEN oe IS NOT NULL AND ne IS NOT NULL
+                     THEN ne - oe ELSE 0 END AS BIGINT) AS d_entropy_x1e6,
+           COALESCE(ot, '') AS old_top,
+           COALESCE(nt, '') AS new_top,
+           (oe IS NOT NULL AND ne IS NOT NULL AND ot <> nt) AS top_changed
+    FROM j
+    """

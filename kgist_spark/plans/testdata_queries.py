@@ -1646,6 +1646,19 @@ def q_kg_pivot_scc(spark, sf_dir):
     )
 
 
+def q_kg_schema_drift(spark, sf_dir):
+    """Schema-profile drift between the clean and perturbed KG snapshots:
+    per-(pred, side) entropy delta + dominant-type-flip alarm — the
+    extractor-drift monitoring table the schema profile feeds."""
+    from kgist_spark.operators.graph import schema_drift
+
+    return schema_drift(
+        derived_triples(spark, sf_dir),
+        perturbed_triples(spark, sf_dir),
+        derived_labels(spark, sf_dir),
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1746,6 +1759,7 @@ QUERIES = {
     "lang_confusion": q_lang_confusion,
     "kg_negatives": q_kg_negatives,
     "kg_pivot_scc": q_kg_pivot_scc,
+    "kg_schema_drift": q_kg_schema_drift,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3792,6 +3806,20 @@ def _kg_pivot_scc_oracle() -> str:
 # kg_pivot_scc: both directed sweeps unrolled as materialized CTE chains
 # over the identical self-loop-augmented edge list
 ORACLE_SQL["kg_pivot_scc"] = _kg_pivot_scc_oracle()
+
+
+def _kg_schema_drift_oracle() -> str:
+    from kgist_spark.operators.graph import schema_drift_oracle_sql
+
+    return schema_drift_oracle_sql(
+        DERIVED_TRIPLES_SQL, PERTURBED_TRIPLES_SQL, DERIVED_LABELS_SQL
+    )
+
+
+# kg_schema_drift: two shared predicate_schema profiles full-outer-joined
+# with identical sentinel/COALESCE discipline (NULL-free columns — the
+# funnel pandas lesson)
+ORACLE_SQL["kg_schema_drift"] = _kg_schema_drift_oracle()
 
 
 # lang_confusion: the lang_id oracle (identical scores + profile-order

@@ -1202,3 +1202,40 @@ def test_pivot_scc_round_bound(spark):
     bounded = {r["node"] for r in pivot_scc(edges, rounds=2).collect()}
     # fwd within 2: n0,n1,n2; bwd within 2: n0,n4,n3 -> intersection n0
     assert bounded == {"n0"}
+
+
+def test_schema_drift_hand_computed(spark):
+    """Matched slots report the entropy delta and top flips; one-sided
+    slots stay visible with NULL-free sentinels."""
+    from kgist_spark.operators.graph import predicate_schema, schema_drift
+
+    labels = spark.createDataFrame(
+        [("a", "T1"), ("b", "T1"), ("c", "T2"), ("x", "TX")],
+        "node string, label string",
+    )
+    old = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "x"),       # p/s all T1 (entropy 0)
+         ("a", "gone", "x")],                     # pred vanishes
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "x"), ("c", "p", "x"),       # p/s now T1+T2 -> entropy>0
+         ("c", "fresh", "x")],                    # new pred appears
+        "subj string, pred string, obj string",
+    )
+    rows = {(r["pred"], r["side"]): r
+            for r in schema_drift(old, new, labels).collect()}
+    ps = rows[("p", "s")]
+    assert ps["status"] == "both"
+    assert ps["old_entropy_x1e6"] == 0 and ps["new_entropy_x1e6"] > 0
+    assert ps["d_entropy_x1e6"] == ps["new_entropy_x1e6"]
+    assert ps["top_changed"] is False  # T1 still dominant (tie -> T1)
+    g = rows[("gone", "s")]
+    assert g["status"] == "old_only" and g["new_entropy_x1e6"] == -1
+    assert g["new_top"] == "" and g["d_entropy_x1e6"] == 0
+    f = rows[("fresh", "s")]
+    assert f["status"] == "new_only" and f["old_entropy_x1e6"] == -1
+    # drift numbers agree with profiling each snapshot independently
+    new_prof = {(r["pred"], r["side"]): r["entropy_x1e6"]
+                for r in predicate_schema(new, labels).collect()}
+    assert ps["new_entropy_x1e6"] == new_prof[("p", "s")]
