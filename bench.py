@@ -130,6 +130,7 @@ def main():
         "kg_negatives",
         "kg_pivot_scc",
         "kg_schema_drift",
+        "ann_recall",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -1659,6 +1659,28 @@ def q_kg_schema_drift(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality audit: recall@10 of the IVF index against the exact
+    cosine top-10 for the shared query vector — the measurement that
+    turns 'approximate' from a hope into a number (both sides fully
+    deterministic, so the recall itself is bit-replayable)."""
+    from kgist_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = SIM.cosine_topk(emb, qv, k=10).select("vec_id")
+    ann = SIM.ivf_topk(emb, qv, k=10).select(
+        "vec_id", F.lit(1).alias("hit")
+    )
+    return exact.join(ann, "vec_id", "left").agg(
+        F.count("*").alias("k"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.expr(
+            "CAST(coalesce(sum(hit), 0) * 1000000 div count(*) AS BIGINT)"
+        ).alias("recall_x1e6"),
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1760,6 +1782,7 @@ QUERIES = {
     "kg_negatives": q_kg_negatives,
     "kg_pivot_scc": q_kg_pivot_scc,
     "kg_schema_drift": q_kg_schema_drift,
+    "ann_recall": q_ann_recall,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3820,6 +3843,20 @@ def _kg_schema_drift_oracle() -> str:
 # with identical sentinel/COALESCE discipline (NULL-free columns — the
 # funnel pandas lesson)
 ORACLE_SQL["kg_schema_drift"] = _kg_schema_drift_oracle()
+
+
+# ann_recall: the two already-oracled retrieval pipelines (exact cosine
+# top-k, full IVF replay) composed — recall is a LEFT join + integer
+# aggregate over their 10-row results
+ORACLE_SQL["ann_recall"] = f"""
+    WITH exact AS ({ORACLE_SQL["cosine_topk"]}),
+    ann AS ({ORACLE_SQL["embedding_ann"]})
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(a.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+               AS recall_x1e6
+    FROM exact e LEFT JOIN ann a ON e.vec_id = a.vec_id
+"""
 
 
 # lang_confusion: the lang_id oracle (identical scores + profile-order
