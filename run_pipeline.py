@@ -37,6 +37,10 @@ def main(argv=None, spark=None):
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--score-anomalies", action="store_true",
                     help="write per-edge anomaly scores (implies --summarize)")
+    ap.add_argument("--schema-report", action="store_true",
+                    help="after construction, write the per-predicate "
+                         "domain/range schema profile and the induced-"
+                         "constraint violation audit to <out>/schema_*")
     ap.add_argument("--incremental", action="store_true",
                     help="fold NEW page files under --input into the KG at --out "
                          "(AvailableNow stream; exactly-once per batch, grow-only "
@@ -51,6 +55,7 @@ def main(argv=None, spark=None):
     if args.compact and (args.input is not None or args.generate is not None
                          or args.incremental or args.summarize
                          or args.score_anomalies or args.no_canonicalize
+                         or args.schema_report
                          or args.checkpoint is not None
                          or args.buckets != ap.get_default("buckets")
                          or args.seed != ap.get_default("seed")
@@ -86,6 +91,32 @@ def main(argv=None, spark=None):
         return
 
     from kgist_spark.pipeline.run import construct_kg, summarize_constructed_kg
+
+    def maybe_schema_report(report, triples, labels):
+        if not args.schema_report:
+            return
+        from pyspark.sql import functions as F
+
+        from kgist_spark.operators.graph import (
+            predicate_schema,
+            schema_violations,
+        )
+
+        t3 = time.time()
+        lab = labels.select("node", "label")
+        prof = predicate_schema(triples.select("subj", "pred", "obj"), lab)
+        prof.write.mode("overwrite").parquet(f"{args.out}/schema_profile")
+        viol = schema_violations(triples.select("subj", "pred", "obj"), lab)
+        viol.write.mode("overwrite").parquet(f"{args.out}/schema_violations")
+        agg = viol.agg(
+            F.count("*").alias("nc"),
+            F.coalesce(F.max("viol_rate_x1e6"), F.lit(0)).alias("mx"),
+        ).collect()[0]
+        report.update(
+            n_schema_constraints=agg["nc"],
+            max_viol_rate_x1e6=int(agg["mx"]),
+            schema_report_sec=round(time.time() - t3, 2),
+        )
 
     def maybe_summarize(report, triples, labels):
         if not (args.summarize or args.score_anomalies):
@@ -134,6 +165,7 @@ def main(argv=None, spark=None):
         }
         if triples is not None:
             maybe_summarize(report, triples, labels)
+            maybe_schema_report(report, triples, labels)
         print(json.dumps(report))
         if owns_session:
             spark.stop()
@@ -162,6 +194,7 @@ def main(argv=None, spark=None):
     }
 
     maybe_summarize(report, triples, labels)
+    maybe_schema_report(report, triples, labels)
 
     print(json.dumps(report))
     if owns_session:

@@ -553,3 +553,31 @@ def test_component_size_stats_hand_computed(spark):
     assert rows[3]["n_components"] == 1 and rows[2]["n_components"] == 2
     assert rows[3]["node_share_x1e6"] == 3 * 1_000_000 // 7
     assert rows[2]["node_share_x1e6"] == 4 * 1_000_000 // 7
+
+
+def test_run_pipeline_schema_report(spark, tmp_path, capsys):
+    """`--schema-report` writes the schema profile + violation audit next
+    to the KG and surfaces constraint counts in the report JSON."""
+    import json as _json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import run_pipeline
+
+    out = str(tmp_path / "kg")
+    run_pipeline.main(
+        ["--generate", "400", "--out", out, "--buckets", "2",
+         "--schema-report"],
+        spark=spark,
+    )
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_triples"] > 0
+    assert rep["n_schema_constraints"] >= 0
+    assert "max_viol_rate_x1e6" in rep
+    prof = spark.read.parquet(f"{out}/schema_profile")
+    assert {"pred", "side", "entropy_x1e6"} <= set(prof.columns)
+    assert prof.count() > 0
+    viol = spark.read.parquet(f"{out}/schema_violations")
+    assert {"expected_label", "viol_rate_x1e6"} <= set(viol.columns)
+    assert viol.count() == rep["n_schema_constraints"]
