@@ -131,6 +131,7 @@ def main():
         "kg_pivot_scc",
         "kg_schema_drift",
         "ann_recall",
+        "source_overlap",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

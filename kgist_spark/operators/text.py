@@ -388,3 +388,48 @@ def lang_confusion(docs: DataFrame, id_col: str = "doc_id",
             "CAST(n * 1000000 div sum(n) over (partition by lang) AS BIGINT)"
         ).alias("share_of_true_x1e6"),
     )
+
+
+def source_overlap(docs: DataFrame, source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-source vocabulary overlap — the corpus-comparison table that
+    catches a mirror (one crawl source re-serving another's content) or
+    a contaminated slice before it skews a training mixture: for every
+    source pair, the distinct-token Jaccard as integer fixed point —
+    ``(src_a, src_b, n_a, n_b, n_common, jaccard_x1e6)`` with
+    ``src_a < src_b``.
+
+    Scale shape: tokens distinct-collapse per (source, token) map-side
+    (the df discipline); the pair intersection is a token-key self-join
+    whose volume is bounded by shared-vocabulary size, aggregated
+    map-side to ≤ |sources|² rows; vocabulary sizes join in from a
+    |sources|-row table.  |sources| is a mixture's handful of slices,
+    never corpus-scale — the heavy side is the token join, which AQE
+    sizes."""
+    st = (
+        docs.select(F.col(source_col).alias("src"),
+                    F.explode(tokens(text_col)).alias("token"))
+        .distinct()
+    )
+    sizes = st.groupBy("src").agg(F.count("*").alias("n"))
+    inter = (
+        st.alias("x")
+        .join(st.alias("y"),
+              (F.col("x.token") == F.col("y.token"))
+              & (F.col("x.src") < F.col("y.src")))
+        .groupBy(F.col("x.src").alias("src_a"), F.col("y.src").alias("src_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("src", "src_a")
+                   .withColumnRenamed("n", "n_a"), "src_a")
+        .join(sizes.withColumnRenamed("src", "src_b")
+              .withColumnRenamed("n", "n_b"), "src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 div (n_a + n_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_x1e6"),
+        )
+    )

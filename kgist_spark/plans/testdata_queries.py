@@ -1681,6 +1681,15 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source distinct-token Jaccard: the corpus-comparison table
+    that catches mirrors and contaminated slices before they skew a
+    training mixture."""
+    from kgist_spark.operators.text import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1783,6 +1792,7 @@ QUERIES = {
     "kg_pivot_scc": q_kg_pivot_scc,
     "kg_schema_drift": q_kg_schema_drift,
     "ann_recall": q_ann_recall,
+    "source_overlap": q_source_overlap,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3856,6 +3866,29 @@ ORACLE_SQL["ann_recall"] = f"""
            CAST(COUNT(a.vec_id) * 1000000 // COUNT(*) AS BIGINT)
                AS recall_x1e6
     FROM exact e LEFT JOIN ann a ON e.vec_id = a.vec_id
+"""
+
+
+# source_overlap: identical distinct-(source, token) collapse, identical
+# truncating Jaccard on positive operands
+ORACLE_SQL["source_overlap"] = rf"""
+    WITH st AS (
+        SELECT DISTINCT source AS src,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    sizes AS (SELECT src, COUNT(*) AS n FROM st GROUP BY src),
+    inter AS (
+        SELECT x.src AS src_a, y.src AS src_b, COUNT(*) AS n_common
+        FROM st x JOIN st y ON x.token = y.token AND x.src < y.src
+        GROUP BY x.src, y.src
+    )
+    SELECT i.src_a, i.src_b, a.n AS n_a, b.n AS n_b, i.n_common,
+           CAST(i.n_common * 1000000 // (a.n + b.n - i.n_common)
+                AS BIGINT) AS jaccard_x1e6
+    FROM inter i
+    JOIN sizes a ON i.src_a = a.src
+    JOIN sizes b ON i.src_b = b.src
 """
 
 

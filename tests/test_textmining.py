@@ -327,3 +327,21 @@ def test_lang_confusion_hand_computed(spark):
     # zero-hit text defaults to 'en' (profile-order tie-break)
     assert rows[("es", "en")]["n"] == 1
     assert set(rows) == {("en", "en"), ("de", "de"), ("es", "en")}
+
+
+def test_source_overlap_hand_computed(spark):
+    from kgist_spark.operators.text import source_overlap
+
+    docs = spark.createDataFrame(
+        [("1", "apple banana cherry", "s1"),
+         ("2", "banana cherry date", "s2"),
+         ("3", "unrelated words only", "s3")],
+        "doc_id string, text string, source string",
+    )
+    rows = {(r["src_a"], r["src_b"]): r for r in source_overlap(docs).collect()}
+    r = rows[("s1", "s2")]
+    # vocab s1={apple,banana,cherry}, s2={banana,cherry,date}: 2 common of 4
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 3, 2)
+    assert r["jaccard_x1e6"] == 2 * 1_000_000 // 4
+    # disjoint pairs emit NO row (inner-join semantics — absence = 0)
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
