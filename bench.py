@@ -132,6 +132,7 @@ def main():
         "kg_schema_drift",
         "ann_recall",
         "source_overlap",
+        "zipf_slope",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -433,3 +433,98 @@ def source_overlap(docs: DataFrame, source_col: str = "source",
             ).alias("jaccard_x1e6"),
         )
     )
+
+
+#: fixed-point scale for per-row ln() terms in the Zipf fit: 1e3 keeps
+#: the x*y products (≤ ~(15e3)² = 2.25e8 each) summable over ~4e11
+#: vocabulary rows inside int64 — a 1e6 scale would overflow at 2e20
+ZIPF_LOG_SCALE = 1_000
+
+
+def zipf_slope(docs: DataFrame, source_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Zipf rank-frequency slope per source — the one-number "is this
+    slice natural language" detector (natural text fits ln f ≈ a + s·ln r
+    with s ≈ −1; template/spam/synthetic slices bend it): least-squares
+    slope of ln(frequency) on ln(rank) over the source's token
+    vocabulary, ``(src, n_types, n_tokens, slope_x1e6)``.
+
+    Determinism (the assortativity/lm discipline, one step further):
+    the per-row logs are fixed-pointed FIRST (``round(ln · 1e3)`` on
+    exact-integer rank/frequency arguments — one log+round per
+    VOCABULARY row), the four regression sums then run on int64 (order
+    -free at any parallelism; the 1e3 scale cancels in the slope
+    ratio), and exactly ONE float division+round produces the output.
+    Rank ties break (frequency DESC, token) — replayed by the oracle.
+    Sources with < 2 distinct ranks or zero x-variance (all ranks equal
+    — impossible past n_types 1, kept for completeness) emit NULL and
+    are filtered like event_drift, so the BIGINT column survives
+    pandas.
+
+    Scale shape: the frequency table collapses map-side; the rank
+    window partitions per source over VOCABULARY rows (not corpus
+    rows); the regression sums aggregate to |sources| rows."""
+    from pyspark.sql.window import Window
+
+    freq = (
+        docs.select(F.col(source_col).alias("src"),
+                    F.explode(tokens(text_col)).alias("token"))
+        .groupBy("src", "token")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("f"), F.asc("token"))
+    ranked = freq.withColumn("r", F.row_number().over(w)).select(
+        "src", "f",
+        F.expr(f"CAST(round(ln(r) * {ZIPF_LOG_SCALE}) AS BIGINT)").alias("x"),
+        F.expr(f"CAST(round(ln(f) * {ZIPF_LOG_SCALE}) AS BIGINT)").alias("y"),
+    )
+    sums = ranked.groupBy("src").agg(
+        F.count("*").alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = F.expr(
+        "CASE WHEN n_types >= 2 AND n_types * sxx - sx * sx <> 0 THEN"
+        " CAST(round(1000000 * (CAST(n_types * sxy - sx * sy AS DOUBLE)"
+        " / (n_types * sxx - sx * sx))) AS BIGINT) ELSE NULL END"
+    )
+    return sums.select(
+        "src", "n_types", "n_tokens", slope.alias("slope_x1e6")
+    ).where(F.col("slope_x1e6").isNotNull())
+
+
+def zipf_slope_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay of :func:`zipf_slope`: identical rank tie-break,
+    identical fixed-point log terms, identical single-float slope."""
+    s = ZIPF_LOG_SCALE
+    return rf"""
+    WITH freq AS (
+        SELECT src, token, COUNT(*) AS f FROM (
+            SELECT source AS src,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM {table}
+        ) GROUP BY src, token
+    ),
+    ranked AS (
+        SELECT src, f,
+               CAST(round(ln(ROW_NUMBER() OVER (PARTITION BY src
+                        ORDER BY f DESC, token)) * {s}) AS BIGINT) AS x,
+               CAST(round(ln(f) * {s}) AS BIGINT) AS y
+        FROM freq
+    ),
+    sums AS (
+        SELECT src, COUNT(*) AS n_types, CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM ranked GROUP BY src
+    )
+    SELECT src, n_types, n_tokens,
+           CAST(round(1000000 * (CAST(n_types * sxy - sx * sy AS DOUBLE)
+                / (n_types * sxx - sx * sx))) AS BIGINT) AS slope_x1e6
+    FROM sums
+    WHERE n_types >= 2 AND n_types * sxx - sx * sx <> 0
+    """

@@ -1690,6 +1690,15 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_t(spark, sf_dir, "documents"))
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope per source — the one-number natural
+    -language detector (s ≈ −1 on real text; template/spam slices bend
+    it): fixed-point log terms, integer regression sums, one float."""
+    from kgist_spark.operators.text import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1793,6 +1802,7 @@ QUERIES = {
     "kg_schema_drift": q_kg_schema_drift,
     "ann_recall": q_ann_recall,
     "source_overlap": q_source_overlap,
+    "zipf_slope": q_zipf_slope,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3867,6 +3877,18 @@ ORACLE_SQL["ann_recall"] = f"""
                AS recall_x1e6
     FROM exact e LEFT JOIN ann a ON e.vec_id = a.vec_id
 """
+
+
+def _zipf_oracle() -> str:
+    from kgist_spark.operators.text import zipf_slope_oracle_sql
+
+    return zipf_slope_oracle_sql()
+
+
+# zipf_slope: identical (f DESC, token) rank tie-break, identical
+# fixed-point ln terms (1e3 scale — int64-safe products), identical
+# single-float slope expression
+ORACLE_SQL["zipf_slope"] = _zipf_oracle()
 
 
 # source_overlap: identical distinct-(source, token) collapse, identical

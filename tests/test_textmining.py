@@ -345,3 +345,41 @@ def test_source_overlap_hand_computed(spark):
     assert r["jaccard_x1e6"] == 2 * 1_000_000 // 4
     # disjoint pairs emit NO row (inner-join semantics — absence = 0)
     assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+def test_zipf_slope_python_replay_and_shape(spark):
+    """Slope matches an independent pure-Python replay of the identical
+    fixed-point regression; a perfectly Zipfian synthetic source lands
+    near -1, a uniform (template-like) source near 0."""
+    import math
+
+    from kgist_spark.operators.text import ZIPF_LOG_SCALE, zipf_slope
+
+    # zipfian: token t_i appears ~ 60/i times; uniform: every token 4x
+    zip_text = " ".join(
+        " ".join([f"z{i}"] * max(1, 60 // i)) for i in range(1, 40)
+    )
+    uni_text = " ".join(" ".join([f"u{i}"] * 4) for i in range(40))
+    docs = spark.createDataFrame(
+        [("1", zip_text, "zipf"), ("2", uni_text, "flat")],
+        "doc_id string, text string, source string",
+    )
+    rows = {r["src"]: r for r in zipf_slope(docs).collect()}
+
+    def py_slope(counts):
+        ordered = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+        xs = [round(math.log(r + 1) * ZIPF_LOG_SCALE)
+              for r in range(len(ordered))]
+        ys = [round(math.log(f) * ZIPF_LOG_SCALE) for _, f in ordered]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        return round(1_000_000 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+
+    from collections import Counter
+
+    assert rows["zipf"]["slope_x1e6"] == py_slope(Counter(zip_text.split()))
+    assert rows["flat"]["slope_x1e6"] == py_slope(Counter(uni_text.split()))
+    assert rows["zipf"]["slope_x1e6"] < -700_000   # steep, Zipf-like
+    assert rows["flat"]["slope_x1e6"] == 0         # flat template
