@@ -133,6 +133,7 @@ def main():
         "ann_recall",
         "source_overlap",
         "zipf_slope",
+        "corpus_report",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

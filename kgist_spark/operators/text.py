@@ -528,3 +528,57 @@ def zipf_slope_oracle_sql(table: str = "documents") -> str:
     FROM sums
     WHERE n_types >= 2 AND n_types * sxx - sx * sx <> 0
     """
+
+
+def corpus_report(docs: DataFrame, source_col: str = "source",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  lang_col: str = "lang",
+                  chars_col: str = "n_chars") -> DataFrame:
+    """The per-source corpus QA dashboard — one row per source joining
+    the rollups an operator reads before admitting a slice into a
+    training mixture: volume (docs, whitespace tokens, mean chars),
+    exact-duplicate mass (docs minus distinct texts — the md5 dedup
+    semantics), ground-truth language concentration (dominant lang +
+    share), and the Zipf slope (:func:`zipf_slope` — the natural
+    -language shape check).  Every column integer or string.
+
+    Scale shape: four independent per-source rollups (each map-side
+    -combining to |sources| rows) joined on the |sources|-row key — the
+    corpus is scanned by each rollup's own optimal plan rather than one
+    forced mega-aggregation; at 100 TB the scans share the parquet cache
+    and each prunes to exactly the columns it needs."""
+    from pyspark.sql.window import Window
+
+    base = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count("*").alias("n_docs"),
+        F.expr(f"CAST(sum(size(split(trim({text_col}), '\\\\s+')))"
+               " AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(sum({chars_col}) div count(*) AS BIGINT)").alias(
+            "avg_chars"),
+        (F.count("*") - F.countDistinct(F.md5(F.col(text_col))))
+        .cast("long").alias("n_dup_docs"),
+    )
+    lc = docs.groupBy(F.col(source_col).alias("src"),
+                      F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("c")
+    )
+    wl = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("lang"))
+    top = (
+        lc.withColumn("rn", F.row_number().over(wl))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("src")))
+        .where(F.col("rn") == 1)
+        .select(
+            "src", F.col("lang").alias("top_lang"),
+            F.expr("CAST(c * 1000000 div n AS BIGINT)").alias(
+                "top_lang_share_x1e6"),
+        )
+    )
+    zf = zipf_slope(docs, source_col=source_col, text_col=text_col).select(
+        "src", "slope_x1e6"
+    )
+    return base.join(top, "src").join(zf, "src", "left").select(
+        "src", "n_docs", "n_tokens", "avg_chars", "n_dup_docs",
+        "top_lang", "top_lang_share_x1e6",
+        F.coalesce("slope_x1e6", F.lit(0)).cast("long").alias(
+            "zipf_slope_x1e6"),
+    )

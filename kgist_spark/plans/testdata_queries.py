@@ -1699,6 +1699,15 @@ def q_zipf_slope(spark, sf_dir):
     return zipf_slope(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus QA dashboard: volume, exact-dup mass, language
+    concentration, and Zipf shape in one integer table — what an
+    operator reads before admitting a slice into a training mixture."""
+    from kgist_spark.operators.text import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1803,6 +1812,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "source_overlap": q_source_overlap,
     "zipf_slope": q_zipf_slope,
+    "corpus_report": q_corpus_report,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3889,6 +3899,40 @@ def _zipf_oracle() -> str:
 # fixed-point ln terms (1e3 scale — int64-safe products), identical
 # single-float slope expression
 ORACLE_SQL["zipf_slope"] = _zipf_oracle()
+
+
+# corpus_report: the four per-source rollups replayed and joined; the
+# zipf CTE is the shared zipf_slope oracle verbatim
+ORACLE_SQL["corpus_report"] = rf"""
+    WITH base AS (
+        SELECT source AS src, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS n_dup_docs
+        FROM documents GROUP BY source
+    ),
+    lc AS (
+        SELECT source AS src, lang, COUNT(*) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    top AS (
+        SELECT src, lang AS top_lang,
+               CAST(c * 1000000 // SUM(c) OVER (PARTITION BY src)
+                    AS BIGINT) AS top_lang_share_x1e6,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY c DESC, lang) AS rn
+        FROM lc
+    ),
+    zf AS ({_zipf_oracle()})
+    SELECT b.src, b.n_docs, b.n_tokens, b.avg_chars, b.n_dup_docs,
+           t.top_lang, t.top_lang_share_x1e6,
+           CAST(COALESCE(z.slope_x1e6, 0) AS BIGINT) AS zipf_slope_x1e6
+    FROM base b
+    JOIN top t ON b.src = t.src AND t.rn = 1
+    LEFT JOIN zf z ON b.src = z.src
+"""
 
 
 # source_overlap: identical distinct-(source, token) collapse, identical

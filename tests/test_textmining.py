@@ -383,3 +383,23 @@ def test_zipf_slope_python_replay_and_shape(spark):
     assert rows["flat"]["slope_x1e6"] == py_slope(Counter(uni_text.split()))
     assert rows["zipf"]["slope_x1e6"] < -700_000   # steep, Zipf-like
     assert rows["flat"]["slope_x1e6"] == 0         # flat template
+
+
+def test_corpus_report_hand_computed(spark):
+    from kgist_spark.operators.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [("1", "a b c", "en", "s1", 5),
+         ("2", "a b c", "en", "s1", 5),     # exact dup of doc 1
+         ("3", "d e", "de", "s1", 3),
+         ("4", "x y z w", "fr", "s2", 7)],
+        "doc_id string, text string, lang string, source string, n_chars int",
+    )
+    rows = {r["src"]: r for r in corpus_report(docs).collect()}
+    s1 = rows["s1"]
+    assert (s1["n_docs"], s1["n_tokens"], s1["n_dup_docs"]) == (3, 8, 1)
+    assert s1["avg_chars"] == (5 + 5 + 3) // 3
+    assert (s1["top_lang"], s1["top_lang_share_x1e6"]) == (
+        "en", 2 * 1_000_000 // 3)
+    s2 = rows["s2"]
+    assert s2["n_dup_docs"] == 0 and s2["top_lang_share_x1e6"] == 1_000_000
