@@ -134,6 +134,7 @@ def main():
         "source_overlap",
         "zipf_slope",
         "corpus_report",
+        "lm3_score",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -228,3 +228,138 @@ def bigram_score(
             F.expr("(-sum_logp) div n_trans").alias("bits_per_trans_x1e6"),
         )
     )
+
+
+def trigram_lm(reference: DataFrame, text_col: str = "text"):
+    """Stupid-backoff trigram model tables from a reference corpus:
+    ``(tri, bi, bi_ctx_is_bi, uni, denom_u)`` where ``tri`` =
+    ``(w1, w2, w3, cnt3)``, ``bi`` = ``(w1, w2, cnt2)`` (both the trigram
+    context and the bigram-backoff numerator read from this one table),
+    ``uni`` = ``(token, cnt)``, ``denom_u`` the :func:`unigram_lm`
+    add-one denominator funding the OOV backstop.  All reference-slice
+    -sized, computed once."""
+    t = tokens(text_col)
+    tok = reference.select(F.explode(t).alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    denom_u = uni.agg((F.sum("cnt") + F.count("*") + 1).alias("denom"))
+
+    def _grams(n, fields):
+        alias_struct = lambda *cols: F.struct(
+            *[c.alias(f) for c, f in zip(cols, fields)]
+        )
+        g = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: alias_struct(
+                    *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<" + ",".join(f"{f}:string" for f in fields) + ">>"
+            )
+        )
+        return (
+            reference.select(F.explode(g).alias("g"))
+            .select(*[f"g.{f}" for f in fields])
+            .groupBy(*fields)
+            .agg(F.count("*").alias(f"cnt{n}"))
+        )
+
+    bi = _grams(2, ["w1", "w2"])
+    tri = _grams(3, ["w1", "w2", "w3"])
+    return tri, bi, uni, denom_u
+
+
+def trigram_score(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bits-per-trigram under a STUPID-BACKOFF trigram LM (Brants et al.
+    2007 — the web-scale LM recipe: no discounting to fit, just
+    count ratios with a fixed 0.4 backoff factor) trained on the
+    reference slice — the third rung of the CCNet quality ladder
+    (:func:`lm_score` sees no order, :func:`bigram_score` one step; the
+    trigram catches locally-plausible-but-incoherent splices).
+
+    Per trigram ``(w1, w2, w3)``::
+
+        S = cnt3 / cnt2(w1, w2)                 if the trigram was seen
+          = 0.4  * cnt2(w2, w3) / cnt(w2)       else if the bigram was
+          = 0.16 * (cnt(w3) + 1) / denom        else (add-one unigram
+                                                 backstop, OOV-safe)
+
+    ``S ≤ 1`` on every branch (a count never exceeds its own context),
+    so bits ``= -log2(S) ≥ 0``.  One fixed-order double expression per
+    trigram row, rounded to an int (×1e6) BEFORE the per-document sum —
+    the module's fixed-point discipline (order-free, oracle-replayable).
+    Output: ``(id, n_tokens, n_tri, bits_per_tri_x1e6)`` for documents
+    with ≥ 3 tokens; LOWER is more reference-like.
+
+    100 TB shape: trigrams are built IN-ROW; the five model lookups are
+    broadcast joins against reference-slice-sized artifacts (the
+    :func:`lm_score` justification); the per-document aggregation
+    collapses map-side before the only shuffle."""
+    from kgist_spark.operators.dedup import fan_out_scan
+
+    tri, bi, uni, denom_u = trigram_lm(reference, text_col)
+    t = tokens(text_col)
+    g = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.element_at(t, i + 1).alias("w2"),
+            F.element_at(t, i + 2).alias("w3"),
+        ),
+    )
+    rows = (
+        fan_out_scan(corpus.select(F.col(id_col), F.col(text_col)))
+        .where(F.size(t) >= 3)
+        .select(F.col(id_col), F.size(t).alias("n_tokens"),
+                F.explode(g).alias("p"))
+        .select(id_col, "n_tokens", "p.w1", "p.w2", "p.w3")
+    )
+    scored = (
+        rows.join(F.broadcast(tri), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                bi.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                          F.col("cnt2").alias("cnt2b"))
+            ),
+            ["w2", "w3"], "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w2"),
+                                   F.col("cnt").alias("c1w2"))),
+            "w2", "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w3"),
+                                   F.col("cnt").alias("c1w3"))),
+            "w3", "left",
+        )
+        .crossJoin(F.broadcast(denom_u))
+    )
+    bits = F.expr(
+        "CAST(round(-log2(CASE"
+        " WHEN cnt3 IS NOT NULL THEN CAST(cnt3 AS DOUBLE) / cnt2"
+        " WHEN cnt2b IS NOT NULL THEN 0.4 * CAST(cnt2b AS DOUBLE) / c1w2"
+        " ELSE 0.16 * (coalesce(c1w3, 0) + 1.0) / denom"
+        f" END) * {LOGP_SCALE}) AS BIGINT)"
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_tri"),
+            F.sum(bits).alias("sum_bits"),
+        )
+        .select(
+            F.col(id_col), "n_tokens", "n_tri",
+            F.expr("sum_bits div n_tri").alias("bits_per_tri_x1e6"),
+        )
+    )

@@ -1708,6 +1708,19 @@ def q_corpus_report(spark, sf_dir):
     return corpus_report(_t(spark, sf_dir, "documents"))
 
 
+def q_lm3_score(spark, sf_dir):
+    """Stupid-backoff trigram-LM bits-per-trigram under a src0-trained
+    model (Brants et al. 2007) — the third rung of the quality ladder;
+    per-trigram bits fixed-point BEFORE the per-doc integer sum."""
+    from kgist_spark.operators.lm import trigram_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return trigram_score(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1813,6 +1826,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "zipf_slope": q_zipf_slope,
     "corpus_report": q_corpus_report,
+    "lm3_score": q_lm3_score,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2640,6 +2654,67 @@ ORACLE_SQL["lm2_score"] = r"""
            CAST((-SUM(logp)) // COUNT(*) AS BIGINT) AS bits_per_trans_x1e6
     FROM sc GROUP BY doc_id
 """
+
+# lm3_score: identical trigram/bigram/unigram count tables, identical
+# CASE backoff ladder (seen-trigram ratio / 0.4 bigram / 0.16 add-one
+# unigram backstop), the single float chain rounded to the int the hash
+# compares
+ORACLE_SQL["lm3_score"] = r"""
+    WITH ref AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE source = 'src0'
+    ),
+    cor AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE source <> 'src0'
+    ),
+    rtok AS (SELECT unnest(t) AS token FROM ref),
+    uni AS (SELECT token, COUNT(*) AS cnt FROM rtok GROUP BY token),
+    du AS (SELECT CAST(SUM(cnt) + COUNT(*) + 1 AS BIGINT) AS denom FROM uni),
+    rbi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM ref, LATERAL unnest(range(1, len(t))) s(i)
+        WHERE len(t) > 1
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM rbi GROUP BY w1, w2),
+    rtri AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM ref, LATERAL unnest(range(1, len(t) - 1)) s(i)
+        WHERE len(t) > 2
+    ),
+    tri AS (SELECT w1, w2, w3, COUNT(*) AS cnt3 FROM rtri
+            GROUP BY w1, w2, w3),
+    ctr AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM cor, LATERAL unnest(range(1, len(t) - 1)) s(i)
+        WHERE len(t) > 2
+    ),
+    sc AS (
+        SELECT ctr.doc_id, ctr.n_tokens,
+               CAST(round(-log2(CASE
+                   WHEN tri.cnt3 IS NOT NULL
+                       THEN CAST(tri.cnt3 AS DOUBLE) / bi.cnt2
+                   WHEN b2.cnt2b IS NOT NULL
+                       THEN 0.4 * CAST(b2.cnt2b AS DOUBLE) / u2.cnt
+                   ELSE 0.16 * (COALESCE(u3.cnt, 0) + 1.0) / denom
+               END) * 1000000) AS BIGINT) AS bits
+        FROM ctr
+        LEFT JOIN tri ON tri.w1 = ctr.w1 AND tri.w2 = ctr.w2
+                     AND tri.w3 = ctr.w3
+        LEFT JOIN bi ON bi.w1 = ctr.w1 AND bi.w2 = ctr.w2
+        LEFT JOIN (SELECT w1 AS w2, w2 AS w3, cnt2 AS cnt2b FROM bi) b2
+               ON b2.w2 = ctr.w2 AND b2.w3 = ctr.w3
+        LEFT JOIN uni u2 ON u2.token = ctr.w2
+        LEFT JOIN uni u3 ON u3.token = ctr.w3, du
+    )
+    SELECT doc_id,
+           MIN(n_tokens) AS n_tokens,
+           COUNT(*) AS n_tri,
+           CAST(SUM(bits) // COUNT(*) AS BIGINT) AS bits_per_tri_x1e6
+    FROM sc GROUP BY doc_id
+"""
+
 
 # token_pmi: the oracle enumerates position pairs by self-join where Spark
 # builds them in-row (same multiset); the PMI float enters ONE fixed-order

@@ -116,3 +116,49 @@ def test_bigram_score_matches_python_replay(spark):
     # OOV gibberish scores worst of all
     assert got[3][2] > got[2][2]
     assert 4 not in got
+
+
+def test_trigram_score_backoff_ladder(spark):
+    """Each backoff branch hand-verified: seen trigram, unseen trigram
+    with seen bigram (0.4), and full OOV backstop (0.16 add-one)."""
+    import math
+
+    from kgist_spark.operators.lm import trigram_score
+
+    ref = spark.createDataFrame(
+        [("r1", "a b c a b c"), ("r2", "a b d")],
+        "doc_id string, text string",
+    )
+    # doc1: trigram (a b c): cnt3=2, ctx cnt2(a,b)=3 -> S=2/3
+    # doc2: (c a x): unseen tri, unseen bigram (a x) -> backstop via
+    #       cnt(x)=0: S = 0.16 * 1/denom
+    # doc3: (b d b): unseen tri; bigram (d b) unseen -> backstop cnt(b)=3
+    cor = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", "c a x"), ("d3", "b d b")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in trigram_score(cor, ref).collect()}
+    # reference: tokens a:3,b:3,c:2,d:1 -> total 9, V=4, denom=14
+    assert out["d1"]["bits_per_tri_x1e6"] == round(
+        -math.log2(2 / 3) * 1_000_000)
+    assert out["d2"]["bits_per_tri_x1e6"] == round(
+        -math.log2(0.16 * 1.0 / 14) * 1_000_000)
+    # d3: bigram (d b) unseen -> backstop on cnt(b)=3: 0.16*4/14
+    assert out["d3"]["bits_per_tri_x1e6"] == round(
+        -math.log2(0.16 * (3 + 1.0) / 14) * 1_000_000)
+    # quality ordering: the in-distribution doc scores fewer bits
+    assert (out["d1"]["bits_per_tri_x1e6"]
+            < out["d3"]["bits_per_tri_x1e6"]
+            < out["d2"]["bits_per_tri_x1e6"])
+
+
+def test_trigram_score_skips_short_docs(spark):
+    from kgist_spark.operators.lm import trigram_score
+
+    ref = spark.createDataFrame([("r", "a b c")], "doc_id string, text string")
+    cor = spark.createDataFrame(
+        [("s", "a b"), ("t", "a b c d")], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r for r in trigram_score(cor, ref).collect()}
+    assert set(out) == {"t"}          # < 3 tokens -> no row
+    assert out["t"]["n_tri"] == 2
