@@ -135,6 +135,7 @@ def main():
         "zipf_slope",
         "corpus_report",
         "lm3_score",
+        "kg_metapath",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

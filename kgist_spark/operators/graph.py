@@ -2627,3 +2627,96 @@ def schema_drift_oracle_sql(old_sql: str, new_sql: str,
            (oe IS NOT NULL AND ne IS NOT NULL AND ot <> nt) AS top_changed
     FROM j
     """
+
+
+def metapath_topk(triples: DataFrame, path: list, k: int = 50,
+                  max_junction_deg: int = 1024) -> DataFrame:
+    """Meta-path instance counting (PathSim, Sun et al. VLDB 2011 — the
+    heterogeneous-network similarity primitive): count the instances of a
+    typed relation path between its endpoint pairs and return the top-k
+    — ``(start, end, n_paths)``.  ``path`` is an ordered list of
+    ``(pred, 'fwd' | 'rev')`` steps; e.g. ``[('placed_by', 'rev'),
+    ('contains_part', 'fwd'), ('supplied_by', 'fwd')]`` walks
+    customer ← order → part → supplier: "which suppliers does this
+    customer's order book depend on, how heavily" — the KG-analytics
+    question a 2-hop pred-pair census (X10) can't answer because it
+    forgets endpoints.
+
+    Junction discipline (the linkpred/neighbor_jaccard semantics): at
+    every join step, junction nodes whose step out-degree exceeds
+    ``max_junction_deg`` are EXCLUDED — a 10^6-degree hub contributes
+    quadratic path volume and no similarity signal; the oracle applies
+    the identical cap, so the cap is part of the operator's semantics,
+    not a silent truncation.  Top-k orders ``(n_paths DESC, start,
+    end)`` — deterministic, TakeOrderedAndProject (bounded heaps, no
+    global sort).
+
+    Scale shape: each step is one equi-join whose volume is bounded by
+    ``max_junction_deg × |previous frontier|``; the endpoint count
+    collapses map-side; per-step degree tables aggregate from the
+    step's OWN edges only."""
+    def step_edges(pred, direction):
+        e = triples.where(F.col("pred") == pred)
+        if direction == "fwd":
+            return e.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        return e.select(F.col("obj").alias("u"), F.col("subj").alias("v"))
+
+    first = step_edges(*path[0])
+    cur = first.select(F.col("u").alias("start"), F.col("v").alias("cur"))
+    for pred, direction in path[1:]:
+        e = step_edges(pred, direction)
+        ok = (
+            e.groupBy("u").agg(F.count("*").alias("d"))
+            .where(F.col("d") <= max_junction_deg)
+            .select("u")
+        )
+        e = e.join(ok, "u", "leftsemi")
+        cur = (
+            cur.join(e, cur["cur"] == e["u"])
+            .select("start", F.col("v").alias("cur"))
+        )
+    return (
+        cur.groupBy(F.col("start"), F.col("cur").alias("end"))
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("start"), F.asc("end"))
+        .limit(k)
+    )
+
+
+def metapath_oracle_sql(triples_sql: str, path: list, k: int = 50,
+                        max_junction_deg: int = 1024) -> str:
+    """DuckDB replay of :func:`metapath_topk`: identical step edges,
+    identical junction cap, identical (n DESC, start, end) top-k."""
+    def step_sql(i, pred, direction):
+        cols = ("subj AS u, obj AS v" if direction == "fwd"
+                else "obj AS u, subj AS v")
+        return (f"e{i} AS (SELECT {cols} FROM t WHERE pred = '{pred}')")
+
+    ctes = [f"t AS MATERIALIZED ({triples_sql})"]
+    for i, (pred, direction) in enumerate(path):
+        ctes.append(step_sql(i, pred, direction))
+        if i > 0:
+            ctes.append(
+                f"""ok{i} AS (
+        SELECT u FROM e{i} GROUP BY u HAVING COUNT(*) <= {max_junction_deg}
+    )"""
+            )
+    ctes.append("p0 AS (SELECT u AS start, v AS cur FROM e0)")
+    for i in range(1, len(path)):
+        ctes.append(
+            f"""p{i} AS (
+        SELECT p.start, e.v AS cur
+        FROM p{i - 1} p
+        JOIN e{i} e ON p.cur = e.u
+        JOIN ok{i} o ON e.u = o.u
+    )"""
+        )
+    last = len(path) - 1
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT start, cur AS "end", CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM p{last} GROUP BY start, cur
+    ORDER BY n_paths DESC, start, "end" LIMIT {k}
+    """
+    )

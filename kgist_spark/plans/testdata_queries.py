@@ -1721,6 +1721,20 @@ def q_lm3_score(spark, sf_dir):
     )
 
 
+#: the customer ← order → part → supplier dependence meta-path
+_METAPATH = [("placed_by", "rev"), ("contains_part", "fwd"),
+             ("supplied_by", "fwd")]
+
+
+def q_kg_metapath(spark, sf_dir):
+    """PathSim meta-path counting: top-50 (customer, supplier) pairs by
+    the number of order→part paths connecting them — the endpoint-aware
+    question the 2-hop pred-pair census can't answer."""
+    from kgist_spark.operators.graph import metapath_topk
+
+    return metapath_topk(derived_triples(spark, sf_dir), _METAPATH, k=50)
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1827,6 +1841,7 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "corpus_report": q_corpus_report,
     "lm3_score": q_lm3_score,
+    "kg_metapath": q_kg_metapath,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3934,6 +3949,18 @@ def _kg_pivot_scc_oracle() -> str:
 # kg_pivot_scc: both directed sweeps unrolled as materialized CTE chains
 # over the identical self-loop-augmented edge list
 ORACLE_SQL["kg_pivot_scc"] = _kg_pivot_scc_oracle()
+
+
+def _kg_metapath_oracle() -> str:
+    from kgist_spark.operators.graph import metapath_oracle_sql
+
+    return metapath_oracle_sql(DERIVED_TRIPLES_SQL, _METAPATH, k=50)
+
+
+# kg_metapath: identical step edges, identical junction cap (part of the
+# operator's SEMANTICS, not a silent truncation), identical
+# (n DESC, start, end) top-k
+ORACLE_SQL["kg_metapath"] = _kg_metapath_oracle()
 
 
 def _kg_schema_drift_oracle() -> str:

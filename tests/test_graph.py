@@ -1239,3 +1239,31 @@ def test_schema_drift_hand_computed(spark):
     new_prof = {(r["pred"], r["side"]): r["entropy_x1e6"]
                 for r in predicate_schema(new, labels).collect()}
     assert ps["new_entropy_x1e6"] == new_prof[("p", "s")]
+
+
+def test_metapath_hand_computed_and_junction_cap(spark):
+    from kgist_spark.operators.graph import metapath_topk
+
+    triples = spark.createDataFrame(
+        # customer c1 <- orders o1,o2; c2 <- o3
+        [("o1", "placed_by", "c1"), ("o2", "placed_by", "c1"),
+         ("o3", "placed_by", "c2"),
+         # o1 -> p1, p2; o2 -> p1; o3 -> p1
+         ("o1", "contains_part", "p1"), ("o1", "contains_part", "p2"),
+         ("o2", "contains_part", "p1"), ("o3", "contains_part", "p1"),
+         # p1 -> s1; p2 -> s1, s2
+         ("p1", "supplied_by", "s1"), ("p2", "supplied_by", "s1"),
+         ("p2", "supplied_by", "s2")],
+        "subj string, pred string, obj string",
+    )
+    path = [("placed_by", "rev"), ("contains_part", "fwd"),
+            ("supplied_by", "fwd")]
+    rows = {(r["start"], r["end"]): r["n_paths"]
+            for r in metapath_topk(triples, path, k=10).collect()}
+    # c1->s1: o1p1, o1p2, o2p1 = 3; c1->s2: o1p2 = 1; c2->s1: o3p1 = 1
+    assert rows == {("c1", "s1"): 3, ("c1", "s2"): 1, ("c2", "s1"): 1}
+    # junction cap: capping order out-degree at 1 drops o1 (degree 2)
+    capped = {(r["start"], r["end"]): r["n_paths"]
+              for r in metapath_topk(triples, path, k=10,
+                                     max_junction_deg=1).collect()}
+    assert capped == {("c1", "s1"): 1, ("c2", "s1"): 1}
