@@ -136,6 +136,7 @@ def main():
         "corpus_report",
         "lm3_score",
         "kg_metapath",
+        "hll_error",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -1735,6 +1735,35 @@ def q_kg_metapath(spark, sf_dir):
     return metapath_topk(derived_triples(spark, sf_dir), _METAPATH, k=50)
 
 
+def q_hll_error(spark, sf_dir):
+    """Sketch error audit: HLL distinct-user estimates vs the exact
+    counts per event type, with signed absolute and relative error —
+    the honesty check that turns an approximate operator's accuracy
+    claim into a measured, bit-replayable number (the ann_recall
+    pattern applied to cardinality)."""
+    from kgist_spark.operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    hll = hll_distinct(ev, ["event_type"], "user_id").select(
+        "event_type", "n_distinct_hll"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(hll, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_distinct_hll",
+        (F.col("n_distinct_hll") - F.col("n_exact")).cast("long").alias(
+            "err"
+        ),
+        F.expr(
+            "CAST((n_distinct_hll - n_exact) * 1000000 div n_exact"
+            " AS BIGINT)"
+        ).alias("rel_err_x1e6"),
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1842,6 +1871,7 @@ QUERIES = {
     "corpus_report": q_corpus_report,
     "lm3_score": q_lm3_score,
     "kg_metapath": q_kg_metapath,
+    "hll_error": q_hll_error,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2516,6 +2546,28 @@ def _hll_oracle() -> str:
 # sum, single shared-literal float division, and the Python-precomputed
 # linear-counting VALUES table — the whole sketch replays bit-for-bit
 ORACLE_SQL["events_hll"] = _hll_oracle()
+
+
+# hll_error: the bit-replayable HLL estimate joined against the exact
+# distinct count; signed + truncating-div relative error.  NOTE Spark's
+# `div` truncates toward zero while DuckDB's // floors — they differ on
+# NEGATIVE operands, so the relative error uses explicit
+# trunc-toward-zero arithmetic on both sides via sign decomposition
+ORACLE_SQL["hll_error"] = f"""
+    WITH hll AS ({_hll_oracle()}),
+    exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(e.n_exact AS BIGINT) AS n_exact,
+           h.n_distinct_hll,
+           CAST(h.n_distinct_hll - e.n_exact AS BIGINT) AS err,
+           CAST(CASE WHEN h.n_distinct_hll >= e.n_exact
+                THEN (h.n_distinct_hll - e.n_exact) * 1000000 // e.n_exact
+                ELSE -(((e.n_exact - h.n_distinct_hll) * 1000000)
+                       // e.n_exact) END AS BIGINT) AS rel_err_x1e6
+    FROM exact e JOIN hll h USING (event_type)
+"""
 
 
 def _cohort_oracle() -> str:
