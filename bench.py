@@ -137,6 +137,7 @@ def main():
         "lm3_score",
         "kg_metapath",
         "hll_error",
+        "tfidf_pairs",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

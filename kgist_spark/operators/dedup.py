@@ -839,3 +839,139 @@ def winnow_oracle_sql(k: int = WIN_K, w: int = WIN_W,
            CAST(COALESCE(p.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
     FROM sel b LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+#: tfidf_pairs quantization caps — part of the operator's SEMANTICS (the
+#: q8 lesson applied to sparse lexical vectors): sub-linear tf saturates
+#: at 15, linear idf (x10 fixed point) saturates at 1000 (= idf 100.0).
+#: With docs ≤ ~2e3 distinct capped terms, every intermediate (w², dot,
+#: norm²) stays safely inside int64.
+TP_TF_CAP = 15
+TP_IDF_X10_CAP = 1_000
+
+
+def tfidf_pairs(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", max_df: int = 1_000,
+                threshold_x1e6: int = 300_000) -> DataFrame:
+    """TF-IDF-weighted cosine document pairs — the WEIGHTED lexical
+    similarity the unweighted families miss (`ngram_jaccard_pairs`
+    treats every shingle equally; embedding cosine needs vectors): two
+    documents sharing three rare technical terms score high even when
+    their boilerplate differs, and shared stopwords score nothing.
+
+    Vector space semantics (all replayed by the oracle): terms with
+    ``df > max_df`` are EXCLUDED everywhere — from the dot products AND
+    the norms — which is simultaneously the stopword strip and the
+    candidate-volume bound (pair generation joins on shared terms, so
+    per-term pair volume is ≤ df² ≤ max_df²); weights are QUANTIZED
+    integers, ``w = least(tf, 15) * least((n_docs*10) div df, 1000)`` —
+    sub-linear tf saturation and capped linear idf keep every w², dot,
+    and norm² inside int64 (the engine's integer-sum discipline: dot
+    products and norms are order-free integer aggregations; exactly ONE
+    float chain per surviving pair computes
+    ``round(1e6 * dot / sqrt(na2 * nb2))``).
+
+    Output: ``(a, b, n_shared_terms, cosine_x1e6)`` with ``a < b`` and
+    cosine ≥ ``threshold_x1e6``.
+
+    100 TB shape: the (doc, term) table collapses map-side; the df table
+    is an AQE-sized join (vocabulary-scale, never forced broadcast); the
+    pair join's volume is df-capped BY SEMANTICS; per-pair dot sums
+    aggregate map-side."""
+    t = tokens(text_col)
+    tf = (
+        fan_out_scan(docs)
+        .select(F.col(id_col).alias("doc"), F.explode(t).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).where(
+        F.col("df") <= max_df
+    )
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc", "term",
+            F.expr(
+                f"least(tf, {TP_TF_CAP})"
+                f" * least((n_docs * 10) div df, {TP_IDF_X10_CAP})"
+            ).cast("long").alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a = w.select(F.col("doc").alias("a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc").alias("b"), F.col("term").alias("term_b"),
+                 F.col("w").alias("wb"))
+    dots = (
+        a.join(b, (F.col("term") == F.col("term_b")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    return (
+        dots.join(norms.withColumnRenamed("doc", "a")
+                  .withColumnRenamed("n2", "na2"), "a")
+        .join(norms.withColumnRenamed("doc", "b")
+              .withColumnRenamed("n2", "nb2"), "b")
+        .select(
+            "a", "b", "n_shared_terms",
+            F.expr(
+                "CAST(round(1000000 * dot /"
+                " sqrt(CAST(na2 AS DOUBLE) * nb2)) AS BIGINT)"
+            ).alias("cosine_x1e6"),
+        )
+        .where(F.col("cosine_x1e6") >= threshold_x1e6)
+    )
+
+
+def tfidf_pairs_oracle_sql(table: str = "documents", max_df: int = 1_000,
+                           threshold_x1e6: int = 300_000) -> str:
+    """DuckDB replay of :func:`tfidf_pairs`: identical df strip,
+    identical quantized weights, identical integer dot/norm sums and the
+    single float cosine chain."""
+    return rf"""
+    WITH tf AS (
+        SELECT doc, term, COUNT(*) AS tf FROM (
+            SELECT doc_id AS doc,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+            FROM {table}
+        ) GROUP BY doc, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        HAVING COUNT(*) <= {max_df}
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM {table}),
+    w AS (
+        SELECT tf.doc, tf.term,
+               CAST(least(tf.tf, {TP_TF_CAP})
+                    * least((n.n_docs * 10) // dfreq.df, {TP_IDF_X10_CAP})
+                    AS BIGINT) AS w
+        FROM tf JOIN dfreq USING (term), n
+    ),
+    norms AS (SELECT doc, CAST(SUM(w * w) AS BIGINT) AS n2
+              FROM w GROUP BY doc),
+    dots AS (
+        SELECT x.doc AS a, y.doc AS b, COUNT(*) AS n_shared_terms,
+               CAST(SUM(x.w * y.w) AS BIGINT) AS dot
+        FROM w x JOIN w y ON x.term = y.term AND x.doc < y.doc
+        GROUP BY x.doc, y.doc
+    )
+    SELECT d.a, d.b, d.n_shared_terms,
+           CAST(round(1000000 * d.dot /
+                sqrt(CAST(na.n2 AS DOUBLE) * nb.n2)) AS BIGINT)
+               AS cosine_x1e6
+    FROM dots d
+    JOIN norms na ON d.a = na.doc
+    JOIN norms nb ON d.b = nb.doc
+    WHERE round(1000000 * d.dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2))
+          >= {threshold_x1e6}
+    """

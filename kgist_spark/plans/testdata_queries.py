@@ -1764,6 +1764,16 @@ def q_hll_error(spark, sf_dir):
     )
 
 
+def q_tfidf_pairs(spark, sf_dir):
+    """TF-IDF-weighted cosine document pairs: the weighted lexical
+    similarity Jaccard misses (rare shared terms dominate, stopwords
+    score nothing); quantized integer weights, integer dot/norm sums,
+    one float cosine chain per surviving pair."""
+    from kgist_spark.operators.dedup import tfidf_pairs
+
+    return tfidf_pairs(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1872,6 +1882,7 @@ QUERIES = {
     "lm3_score": q_lm3_score,
     "kg_metapath": q_kg_metapath,
     "hll_error": q_hll_error,
+    "tfidf_pairs": q_tfidf_pairs,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4007,6 +4018,17 @@ def _kg_metapath_oracle() -> str:
     from kgist_spark.operators.graph import metapath_oracle_sql
 
     return metapath_oracle_sql(DERIVED_TRIPLES_SQL, _METAPATH, k=50)
+
+
+def _tfidf_pairs_oracle() -> str:
+    from kgist_spark.operators.dedup import tfidf_pairs_oracle_sql
+
+    return tfidf_pairs_oracle_sql()
+
+
+# tfidf_pairs: identical df strip + quantized weights (caps imported from
+# the operator), integer dot/norm sums, one float cosine chain
+ORACLE_SQL["tfidf_pairs"] = _tfidf_pairs_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the

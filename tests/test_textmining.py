@@ -403,3 +403,42 @@ def test_corpus_report_hand_computed(spark):
         "en", 2 * 1_000_000 // 3)
     s2 = rows["s2"]
     assert s2["n_dup_docs"] == 0 and s2["top_lang_share_x1e6"] == 1_000_000
+
+
+def test_tfidf_pairs_weighting_and_stopword_strip(spark):
+    """Rare shared terms dominate; terms over the df cap contribute
+    NOTHING (dot or norms); python replay of the quantized arithmetic."""
+    import math
+
+    from kgist_spark.operators.dedup import (
+        TP_IDF_X10_CAP,
+        TP_TF_CAP,
+        tfidf_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [("1", "the quantum chromodynamics paper the the"),
+         ("2", "the quantum chromodynamics review the"),
+         ("3", "the cooking recipe blog post the"),
+         ("4", "the cooking recipe collection the")],
+        "doc_id string, text string",
+    )
+    # df cap 3 strips 'the' (df=4); every other term df <= 2
+    out = {(r["a"], r["b"]): r
+           for r in tfidf_pairs(docs, max_df=3,
+                                threshold_x1e6=100_000).collect()}
+    assert ("1", "2") in out and ("3", "4") in out
+    assert ("1", "3") not in out  # only 'the' shared -> stripped -> no pair
+
+    # python replay for the (1, 2) pair
+    n_docs = 4
+    def w(tf, df):
+        return min(tf, TP_TF_CAP) * min((n_docs * 10) // df, TP_IDF_X10_CAP)
+    # doc1 capped terms: quantum(1,2) chromo(1,2) paper(1,1)
+    # doc2: quantum(1,2) chromo(1,2) review(1,1)
+    wq, wc, wp = w(1, 2), w(1, 2), w(1, 1)
+    dot = wq * wq + wc * wc
+    na2 = wq * wq + wc * wc + wp * wp
+    want = round(1_000_000 * dot / math.sqrt(na2 * na2))
+    assert out[("1", "2")]["cosine_x1e6"] == want
+    assert out[("1", "2")]["n_shared_terms"] == 2
