@@ -138,6 +138,7 @@ def main():
         "kg_metapath",
         "hll_error",
         "tfidf_pairs",
+        "editdist_pairs",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -975,3 +975,112 @@ def tfidf_pairs_oracle_sql(table: str = "documents", max_df: int = 1_000,
     WHERE round(1000000 * d.dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2))
           >= {threshold_x1e6}
     """
+
+
+def editdist_pairs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 5,
+                   df_cap: int | None = 1000, max_chars: int = 4_096,
+                   min_ratio_x1e6: int = 600_000,
+                   drop_stats=None) -> DataFrame:
+    """Exact edit-distance verification over shared-shingle candidates —
+    the CHARACTER-level near-dup check the token families can't give
+    (Jaccard is blind to within-token edits: ``colour``/``color``
+    documents share few shingles per edit but are one letter apart):
+    ``(a, b, dist, ratio_x1e6)`` where ``ratio = 1 −
+    dist/greatest(len_a, len_b)`` and both engines compute the SAME
+    integer Levenshtein (a built-in in Spark and ANSI-ish SQL alike —
+    an exact integer metric, so the row hashes with no float care
+    beyond one truncating div).
+
+    Candidates = pairs sharing ≥ 1 word-``k``-gram shingle, the
+    :func:`ngram_jaccard_pairs` substrate with the same ``df_cap``
+    hot-shingle guard (drops Observation-counted, zero at test scales so
+    the cap-free oracle matches — the established capped-substrate
+    contract); ``max_chars`` is a SEMANTIC cap, not a truncation:
+    Levenshtein is O(len²) per pair, so longer documents are excluded
+    from this verifier entirely (they stay covered by the token-level
+    families; a 1 MB crawl-artifact pair would cost 10¹² cell updates
+    here).  The oracle applies the identical length cap.
+
+    100 TB shape: candidate volume is df-capped; the quadratic kernel
+    runs only on len-capped candidate rows, each one JVM builtin call."""
+    capped = docs.where(F.length(text_col) <= max_chars)
+    sh = MH.word_shingles(fan_out_scan(capped.select(id_col, text_col)),
+                          id_col, text_col, k=k)
+    if df_cap is not None:
+        buckets = sh.select(
+            "id", F.lit(0).alias("band"), F.col("shingle").alias("bucket")
+        )
+        pairs = MH.candidate_pairs(buckets, max_bucket=df_cap,
+                                   drop_stats=drop_stats)
+    else:
+        pairs = (
+            sh.alias("x").join(sh.alias("y"), "shingle")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+        )
+    texts = capped.select(
+        F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+    )
+    return (
+        pairs
+        .join(texts.select(F.col("_tid").alias("a"),
+                           F.col("_t").alias("ta"),
+                           F.col("_len").alias("la")), "a")
+        .join(texts.select(F.col("_tid").alias("b"),
+                           F.col("_t").alias("tb"),
+                           F.col("_len").alias("lb")), "b")
+        .select(
+            "a", "b",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+            F.expr(
+                "CAST((greatest(la, lb) - levenshtein(ta, tb)) * 1000000"
+                " div greatest(la, lb) AS BIGINT)"
+            ).alias("ratio_x1e6"),
+        )
+        .where(F.col("ratio_x1e6") >= min_ratio_x1e6)
+    )
+
+
+def editdist_pairs_oracle_sql(table: str = "documents", k: int = 5,
+                              max_chars: int = 4_096,
+                              min_ratio_x1e6: int = 600_000) -> str:
+    """DuckDB replay of :func:`editdist_pairs`: the identical
+    shared-shingle candidate space (cap-free — the capped substrate
+    drops nothing at oracle scales, the ngram_jaccard contract), the
+    identical length cap, the identical integer Levenshtein + ratio."""
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS len FROM {table}
+        WHERE length(text) <= {max_chars}
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        FROM t
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(w) - {k - 1}, 1)),
+                       i -> array_to_string(w[i:i + {k - 1}], ' '))) AS shingle
+            FROM toks
+        ) WHERE length(shingle) > 0
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS a, y.id AS b
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+    )
+    SELECT c.a, c.b,
+           CAST(levenshtein(xa.text, xb.text) AS BIGINT) AS dist,
+           CAST((greatest(xa.len, xb.len) - levenshtein(xa.text, xb.text))
+                * 1000000 // greatest(xa.len, xb.len) AS BIGINT)
+               AS ratio_x1e6
+    FROM cand c
+    JOIN t xa ON c.a = xa.doc_id
+    JOIN t xb ON c.b = xb.doc_id
+    WHERE (greatest(xa.len, xb.len) - levenshtein(xa.text, xb.text))
+          * 1000000 // greatest(xa.len, xb.len) >= {min_ratio_x1e6}
+    """

@@ -1774,6 +1774,15 @@ def q_tfidf_pairs(spark, sf_dir):
     return tfidf_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_editdist_pairs(spark, sf_dir):
+    """Exact Levenshtein verification over shared-shingle candidates:
+    the character-level near-dup check token Jaccard can't give — an
+    exact integer metric both engines compute natively."""
+    from kgist_spark.operators.dedup import editdist_pairs
+
+    return editdist_pairs(_t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1883,6 +1892,7 @@ QUERIES = {
     "kg_metapath": q_kg_metapath,
     "hll_error": q_hll_error,
     "tfidf_pairs": q_tfidf_pairs,
+    "editdist_pairs": q_editdist_pairs,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4029,6 +4039,17 @@ def _tfidf_pairs_oracle() -> str:
 # tfidf_pairs: identical df strip + quantized weights (caps imported from
 # the operator), integer dot/norm sums, one float cosine chain
 ORACLE_SQL["tfidf_pairs"] = _tfidf_pairs_oracle()
+
+
+def _editdist_pairs_oracle() -> str:
+    from kgist_spark.operators.dedup import editdist_pairs_oracle_sql
+
+    return editdist_pairs_oracle_sql()
+
+
+# editdist_pairs: identical shared-shingle candidates + length cap +
+# integer Levenshtein (a builtin in both engines) + truncating ratio
+ORACLE_SQL["editdist_pairs"] = _editdist_pairs_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the

@@ -442,3 +442,29 @@ def test_tfidf_pairs_weighting_and_stopword_strip(spark):
     want = round(1_000_000 * dot / math.sqrt(na2 * na2))
     assert out[("1", "2")]["cosine_x1e6"] == want
     assert out[("1", "2")]["n_shared_terms"] == 2
+
+
+def test_editdist_pairs_char_level_signal(spark):
+    """Within-token edits keep the ratio high while dropping some
+    shingles; unrelated docs never pair; the length cap excludes long
+    docs from this verifier entirely."""
+    from kgist_spark.operators.dedup import editdist_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    variant = base.replace("colour", "color").replace("jumps", "jumped")
+    docs = spark.createDataFrame(
+        [("1", base), ("2", variant),
+         ("3", "completely different content with no shared phrasing")],
+        "doc_id string, text string",
+    )
+    rows = {(r["a"], r["b"]): r for r in editdist_pairs(docs).collect()}
+    p = rows[("1", "2")]
+    assert p["dist"] == 2  # jumps -> jumped is a 2-edit change
+    assert p["ratio_x1e6"] > 900_000
+    assert not any("3" in k for k in rows)
+    # length cap: an over-cap twin never reaches the verifier
+    docs2 = spark.createDataFrame(
+        [("1", base), ("2", base + " x" * 3000)],
+        "doc_id string, text string",
+    )
+    assert editdist_pairs(docs2, max_chars=100).count() == 0
