@@ -2291,8 +2291,13 @@ def _dense_node_index(nodes: DataFrame, salt: str,
     row_numbers run partitioned and spillable.  The oracle collapses to
     the ONE global ROW_NUMBER this must reproduce."""
     h = F.md5(F.concat(F.lit(salt), F.col("node")))
+    # lazy lineage pin: `base` feeds BOTH the bucket-count branch and the
+    # final intra-bucket numbering join — unpinned, the (corpus-scale)
+    # upstream node derivation would recompute once per reference (the
+    # kg_negatives plan showed 54 Exchanges before this pin)
     base = nodes.select("node", h.alias("h"),
-                        F.substring(h, 1, bucket_hex).alias("bkt"))
+                        F.substring(h, 1, bucket_hex).alias("bkt")
+                        ).localCheckpoint(eager=False)
     per_bkt = base.groupBy("bkt").agg(F.count("*").alias("cnt"))
     offs = per_bkt.select(
         "bkt",
@@ -2338,7 +2343,9 @@ def negative_samples(triples: DataFrame, n_neg: int = 2,
         .unionAll(triples.select(F.col("obj").alias("node")))
         .distinct()
     )
-    idx = _dense_node_index(nodes, salt)
+    # `idx` is read twice (the n_nodes count and the draw join) — pin it
+    # so the index builds once per action
+    idx = _dense_node_index(nodes, salt).localCheckpoint(eager=False)
     n_nodes = idx.agg(F.count("*").alias("n_nodes"))
     drawn = (
         triples.crossJoin(F.broadcast(n_nodes))
