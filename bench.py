@@ -139,6 +139,7 @@ def main():
         "hll_error",
         "tfidf_pairs",
         "editdist_pairs",
+        "mixture_plan",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -327,3 +327,102 @@ def hash_split_oracle_sql(table: str, key_col: str,
         f"SELECT {key_col}, CASE {' '.join(whens)} ELSE '{last}' END AS split"
         f" FROM {table}"
     )
+
+
+def mixture_plan(docs: DataFrame, weights: "list[tuple[str, int]]",
+                 token_budget: int, source_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """The training-mixture planning table — the arithmetic between a
+    corpus report and the samplers: given per-source mixture weights
+    (parts-per-million, the literal mixture spec) and a total token
+    budget, emit per source the available tokens, the target share, and
+    the DETERMINISTIC sampling rate to hand
+    :func:`stratified_sample` — ``(src, n_tokens, weight_x1e6,
+    target_tokens, rate_x1e6, planned_tokens, deficit_tokens)``.
+
+    ``rate_x1e6 = min(1e6, target*1e6 div available)`` — truncating
+    integer arithmetic throughout; an under-provisioned source (deficit
+    > 0) caps at rate 1.0 and reports its shortfall instead of silently
+    upsampling (epoch-repeat decisions are a POLICY, left to the
+    caller — the no-silent-caps contract applied to mixtures).  Sources
+    absent from ``weights`` get weight 0 (rate 0, fully dropped, still
+    listed).
+
+    Scale shape: one map-side token rollup per source + a broadcast of
+    the |weights|-row spec."""
+    spark = docs.sparkSession
+    toks = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.expr(
+            f"CAST(sum(size(split(trim({text_col}), '\\\\s+'))) AS BIGINT)"
+        ).alias("n_tokens")
+    )
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in weights], "src string, weight_x1e6 long"
+    )
+    j = toks.join(F.broadcast(wdf), "src", "left").select(
+        "src", "n_tokens",
+        F.coalesce("weight_x1e6", F.lit(0)).cast("long").alias("weight_x1e6"),
+    )
+    return j.select(
+        "src", "n_tokens", "weight_x1e6",
+        F.expr(f"CAST({token_budget} * weight_x1e6 div 1000000 AS BIGINT)")
+        .alias("target_tokens"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(CASE WHEN n_tokens = 0 THEN 0"
+            " ELSE least(CAST(1000000 AS BIGINT),"
+            " target_tokens * 1000000 div n_tokens) END AS BIGINT)"
+        ).alias("rate_x1e6"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(n_tokens * rate_x1e6 div 1000000 AS BIGINT)"
+        ).alias("planned_tokens"),
+        F.expr(
+            "CAST(greatest(CAST(0 AS BIGINT), target_tokens -"
+            " n_tokens * rate_x1e6 div 1000000) AS BIGINT)"
+        ).alias("deficit_tokens"),
+    )
+
+
+def mixture_plan_oracle_sql(weights: "list[tuple[str, int]]",
+                            token_budget: int,
+                            table: str = "documents") -> str:
+    """DuckDB replay of :func:`mixture_plan`: identical token rollup,
+    identical truncating rate/deficit arithmetic, identical weight
+    spec literals."""
+    vals = ", ".join(f"('{s}', {int(w)})" for s, w in weights)
+    return rf"""
+    WITH toks AS (
+        SELECT source AS src,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM {table} GROUP BY source
+    ),
+    w(src, weight_x1e6) AS (VALUES {vals}),
+    j AS (
+        SELECT t.src, t.n_tokens,
+               CAST(COALESCE(w.weight_x1e6, 0) AS BIGINT) AS weight_x1e6
+        FROM toks t LEFT JOIN w ON t.src = w.src
+    ),
+    tgt AS (
+        SELECT *, CAST({token_budget} * weight_x1e6 // 1000000 AS BIGINT)
+                   AS target_tokens
+        FROM j
+    ),
+    rate AS (
+        SELECT *, CAST(CASE WHEN n_tokens = 0 THEN 0
+                       ELSE least(CAST(1000000 AS BIGINT),
+                                  target_tokens * 1000000 // n_tokens)
+                       END AS BIGINT) AS rate_x1e6
+        FROM tgt
+    )
+    SELECT src, n_tokens, weight_x1e6, target_tokens, rate_x1e6,
+           CAST(n_tokens * rate_x1e6 // 1000000 AS BIGINT)
+               AS planned_tokens,
+           CAST(greatest(CAST(0 AS BIGINT), target_tokens -
+                n_tokens * rate_x1e6 // 1000000) AS BIGINT)
+               AS deficit_tokens
+    FROM rate
+    """

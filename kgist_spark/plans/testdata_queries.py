@@ -1783,6 +1783,24 @@ def q_editdist_pairs(spark, sf_dir):
     return editdist_pairs(_t(spark, sf_dir, "documents"))
 
 
+#: mixture spec for the plan query: over-weight src0 so a deficit
+#: surfaces (rate caps at 1.0, shortfall reported), leave one source
+#: unweighted (rate 0, listed)
+_MIX_WEIGHTS = [("src0", 500_000), ("src1", 300_000), ("src2", 100_000)]
+_MIX_BUDGET = 200_000
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Training-mixture planning table: per-source sampling rates from a
+    weight spec + token budget — truncating integer arithmetic, deficit
+    reported instead of silent upsampling (epoch policy is the
+    caller's)."""
+    from kgist_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS,
+                        _MIX_BUDGET)
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1893,6 +1911,7 @@ QUERIES = {
     "hll_error": q_hll_error,
     "tfidf_pairs": q_tfidf_pairs,
     "editdist_pairs": q_editdist_pairs,
+    "mixture_plan": q_mixture_plan,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4050,6 +4069,17 @@ def _editdist_pairs_oracle() -> str:
 # editdist_pairs: identical shared-shingle candidates + length cap +
 # integer Levenshtein (a builtin in both engines) + truncating ratio
 ORACLE_SQL["editdist_pairs"] = _editdist_pairs_oracle()
+
+
+def _mixture_plan_oracle() -> str:
+    from kgist_spark.operators.sampling import mixture_plan_oracle_sql
+
+    return mixture_plan_oracle_sql(_MIX_WEIGHTS, _MIX_BUDGET)
+
+
+# mixture_plan: identical token rollup + truncating rate/deficit
+# arithmetic; the weight spec literals are shared by construction
+ORACLE_SQL["mixture_plan"] = _mixture_plan_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the

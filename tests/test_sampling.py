@@ -356,3 +356,29 @@ def test_hash_split_salt_and_remainder(spark):
     # degenerate fractions: last split absorbs the remainder
     only = hash_split(df, "doc_id", [("all", 1.0)], salt="x")
     assert {r["split"] for r in only.collect()} == {"all"}
+
+
+def test_mixture_plan_rates_and_deficit(spark):
+    from kgist_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [("1", "a b c d", "s1"),        # 4 tokens
+         ("2", "a b c d e f", "s1"),    # 6 -> s1 has 10
+         ("3", "x y", "s2"),            # s2 has 2
+         ("4", "p q r", "s3")],         # s3 unweighted
+        "doc_id string, text string, source string",
+    )
+    plan = {r["src"]: r for r in mixture_plan(
+        docs, [("s1", 500_000), ("s2", 500_000)], token_budget=8
+    ).collect()}
+    s1 = plan["s1"]
+    # target 4 of 10 available -> rate 0.4, planned 4, no deficit
+    assert (s1["target_tokens"], s1["rate_x1e6"],
+            s1["planned_tokens"], s1["deficit_tokens"]) == (4, 400_000, 4, 0)
+    s2 = plan["s2"]
+    # target 4 of only 2 -> rate caps at 1.0, deficit 2 REPORTED (no
+    # silent upsampling)
+    assert (s2["rate_x1e6"], s2["planned_tokens"],
+            s2["deficit_tokens"]) == (1_000_000, 2, 2)
+    s3 = plan["s3"]
+    assert (s3["weight_x1e6"], s3["rate_x1e6"]) == (0, 0)  # listed, dropped
