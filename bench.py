@@ -140,6 +140,7 @@ def main():
         "tfidf_pairs",
         "editdist_pairs",
         "mixture_plan",
+        "pack_chunks",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

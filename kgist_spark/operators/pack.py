@@ -115,3 +115,67 @@ def pack_layout_oracle_sql(docs_sql: str, ctx: int = 2048,
            tok_start % {ctx} AS offset_in_chunk
     FROM c
     """
+
+
+def pack_chunks(docs: DataFrame, ctx: int = 2048, id_col: str = "doc_id",
+                text_col: str = "text", salt: str = "pack",
+                bucket_hex: int = 2) -> DataFrame:
+    """The INVERSE packing table — what a training loader actually reads:
+    :func:`pack_layout` answers "where does this document land"; this
+    answers "what composes this chunk": one row per (chunk, document
+    segment) — ``(chunk_id, doc_id, offset_in_chunk, seg_start,
+    seg_len)`` with ``seg_start`` the 1-based token position WITHIN the
+    document and segments tiling every chunk gaplessly (sum(seg_len) =
+    ctx on all but the final partial chunk — pinned by test).
+
+    Pure arithmetic on the layout: each document explodes into its
+    ``chunk_last − chunk_first + 1`` touched chunks (a per-row
+    ``sequence``, bounded by ⌈n_tokens/ctx⌉ — no join, no extra
+    shuffle beyond the layout's own), and the segment bounds are
+    min/max intersections of the doc's token interval with the chunk's.
+    """
+    lay = pack_layout(docs, ctx=ctx, id_col=id_col, text_col=text_col,
+                      salt=salt, bucket_hex=bucket_hex)
+    return (
+        lay.select(
+            id_col, "n_tokens", "tok_start",
+            F.explode(
+                F.sequence(F.col("chunk_first"), F.col("chunk_last"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            "chunk_id",
+            F.col(id_col),
+            F.expr(
+                f"greatest(tok_start, chunk_id * {ctx}) - chunk_id * {ctx}"
+            ).cast("long").alias("offset_in_chunk"),
+            F.expr(
+                f"greatest(tok_start, chunk_id * {ctx}) - tok_start + 1"
+            ).cast("long").alias("seg_start"),
+            F.expr(
+                f"least(tok_start + n_tokens, (chunk_id + 1) * {ctx})"
+                f" - greatest(tok_start, chunk_id * {ctx})"
+            ).cast("long").alias("seg_len"),
+        )
+    )
+
+
+def pack_chunks_oracle_sql(docs_sql: str, ctx: int = 2048,
+                           salt: str = "pack") -> str:
+    """DuckDB replay of :func:`pack_chunks`: the layout oracle's single
+    global window + the identical per-chunk explode and intersection
+    arithmetic."""
+    lay = pack_layout_oracle_sql(docs_sql, ctx=ctx, salt=salt)
+    return f"""
+    WITH lay AS ({lay})
+    SELECT u.chunk_id, l.doc_id,
+           CAST(greatest(l.tok_start, u.chunk_id * {ctx})
+                - u.chunk_id * {ctx} AS BIGINT) AS offset_in_chunk,
+           CAST(greatest(l.tok_start, u.chunk_id * {ctx})
+                - l.tok_start + 1 AS BIGINT) AS seg_start,
+           CAST(least(l.tok_start + l.n_tokens, (u.chunk_id + 1) * {ctx})
+                - greatest(l.tok_start, u.chunk_id * {ctx}) AS BIGINT)
+               AS seg_len
+    FROM lay l, LATERAL unnest(
+        range(l.chunk_first, l.chunk_last + 1)) u(chunk_id)
+    """

@@ -1801,6 +1801,15 @@ def q_mixture_plan(spark, sf_dir):
                         _MIX_BUDGET)
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Inverse packing table (per chunk: its document segments, gapless
+    tiling) — what a training loader reads; pack_layout answers the
+    per-document question, this the per-chunk one."""
+    from kgist_spark.operators.pack import pack_chunks
+
+    return pack_chunks(_t(spark, sf_dir, "documents"), ctx=_PACK_CTX)
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1912,6 +1921,7 @@ QUERIES = {
     "tfidf_pairs": q_tfidf_pairs,
     "editdist_pairs": q_editdist_pairs,
     "mixture_plan": q_mixture_plan,
+    "pack_chunks": q_pack_chunks,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4080,6 +4090,18 @@ def _mixture_plan_oracle() -> str:
 # mixture_plan: identical token rollup + truncating rate/deficit
 # arithmetic; the weight spec literals are shared by construction
 ORACLE_SQL["mixture_plan"] = _mixture_plan_oracle()
+
+
+def _pack_chunks_oracle() -> str:
+    from kgist_spark.operators.pack import pack_chunks_oracle_sql
+
+    return pack_chunks_oracle_sql("SELECT doc_id, text FROM documents",
+                                  ctx=_PACK_CTX)
+
+
+# pack_chunks: the pack_layout oracle's single global window + identical
+# per-chunk explode and interval-intersection arithmetic
+ORACLE_SQL["pack_chunks"] = _pack_chunks_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the

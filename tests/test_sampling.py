@@ -382,3 +382,37 @@ def test_mixture_plan_rates_and_deficit(spark):
             s2["deficit_tokens"]) == (1_000_000, 2, 2)
     s3 = plan["s3"]
     assert (s3["weight_x1e6"], s3["rate_x1e6"]) == (0, 0)  # listed, dropped
+
+
+def test_pack_chunks_gapless_tiling_and_inverse(spark):
+    """Every chunk except the last tiles exactly ctx tokens from its
+    segments; segment bounds invert the layout exactly."""
+    from pyspark.sql import functions as F
+
+    from kgist_spark.operators.pack import pack_chunks, pack_layout
+
+    docs = spark.createDataFrame(
+        [(str(i), " ".join(f"t{j}" for j in range(1 + (i * 7) % 23)))
+         for i in range(40)],
+        "doc_id string, text string",
+    )
+    ctx = 16
+    chunks = pack_chunks(docs, ctx=ctx).collect()
+    lay = {r["doc_id"]: r for r in pack_layout(docs, ctx=ctx).collect()}
+    total = sum(lay[d]["n_tokens"] for d in lay)
+    last_chunk = (total - 1) // ctx
+    from collections import defaultdict
+
+    per_chunk = defaultdict(int)
+    per_doc = defaultdict(int)
+    for r in chunks:
+        assert 1 <= r["seg_start"] <= lay[r["doc_id"]]["n_tokens"]
+        assert r["seg_len"] >= 1
+        assert 0 <= r["offset_in_chunk"] < ctx
+        per_chunk[r["chunk_id"]] += r["seg_len"]
+        per_doc[r["doc_id"]] += r["seg_len"]
+    for cid, n in per_chunk.items():
+        assert n == (ctx if cid < last_chunk else total - last_chunk * ctx)
+    # every document's segments cover it exactly once
+    for d, row in lay.items():
+        assert per_doc[d] == row["n_tokens"]
