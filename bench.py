@@ -141,6 +141,7 @@ def main():
         "editdist_pairs",
         "mixture_plan",
         "pack_chunks",
+        "kg_negatives_head",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -2317,7 +2317,7 @@ def _dense_node_index(nodes: DataFrame, salt: str,
 
 
 def negative_samples(triples: DataFrame, n_neg: int = 2,
-                     salt: str = "neg") -> DataFrame:
+                     salt: str = "neg", corrupt: str = "tail") -> DataFrame:
     """Filtered corrupt-tail negative sampling — the training-pair
     generator for KG-embedding losses (TransE/DistMult-style margin and
     NCE objectives need k corrupted triples per true triple): for each
@@ -2337,7 +2337,17 @@ def negative_samples(triples: DataFrame, n_neg: int = 2,
     the index (corpus-scale both sides, never broadcast), and the
     filter is one anti-join on the triple key.
 
-    Output: ``(subj, pred, obj, k_idx, neg_obj)``."""
+    ``corrupt`` picks the replaced slot — ``'tail'`` (the default;
+    output column ``neg_obj``) or ``'head'`` (``neg_subj``; the filter
+    then checks ``(neg_subj, pred, obj)``).  The standard protocol draws
+    both 50/50; the head path derives its draws from a distinct salt so
+    the two corruption streams are independent, and the tail path is
+    byte-identical to the single-sided operator.
+
+    Output: ``(subj, pred, obj, k_idx, neg_obj | neg_subj)``."""
+    if corrupt not in ("tail", "head"):
+        raise ValueError("corrupt must be 'tail' or 'head'")
+    eff_salt = salt if corrupt == "tail" else salt + ":h"
     nodes = (
         triples.select(F.col("subj").alias("node"))
         .unionAll(triples.select(F.col("obj").alias("node")))
@@ -2345,7 +2355,7 @@ def negative_samples(triples: DataFrame, n_neg: int = 2,
     )
     # `idx` is read twice (the n_nodes count and the draw join) — pin it
     # so the index builds once per action
-    idx = _dense_node_index(nodes, salt).localCheckpoint(eager=False)
+    idx = _dense_node_index(nodes, eff_salt).localCheckpoint(eager=False)
     n_nodes = idx.agg(F.count("*").alias("n_nodes"))
     drawn = (
         triples.crossJoin(F.broadcast(n_nodes))
@@ -2360,7 +2370,7 @@ def negative_samples(triples: DataFrame, n_neg: int = 2,
             "draw",
             F.conv(
                 F.substring(
-                    F.md5(F.concat_ws("|", F.lit(salt), F.col("subj"),
+                    F.md5(F.concat_ws("|", F.lit(eff_salt), F.col("subj"),
                                       F.col("pred"), F.col("obj"),
                                       F.col("k_idx").cast("string"))),
                     1, 15,
@@ -2368,29 +2378,45 @@ def negative_samples(triples: DataFrame, n_neg: int = 2,
             ).cast("long") % F.col("n_nodes"),
         )
     )
+    neg_col = "neg_obj" if corrupt == "tail" else "neg_subj"
     withneg = (
         drawn.join(idx, drawn["draw"] == idx["idx"])
         .select("subj", "pred", "obj", "k_idx",
-                F.col("node").alias("neg_obj"))
+                F.col("node").alias(neg_col))
     )
     true_edges = triples.select(
         F.col("subj").alias("ts"), F.col("pred").alias("tp"),
         F.col("obj").alias("tn"),
     ).distinct()
-    return withneg.join(
-        true_edges,
-        (F.col("subj") == F.col("ts")) & (F.col("pred") == F.col("tp"))
-        & (F.col("neg_obj") == F.col("tn")),
-        "left_anti",
-    )
+    if corrupt == "tail":
+        cond = (
+            (F.col("subj") == F.col("ts")) & (F.col("pred") == F.col("tp"))
+            & (F.col("neg_obj") == F.col("tn"))
+        )
+    else:
+        cond = (
+            (F.col("neg_subj") == F.col("ts"))
+            & (F.col("pred") == F.col("tp"))
+            & (F.col("obj") == F.col("tn"))
+        )
+    return withneg.join(true_edges, cond, "left_anti")
 
 
 def negative_samples_oracle_sql(triples_sql: str, n_neg: int = 2,
-                                salt: str = "neg") -> str:
+                                salt: str = "neg",
+                                corrupt: str = "tail") -> str:
     """DuckDB replay of :func:`negative_samples`: the dense index
     collapses to ONE global ROW_NUMBER over the identical ``(md5, node)``
     order (the two-phase plan must reproduce it), draws and the filtered
     anti-join replay verbatim."""
+    eff_salt = salt if corrupt == "tail" else salt + ":h"
+    neg_col = "neg_obj" if corrupt == "tail" else "neg_subj"
+    if corrupt == "tail":
+        notexists = ("t.subj = w.subj AND t.pred = w.pred"
+                     " AND t.obj = w.neg_obj")
+    else:
+        notexists = ("t.subj = w.neg_subj AND t.pred = w.pred"
+                     " AND t.obj = w.obj")
     return f"""
     WITH t AS ({triples_sql}),
     nodes AS (
@@ -2400,27 +2426,26 @@ def negative_samples_oracle_sql(triples_sql: str, n_neg: int = 2,
     ),
     idx AS (
         SELECT node,
-               ROW_NUMBER() OVER (ORDER BY md5('{salt}' || node), node) - 1
+               ROW_NUMBER() OVER (ORDER BY md5('{eff_salt}' || node), node) - 1
                    AS idx
         FROM nodes
     ),
     n AS (SELECT COUNT(*) AS n_nodes FROM idx),
     drawn AS (
         SELECT subj, pred, obj, k_idx,
-               CAST(('0x' || substr(md5('{salt}' || '|' || subj || '|' ||
+               CAST(('0x' || substr(md5('{eff_salt}' || '|' || subj || '|' ||
                          pred || '|' || obj || '|' || CAST(k_idx AS STRING)),
                      1, 15)) AS BIGINT) % (SELECT n_nodes FROM n) AS draw
         FROM t CROSS JOIN
              (SELECT unnest(range(1, {n_neg} + 1)) AS k_idx) ks
     ),
     withneg AS (
-        SELECT d.subj, d.pred, d.obj, d.k_idx, i.node AS neg_obj
+        SELECT d.subj, d.pred, d.obj, d.k_idx, i.node AS {neg_col}
         FROM drawn d JOIN idx i ON d.draw = i.idx
     )
     SELECT w.* FROM withneg w
     WHERE NOT EXISTS (
-        SELECT 1 FROM t
-        WHERE t.subj = w.subj AND t.pred = w.pred AND t.obj = w.neg_obj
+        SELECT 1 FROM t WHERE {notexists}
     )
     """
 

@@ -1810,6 +1810,16 @@ def q_pack_chunks(spark, sf_dir):
     return pack_chunks(_t(spark, sf_dir, "documents"), ctx=_PACK_CTX)
 
 
+def q_kg_negatives_head(spark, sf_dir):
+    """Head-corruption negatives (the other half of the standard 50/50
+    corruption protocol): subjects replaced from an independent draw
+    stream, (neg_subj, pred, obj) true edges filtered."""
+    from kgist_spark.operators.graph import negative_samples
+
+    return negative_samples(derived_triples(spark, sf_dir), n_neg=2,
+                            corrupt="head")
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1922,6 +1932,7 @@ QUERIES = {
     "editdist_pairs": q_editdist_pairs,
     "mixture_plan": q_mixture_plan,
     "pack_chunks": q_pack_chunks,
+    "kg_negatives_head": q_kg_negatives_head,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4102,6 +4113,18 @@ def _pack_chunks_oracle() -> str:
 # pack_chunks: the pack_layout oracle's single global window + identical
 # per-chunk explode and interval-intersection arithmetic
 ORACLE_SQL["pack_chunks"] = _pack_chunks_oracle()
+
+
+def _kg_negatives_head_oracle() -> str:
+    from kgist_spark.operators.graph import negative_samples_oracle_sql
+
+    return negative_samples_oracle_sql(DERIVED_TRIPLES_SQL, n_neg=2,
+                                       corrupt="head")
+
+
+# kg_negatives_head: the head-corruption twin — independent draw stream
+# (distinct internal salt), (neg_subj, pred, obj) anti-join
+ORACLE_SQL["kg_negatives_head"] = _kg_negatives_head_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the

@@ -1267,3 +1267,23 @@ def test_metapath_hand_computed_and_junction_cap(spark):
               for r in metapath_topk(triples, path, k=10,
                                      max_junction_deg=1).collect()}
     assert capped == {("c1", "s1"): 1, ("c2", "s1"): 1}
+
+
+def test_negative_samples_head_corruption(spark):
+    from kgist_spark.operators.graph import negative_samples
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("b", "q", "c"), ("c", "p", "d")],
+        "subj string, pred string, obj string",
+    )
+    head = negative_samples(triples, n_neg=3, corrupt="head").collect()
+    assert head and "neg_subj" in head[0].asDict()
+    true = {("a", "p", "b"), ("a", "p", "c"), ("b", "q", "c"), ("c", "p", "d")}
+    for r in head:
+        assert (r["neg_subj"], r["pred"], r["obj"]) not in true
+    # independent streams: the head draws differ from the tail draws
+    tail = {(r["subj"], r["pred"], r["obj"], r["k_idx"], r["neg_obj"])
+            for r in negative_samples(triples, n_neg=3).collect()}
+    headset = {(r["subj"], r["pred"], r["obj"], r["k_idx"], r["neg_subj"])
+               for r in head}
+    assert headset != tail
