@@ -142,6 +142,7 @@ def main():
         "mixture_plan",
         "pack_chunks",
         "kg_negatives_head",
+        "split_leakage",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -1820,6 +1820,34 @@ def q_kg_negatives_head(spark, sf_dir):
                             corrupt="head")
 
 
+def q_split_leakage(spark, sf_dir):
+    """Cross-split near-dup leakage audit — THE classic contamination
+    check a random split misses: near-duplicate pairs whose members land
+    in different train/val/test splits leak evaluation data into
+    training; this table counts pairs per (ordered) split pair, so the
+    off-diagonal rows are the leak."""
+    from kgist_spark.operators.dedup import minhash_neardup_pairs
+    from kgist_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, threshold=0.4).select("a", "b")
+    splits = hash_split(docs, "doc_id", salt=_MIX_SALT)
+    j = (
+        pairs.join(splits.select(F.col("doc_id").alias("a"),
+                                 F.col("split").alias("sa")), "a")
+        .join(splits.select(F.col("doc_id").alias("b"),
+                            F.col("split").alias("sb")), "b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1933,6 +1961,7 @@ QUERIES = {
     "mixture_plan": q_mixture_plan,
     "pack_chunks": q_pack_chunks,
     "kg_negatives_head": q_kg_negatives_head,
+    "split_leakage": q_split_leakage,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4125,6 +4154,29 @@ def _kg_negatives_head_oracle() -> str:
 # kg_negatives_head: the head-corruption twin — independent draw stream
 # (distinct internal salt), (neg_subj, pred, obj) anti-join
 ORACLE_SQL["kg_negatives_head"] = _kg_negatives_head_oracle()
+
+
+def _split_leakage_oracle() -> str:
+    from kgist_spark.operators.sampling import hash_split_oracle_sql
+
+    split_sql = hash_split_oracle_sql("documents", "doc_id", salt=_MIX_SALT)
+    pairs_sql = ORACLE_SQL["minhash_neardup"]
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    splits AS ({split_sql})
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN splits sa ON p.a = sa.doc_id
+    JOIN splits sb ON p.b = sb.doc_id
+    GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)
+    """
+
+
+# split_leakage: the two oracled components (exact near-dup pairs, md5
+# -interval splits) composed; off-diagonal rows are the contamination
+ORACLE_SQL["split_leakage"] = _split_leakage_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the
