@@ -143,6 +143,7 @@ def main():
         "pack_chunks",
         "kg_negatives_head",
         "split_leakage",
+        "kg_pagerank_weighted",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

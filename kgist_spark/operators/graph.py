@@ -2752,3 +2752,148 @@ def metapath_oracle_sql(triples_sql: str, path: list, k: int = 50,
     ORDER BY n_paths DESC, start, "end" LIMIT {k}
     """
     )
+
+
+def pagerank_weighted(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      weight: str = "w", iterations: int = 8,
+                      scale: int = PR_SCALE,
+                      damp: tuple = PR_DAMP,
+                      rows_per_partition: int = 200_000,
+                      broadcast_max_nodes: int = 2_000_000) -> DataFrame:
+    """Weighted integer fixed-point PageRank — the evidence-weighted
+    traversal the simple-graph variant throws away (a constructed KG's
+    edge MULTIPLICITY is signal: an (order, part) edge backed by 40
+    lineitems should carry 40× the mass of a singleton): contribution =
+    ``(r * w) div W(src)`` with ``W`` the source's out-STRENGTH (Σ w), a
+    strength-proportional split of the node's rank.  All arithmetic is
+    the same truncating integer div on positive operands, so the result
+    is bit-identical at any parallelism and replayed exactly by
+    :func:`pagerank_weighted_oracle_sql`.
+
+    int64 bound: the per-edge product ``r * w`` must fit — with ranks
+    bounded by ``n_nodes * scale`` (total-mass worst case) the safe
+    envelope is ``w_max * n_nodes * scale < 2^63`` (w ≤ 10⁴ is safe past
+    10⁸ nodes at scale 1e6; the unweighted loop divides before anything
+    multiplies and has no such product).  Callers aggregate multi-edges
+    into the weight column; weights must be ≥ 1.
+
+    Loop shape identical to :func:`pagerank_fixed_point` (persisted
+    adjacency, one-pass node table, size-gated rank broadcast, scoped
+    width, lazy checkpoints with one eager sweep)."""
+    dn, dd = damp
+    base = (scale * (dd - dn)) // dd
+
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).persist()
+    n_edges = e.count()
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        -(-n_edges // rows_per_partition),
+    ))
+    conf = spark.conf
+    old_width = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", str(width))
+    node_tbl = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"),
+                             F.col("w").alias("ws")),
+                    F.struct(F.col("dst").alias("node"),
+                             F.lit(0).cast("long").alias("ws")),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.node").alias("node"))
+        .agg(
+            F.sum("x.ws").alias("out_w"),
+            F.max((F.col("x.ws") == 0).cast("int")).alias("has_in"),
+        )
+        .persist()
+    )
+    n_nodes = node_tbl.count()
+    nodes = node_tbl.select("node")
+    bcast = n_nodes <= broadcast_max_nodes
+    adj = e.join(
+        node_tbl.where("out_w > 0")
+        .select(F.col("node").alias("src"), F.col("out_w").alias("sw")),
+        "src",
+    )
+    if not bcast:
+        adj = adj.repartition("src")
+    adj = adj.persist()
+    no_in = (
+        node_tbl.where("has_in = 0")
+        .select("node", F.lit(base).cast("long").alias("r"))
+        .persist()
+    )
+    no_in.count()
+    try:
+        ranks = nodes.select(
+            "node", F.lit(scale).cast("long").alias("r")
+        ).localCheckpoint(eager=iterations == 0)
+        for i in range(iterations):
+            r = ranks.withColumnRenamed("node", "src")
+            if bcast:
+                r = F.broadcast(r)
+            contribs = (
+                adj.join(r, "src")
+                .select("dst", F.expr("(r * w) div sw").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                contribs.select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"cast({base} + ({dn} * s) div {dd} as long)")
+                    .alias("r"),
+                )
+                .unionAll(no_in)
+                .localCheckpoint(eager=i == iterations - 1)
+            )
+        return ranks.select("node", F.col("r").alias("rank_fp"))
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_width)
+        adj.unpersist()
+        node_tbl.unpersist()
+        no_in.unpersist()
+        e.unpersist()
+
+
+def pagerank_weighted_oracle_sql(edges_sql: str, iterations: int = 8,
+                                 scale: int = PR_SCALE,
+                                 damp: tuple = PR_DAMP) -> str:
+    """ANSI-SQL replay of :func:`pagerank_weighted` — unrolled CTEs with
+    the identical strength-proportional integer contribution.
+    ``edges_sql`` must yield ``(src, dst, w)``."""
+    dn, dd = damp
+    base = (scale * (dd - dn)) // dd
+    ctes = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "st AS (SELECT src, CAST(SUM(w) AS BIGINT) AS W FROM edges"
+        " GROUP BY src)",
+        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""pr{i} AS (
+            SELECT n.node,
+                   CAST({base} + ({dn} * COALESCE(s.s, 0)) // {dd}
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM((p.r * e.w) // a.W) AS BIGINT) AS s
+                FROM pr{i - 1} p
+                JOIN st a ON p.node = a.src
+                JOIN edges e ON e.src = a.src
+                GROUP BY e.dst
+            ) s ON n.node = s.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_fp FROM pr{iterations}"
+    )

@@ -1848,6 +1848,70 @@ def q_split_leakage(spark, sf_dir):
     )
 
 
+#: evidence-weighted KG edge list: lineitem MULTIPLICITY is the weight on
+#: the order->part and part->supplier edges (the signal the simple-graph
+#: derivation's distinct throws away); the other branches weigh 1
+_WEIGHTED_EDGES_SQL = """
+    SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem GROUP BY 'o' || l_orderkey, 'p' || l_partkey
+    UNION ALL
+    SELECT 'p' || l_partkey, 's' || l_suppkey, CAST(COUNT(*) AS BIGINT)
+    FROM lineitem GROUP BY 'p' || l_partkey, 's' || l_suppkey
+    UNION ALL
+    SELECT 'o' || o_orderkey, 'c' || o_custkey, CAST(1 AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'c' || c_custkey, 'n' || c_nationkey, CAST(1 AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 's' || s_suppkey, 'n' || s_nationkey, CAST(1 AS BIGINT)
+    FROM supplier
+"""
+
+_WPR_ITERS = 8
+
+
+def weighted_edges(spark, sf_dir):
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+
+    def grp(df, s_pre, s_col, o_pre, o_col):
+        return (
+            df.groupBy(
+                F.concat(F.lit(s_pre), F.col(s_col)).alias("src"),
+                F.concat(F.lit(o_pre), F.col(o_col)).alias("dst"),
+            ).agg(F.count("*").cast("long").alias("w"))
+        )
+
+    def one(df, s_pre, s_col, o_pre, o_col):
+        return df.select(
+            F.concat(F.lit(s_pre), F.col(s_col)).alias("src"),
+            F.concat(F.lit(o_pre), F.col(o_col)).alias("dst"),
+            F.lit(1).cast("long").alias("w"),
+        )
+
+    return (
+        grp(lineitem, "o", "l_orderkey", "p", "l_partkey")
+        .unionAll(grp(lineitem, "p", "l_partkey", "s", "l_suppkey"))
+        .unionAll(one(orders, "o", "o_orderkey", "c", "o_custkey"))
+        .unionAll(one(customer, "c", "c_custkey", "n", "c_nationkey"))
+        .unionAll(one(supplier, "s", "s_suppkey", "n", "s_nationkey"))
+    )
+
+
+def q_kg_pagerank_weighted(spark, sf_dir):
+    """Evidence-weighted PageRank: lineitem multiplicity weights the
+    order->part->supplier edges, contributions split strength
+    -proportionally ((r*w) div W) — bit-exact integer iterations vs the
+    unrolled-CTE oracle."""
+    from kgist_spark.operators.graph import pagerank_weighted
+
+    return pagerank_weighted(weighted_edges(spark, sf_dir),
+                             iterations=_WPR_ITERS)
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -1962,6 +2026,7 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
     "kg_negatives_head": q_kg_negatives_head,
     "split_leakage": q_split_leakage,
+    "kg_pagerank_weighted": q_kg_pagerank_weighted,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4177,6 +4242,18 @@ def _split_leakage_oracle() -> str:
 # split_leakage: the two oracled components (exact near-dup pairs, md5
 # -interval splits) composed; off-diagonal rows are the contamination
 ORACLE_SQL["split_leakage"] = _split_leakage_oracle()
+
+
+def _kg_pagerank_weighted_oracle() -> str:
+    from kgist_spark.operators.graph import pagerank_weighted_oracle_sql
+
+    return pagerank_weighted_oracle_sql(_WEIGHTED_EDGES_SQL,
+                                        iterations=_WPR_ITERS)
+
+
+# kg_pagerank_weighted: identical weighted edge derivation, identical
+# strength-proportional integer contributions, iterations unrolled
+ORACLE_SQL["kg_pagerank_weighted"] = _kg_pagerank_weighted_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the

@@ -1287,3 +1287,41 @@ def test_negative_samples_head_corruption(spark):
     headset = {(r["subj"], r["pred"], r["obj"], r["k_idx"], r["neg_subj"])
                for r in head}
     assert headset != tail
+
+
+def test_pagerank_weighted_hand_computed(spark):
+    """Strength-proportional split: a 3x-weighted edge carries 3x the
+    mass of its sibling; weight-1 everywhere degenerates to the
+    unweighted operator exactly."""
+    from kgist_spark.operators.graph import (
+        PR_DAMP,
+        PR_SCALE,
+        pagerank_fixed_point,
+        pagerank_weighted,
+    )
+
+    edges = spark.createDataFrame(
+        [("s", "a", 3), ("s", "b", 1)], "src string, dst string, w long"
+    )
+    r = {x["node"]: x["rank_fp"]
+         for x in pagerank_weighted(edges, iterations=1).collect()}
+    dn, dd = PR_DAMP
+    base = (PR_SCALE * (dd - dn)) // dd
+    # s splits its initial rank 3:1
+    assert r["a"] == base + (dn * ((PR_SCALE * 3) // 4)) // dd
+    assert r["b"] == base + (dn * (PR_SCALE // 4)) // dd
+    assert r["s"] == base  # no in-edges
+
+    # weight-1 degeneracy on a seeded random graph
+    import random
+
+    rng = random.Random(7)
+    ew = [(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+          for _ in range(120)]
+    ew = [(a, b) for a, b in dict.fromkeys(ew) if a != b]
+    uw = spark.createDataFrame(ew, "src string, dst string")
+    w1 = spark.createDataFrame([(a, b, 1) for a, b in ew],
+                               "src string, dst string, w long")
+    got_u = sorted(map(tuple, pagerank_fixed_point(uw, iterations=4).collect()))
+    got_w = sorted(map(tuple, pagerank_weighted(w1, iterations=4).collect()))
+    assert got_u == got_w
