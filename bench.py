@@ -144,6 +144,7 @@ def main():
         "kg_negatives_head",
         "split_leakage",
         "kg_pagerank_weighted",
+        "tfidf_clusters",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -1912,6 +1912,28 @@ def q_kg_pagerank_weighted(spark, sf_dir):
                              iterations=_WPR_ITERS)
 
 
+def q_tfidf_clusters(spark, sf_dir):
+    """TF-IDF near-dup decision table: the weighted-lexical pairs closed
+    into components, each cluster keeping its minimum id — the APPLY
+    table of the tfidf_pairs signal (filter is_dup), mirroring the
+    other dedup families' decision tables."""
+    from kgist_spark.operators.components import connected_components
+    from kgist_spark.operators.dedup import tfidf_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = tfidf_pairs(docs).select("a", "b").localCheckpoint()
+    comp = connected_components(pairs, "a", "b")
+    return (
+        docs.select(F.col("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("keep_id"),
+        )
+        .withColumn("is_dup", F.col("keep_id") != F.col("doc_id"))
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -2027,6 +2049,7 @@ QUERIES = {
     "kg_negatives_head": q_kg_negatives_head,
     "split_leakage": q_split_leakage,
     "kg_pagerank_weighted": q_kg_pagerank_weighted,
+    "tfidf_clusters": q_tfidf_clusters,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4254,6 +4277,38 @@ def _kg_pagerank_weighted_oracle() -> str:
 # kg_pagerank_weighted: identical weighted edge derivation, identical
 # strength-proportional integer contributions, iterations unrolled
 ORACLE_SQL["kg_pagerank_weighted"] = _kg_pagerank_weighted_oracle()
+
+
+def _tfidf_clusters_oracle() -> str:
+    from kgist_spark.operators.dedup import tfidf_pairs_oracle_sql
+
+    pairs = tfidf_pairs_oracle_sql()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    und AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+        WHERE e.v != r.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS keep_id
+        FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.keep_id, d.doc_id) AS keep_id,
+           COALESCE(c.keep_id, d.doc_id) != d.doc_id AS is_dup
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+# tfidf_clusters: the tfidf_pairs oracle closed by the shared recursive
+# -CTE component closure (the neardup_clusters pattern verbatim)
+ORACLE_SQL["tfidf_clusters"] = _tfidf_clusters_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the
