@@ -145,6 +145,7 @@ def main():
         "split_leakage",
         "kg_pagerank_weighted",
         "tfidf_clusters",
+        "containment_keep",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

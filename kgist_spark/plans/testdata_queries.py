@@ -1934,6 +1934,37 @@ def q_tfidf_clusters(spark, sf_dir):
     )
 
 
+def q_containment_keep(spark, sf_dir):
+    """Containment decision table (ASYMMETRIC — no closure): every doc
+    contained in another is dropped, pointing at its min-id container
+    as lineage (the container may itself be contained in something
+    bigger: the pointer is evidence, not a transitive keeper — all
+    contained docs drop regardless)."""
+    from kgist_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs, threshold_x1e6=600_000)
+    keeper = (
+        pairs.select(
+            "contained_id",
+            F.when(F.col("contained_id") == F.col("a"), F.col("b"))
+            .otherwise(F.col("a")).alias("other"),
+        )
+        .groupBy("contained_id")
+        .agg(F.min("other").alias("container_id"))
+    )
+    return (
+        docs.select(F.col("doc_id"))
+        .join(keeper.withColumnRenamed("contained_id", "doc_id"),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("container_id", "doc_id").alias("container_id"),
+        )
+        .withColumn("is_contained", F.col("container_id") != F.col("doc_id"))
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -2050,6 +2081,7 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "tfidf_clusters": q_tfidf_clusters,
+    "containment_keep": q_containment_keep,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4309,6 +4341,28 @@ def _tfidf_clusters_oracle() -> str:
 # tfidf_clusters: the tfidf_pairs oracle closed by the shared recursive
 # -CTE component closure (the neardup_clusters pattern verbatim)
 ORACLE_SQL["tfidf_clusters"] = _tfidf_clusters_oracle()
+
+
+def _containment_keep_oracle() -> str:
+    pairs = ORACLE_SQL["containment_pairs"]
+    return f"""
+    WITH pairs AS ({pairs}),
+    keeper AS (
+        SELECT contained_id AS doc_id,
+               MIN(CASE WHEN contained_id = a THEN b ELSE a END)
+                   AS container_id
+        FROM pairs GROUP BY contained_id
+    )
+    SELECT d.doc_id,
+           COALESCE(k.container_id, d.doc_id) AS container_id,
+           COALESCE(k.container_id, d.doc_id) != d.doc_id AS is_contained
+    FROM documents d LEFT JOIN keeper k USING (doc_id)
+    """
+
+
+# containment_keep: the containment oracle + the asymmetric min-container
+# keeper (no closure BY SEMANTICS — all contained docs drop)
+ORACLE_SQL["containment_keep"] = _containment_keep_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the
