@@ -146,6 +146,7 @@ def main():
         "kg_pagerank_weighted",
         "tfidf_clusters",
         "containment_keep",
+        "excise_spans",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

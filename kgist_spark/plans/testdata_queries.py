@@ -1965,6 +1965,51 @@ def q_containment_keep(spark, sf_dir):
     )
 
 
+def q_excise_spans(spark, sf_dir):
+    """ExactSubstr EXCISION — the step the cut list exists for (Lee et
+    al. 2022's finding: cutting duplicated substrings beats dropping
+    documents): rebuild each document's text with every cross-document
+    duplicated span removed — (doc_id, n_tokens, n_cut, clean_text)."""
+    from pyspark.sql.window import Window  # noqa: F401
+    from kgist_spark.operators.dedup import dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dup_spans(docs)
+    cov = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("span_start"), F.col("span_end"))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    tokpos = docs.select(
+        "doc_id", F.posexplode(t).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "tok")
+    kept = tokpos.join(cov, ["doc_id", "p"], "left_anti")
+    return (
+        tokpos.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count("*").alias("n_kept"),
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "struct(p, tok))), s -> s.tok), ' ')"
+                ).alias("clean_text"),
+            ),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_cut"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -2082,6 +2127,7 @@ QUERIES = {
     "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "tfidf_clusters": q_tfidf_clusters,
     "containment_keep": q_containment_keep,
+    "excise_spans": q_excise_spans,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4363,6 +4409,46 @@ def _containment_keep_oracle() -> str:
 # containment_keep: the containment oracle + the asymmetric min-container
 # keeper (no closure BY SEMANTICS — all contained docs drop)
 ORACLE_SQL["containment_keep"] = _containment_keep_oracle()
+
+
+def _excise_spans_oracle() -> str:
+    spans = ORACLE_SQL["dup_spans"]
+    return rf"""
+    WITH spans AS ({spans}),
+    cov AS (
+        SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS p
+        FROM spans, LATERAL unnest(range(span_start, span_end + 1)) u(p)
+    ),
+    tokpos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+             LATERAL unnest(range(1, len(t) + 1)) s(i)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.p, tp.tok
+        FROM tokpos tp
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc_id = tp.doc_id AND c.p = tp.p)
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tokpos
+            GROUP BY doc_id),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(t.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_cut,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """
+
+
+# excise_spans: the dup_spans oracle expanded to covered positions, the
+# identical anti-join rebuild, byte-identical ' '-joined clean text
+ORACLE_SQL["excise_spans"] = _excise_spans_oracle()
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the
