@@ -147,6 +147,7 @@ def main():
         "tfidf_clusters",
         "containment_keep",
         "excise_spans",
+        "quality_deciles",
     ]
 
     # warm up the JVM + parquet footers with one cheap action

@@ -2010,6 +2010,28 @@ def q_excise_spans(spark, sf_dir):
     )
 
 
+def q_quality_deciles(spark, sf_dir):
+    """Per-source quality deciles — the curriculum/mixture bucketing
+    table (train on the top deciles first, or weight by decile): each
+    document's n_chars decile WITHIN its source by deterministic rank
+    arithmetic ``(rank-1)*10 div count`` (ties broken by doc_id, so the
+    bucketing is engine-stable; no float percentile anywhere)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"),
+                                             F.asc("doc_id"))
+    wc = Window.partitionBy("source")
+    return docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wc)
+    ).select(
+        "doc_id", "source", "n_chars",
+        F.expr("CAST((rk - 1) * 10 div n AS BIGINT)").alias("decile"),
+    )
+
+
 QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_labels": q_kg_labels,
@@ -2128,6 +2150,7 @@ QUERIES = {
     "tfidf_clusters": q_tfidf_clusters,
     "containment_keep": q_containment_keep,
     "excise_spans": q_excise_spans,
+    "quality_deciles": q_quality_deciles,
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -4449,6 +4472,17 @@ def _excise_spans_oracle() -> str:
 # excise_spans: the dup_spans oracle expanded to covered positions, the
 # identical anti-join rebuild, byte-identical ' '-joined clean text
 ORACLE_SQL["excise_spans"] = _excise_spans_oracle()
+
+
+# quality_deciles: identical (n_chars, doc_id) rank order and the same
+# truncating decile arithmetic — no float percentile anywhere
+ORACLE_SQL["quality_deciles"] = """
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST((ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) - 1) * 10
+                // COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS decile
+    FROM documents
+"""
 
 
 # kg_metapath: identical step edges, identical junction cap (part of the
